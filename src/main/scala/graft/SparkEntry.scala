@@ -1,13 +1,28 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the engine's full operator catalog: every operator
+  * class from SURVEY.md §2 (scans, projections/filters, joins incl.
+  * the faithful fanout join, hash aggs, snapshot windows, sorts/top-k,
+  * metric assembly) plus the large-scale training-data-pipeline
+  * extensions (dedup, similarity search, text analysis, events
+  * windows). `oracleSql` carries a DuckDB-equivalent query for every
+  * entry that ANSI SQL can express; the rest get rows-only checks and
+  * ScalaTest specs.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q01(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries
+
+  def oracleSql: Map[String, String] =
+    Relational.oracles
 }

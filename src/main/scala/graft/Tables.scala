@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table catalog over the driver-generated parquet test data
+  * (TESTDATA.md). At 100 TB these reads are plain `spark.read.parquet`
+  * over a partitioned lake path — column pruning + predicate pushdown
+  * flow to the scan automatically because every query here is built
+  * declaratively on top of these frames.
+  *
+  * The reference loads its 5 retail tables as headered CSV with
+  * `inferSchema=True` (reference: Data Transformation.py:24-34), which
+  * costs an extra full scan per file; we read parquet (self-describing)
+  * and, for the CSV ingestion surface, declare explicit schemas — see
+  * [[graft.sources.CsvTableReader]].
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register every table as a temp view so the ad-hoc `spark.sql`
+    * surface (reference's Glue/Athena step, README.md:64-78) works
+    * in-engine. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}

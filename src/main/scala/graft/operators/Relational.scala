@@ -1,0 +1,388 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Core relational operator surface, re-expressing the reference's
+  * query semantics (SURVEY.md §2) over the TPC-H-ish test tables.
+  *
+  * The reference pipeline (reference: Data Transformation.py:50-175) is
+  * built from: narrow selects, `when/otherwise` derived flags, equi
+  * inner joins (including one deliberately date-less fanout join,
+  * Data Transformation.py:50-51), hash aggregations at the
+  * (week, store, product) grain, `row_number`-over-desc-date snapshot
+  * windows (Data Transformation.py:71-82), group-by-measure
+  * aggregation (Data Transformation.py:150-152), and an 8-way inner
+  * join assembly (Data Transformation.py:156-164). Each of those
+  * operators appears here as a named query with a DuckDB oracle.
+  *
+  * Numeric-parity rules (so Spark results hash-match the DuckDB
+  * oracle): money math is done in exact DECIMAL and only cast to
+  * DOUBLE at the end (double sums are order-dependent and local
+  * shuffles are not); ratios are a single IEEE division of two
+  * exactly-agreed numbers; every query output carries a total
+  * deterministic ORDER BY.
+  *
+  * Scale notes (100 TB posture): every aggregation here is a partial
+  * (map-side combine) hash aggregate; joins against dims are
+  * broadcast; fact-fact joins shuffle on their join keys only after
+  * filters/projections have been pushed to the parquet scan. No
+  * collect(), no repartition(1).
+  */
+object Relational {
+
+  /** Money columns arrive as doubles holding 2-decimal values; cast to
+    * exact decimal before any arithmetic so sums are order-independent. */
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dec4(c: Column): Column = c.cast(DecimalType(6, 4))
+
+  /** Data-driven week number: days since 1995-01-01 / 7. The reference
+    * takes `yr_wk_num` from its calendar dim (Data Ingestion.sql:74);
+    * here the "calendar" is pure arithmetic so the DuckDB oracle can
+    * reproduce it bit-for-bit. */
+  private[graft] def wk(c: Column): Column =
+    floor(datediff(to_date(c), lit("1995-01-01").cast("date")) / 7).cast("long")
+
+  private[graft] def wkSql(col: String): String =
+    s"CAST(datediff('day', DATE '1995-01-01', CAST($col AS DATE)) // 7 AS BIGINT)"
+
+  /** Exact revenue expression: extendedprice * (1 - discount) in decimal. */
+  private def revenue(price: Column, discount: Column): Column =
+    dec2(price) * (lit(1).cast(DecimalType(6, 4)) - dec4(discount))
+
+  private val revenueSql =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))"
+
+  // ---------------------------------------------------------------------
+  // q01 — pricing summary: hash agg with exact decimal sums + ratio-of-sums
+  // (reference metrics A1-A5, Data Transformation.py:62-66 compute
+  // round(sum(...)) and a manual ratio average at the week grain).
+  // ---------------------------------------------------------------------
+  def q01(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.filter(to_date(col("l_shipdate")) <= lit("1998-09-02").cast("date"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(revenue(col("l_extendedprice"), col("l_discount"))).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_price", col("sum_base_price") / col("count_order"))
+      .select("l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+        "sum_disc_price", "avg_price", "count_order")
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q01Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  SUM(l_quantity) AS sum_qty,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       |  CAST(SUM($revenueSql) AS DOUBLE) AS sum_disc_price,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q02 — filter + narrow projection (reference P1/P5/P6,
+  // Data Transformation.py:73,100,111). Predicates and the 5-column
+  // ReadSchema must reach the parquet scan (verified in RelationalSpec).
+  // ---------------------------------------------------------------------
+  def q02(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.filter(to_date(col("l_shipdate")).between(
+        lit("1997-01-01").cast("date"), lit("1997-03-31").cast("date"))
+        && col("l_quantity") >= 45)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val q02Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-03-31'
+      |  AND l_quantity >= 45
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q03 — star join: fact ⋈ orders ⋈ customer ⋈ nation ⋈ region
+  // (reference J2-J4 star join, Data Transformation.py:50-54; dims are
+  // broadcast — at 100 TB nation/region/customer-sized dims never shuffle
+  // the fact side).
+  // ---------------------------------------------------------------------
+  def q03(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val o  = Tables.load(spark, dir, "orders")
+    val c  = Tables.load(spark, dir, "customer")
+    val n  = Tables.load(spark, dir, "nation")
+    val r  = Tables.load(spark, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(revenue(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val q03Sql: String =
+    s"""SELECT r_name, n_name,
+       |  CAST(SUM($revenueSql) AS DOUBLE) AS revenue,
+       |  COUNT(DISTINCT o_orderkey) AS n_orders,
+       |  COUNT(*) AS n_rows
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation   ON c_nationkey = n_nationkey
+       |JOIN region   ON n_regionkey = r_regionkey
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q04 — end-of-week snapshot via row_number over desc date, keep rn=1
+  // (reference W1/W2, Data Transformation.py:71-82). Tie-broken fully so
+  // the window is deterministic (SURVEY §7.4 risk 3).
+  // ---------------------------------------------------------------------
+  def q04(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .withColumn("cal_dt", to_date(col("l_shipdate")))
+      .withColumn("yr_wk_num", wk(col("l_shipdate")))
+    val w = Window.partitionBy(col("yr_wk_num"), col("l_suppkey"), col("l_partkey"))
+      .orderBy(col("cal_dt").desc, col("l_orderkey").desc, col("l_linenumber").desc)
+    li.withColumn("row_num", row_number().over(w))
+      .filter(col("row_num") === 1)
+      .select(col("yr_wk_num"), col("l_suppkey").as("store_key"),
+        col("l_partkey").as("prod_key"), col("l_quantity").as("qty_end_wk"),
+        col("cal_dt").as("last_dt"))
+      .orderBy("yr_wk_num", "store_key", "prod_key")
+  }
+
+  val q04Sql: String =
+    s"""WITH t AS (
+       |  SELECT ${wkSql("l_shipdate")} AS yr_wk_num, l_suppkey AS store_key,
+       |    l_partkey AS prod_key, l_quantity, CAST(l_shipdate AS DATE) AS cal_dt,
+       |    ROW_NUMBER() OVER (
+       |      PARTITION BY ${wkSql("l_shipdate")}, l_suppkey, l_partkey
+       |      ORDER BY CAST(l_shipdate AS DATE) DESC, l_orderkey DESC, l_linenumber DESC
+       |    ) AS row_num
+       |  FROM lineitem)
+       |SELECT yr_wk_num, store_key, prod_key, l_quantity AS qty_end_wk, cal_dt AS last_dt
+       |FROM t WHERE row_num = 1
+       |ORDER BY 1, 2, 3""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q05 — the reference's date-less fanout join, faithfully (J1,
+  // Data Transformation.py:50-51: sales ⋈ inventory on (prod, store)
+  // with NO date key, so each sales row matches every inventory day of
+  // that pair). Inventory is derived as the daily per-(part, supplier)
+  // stock aggregate.
+  // ---------------------------------------------------------------------
+  def q05(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val inv = li.groupBy(col("l_partkey"), col("l_suppkey"),
+        to_date(col("l_shipdate")).as("cal_dt"))
+      .agg(sum(col("l_quantity")).as("on_hand"))
+    val sales = li.select(col("l_partkey"), col("l_suppkey"),
+      to_date(col("l_shipdate")).as("trans_dt"), col("l_quantity"))
+    sales.join(inv, Seq("l_partkey", "l_suppkey")) // deliberately date-less
+      .groupBy(wk(col("trans_dt")).as("yr_wk_num"),
+        col("l_partkey").as("prod_key"), col("l_suppkey").as("store_key"))
+      .agg(count(lit(1)).as("fanout_rows"),
+        sum(col("l_quantity")).as("total_qty"),
+        sum(col("on_hand")).as("total_on_hand"))
+      .orderBy("yr_wk_num", "prod_key", "store_key")
+  }
+
+  val q05Sql: String =
+    s"""WITH inv AS (
+       |  SELECT l_partkey, l_suppkey, CAST(l_shipdate AS DATE) AS cal_dt,
+       |    SUM(l_quantity) AS on_hand
+       |  FROM lineitem GROUP BY 1, 2, 3),
+       |sales AS (
+       |  SELECT l_partkey, l_suppkey, CAST(l_shipdate AS DATE) AS trans_dt, l_quantity
+       |  FROM lineitem)
+       |SELECT ${wkSql("trans_dt")} AS yr_wk_num, s.l_partkey AS prod_key,
+       |  s.l_suppkey AS store_key,
+       |  COUNT(*) AS fanout_rows, SUM(s.l_quantity) AS total_qty,
+       |  SUM(i.on_hand) AS total_on_hand
+       |FROM sales s JOIN inv i
+       |  ON s.l_partkey = i.l_partkey AND s.l_suppkey = i.l_suppkey
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q06 — conditional aggregation (reference A8/A11 filter-then-count,
+  // Data Transformation.py:110-112,141-145; idiomatic form is a single
+  // pass with count(when(...))).
+  // ---------------------------------------------------------------------
+  def q06(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.groupBy(wk(col("l_shipdate")).as("yr_wk_num"))
+      .agg(
+        count(when(col("l_discount") > 0.05, lit(1))).as("high_disc_cnt"),
+        count(when(col("l_returnflag") === "R", lit(1))).as("returned_cnt"),
+        count(when(col("l_quantity") < 5, lit(1))).as("low_qty_cnt"),
+        max(col("l_quantity")).as("max_qty"),
+        min(col("l_extendedprice")).as("min_price"))
+      .orderBy("yr_wk_num")
+  }
+
+  val q06Sql: String =
+    s"""SELECT ${wkSql("l_shipdate")} AS yr_wk_num,
+       |  count_if(l_discount > 0.05) AS high_disc_cnt,
+       |  count_if(l_returnflag = 'R') AS returned_cnt,
+       |  count_if(l_quantity < 5) AS low_qty_cnt,
+       |  MAX(l_quantity) AS max_qty,
+       |  MIN(l_extendedprice) AS min_price
+       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q07 — group-by-measure (reference A12 weeks_supply groups by the
+  // inventory level itself, Data Transformation.py:150-152 — one output
+  // row per distinct measure value per grain).
+  // ---------------------------------------------------------------------
+  def q07(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.groupBy(wk(col("l_shipdate")).as("yr_wk_num"),
+        col("l_partkey").as("prod_key"), col("l_quantity").as("on_hand_qty"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("grp_qty"))
+      .withColumn("weeks_supply", col("on_hand_qty") / col("grp_qty"))
+      .select("yr_wk_num", "prod_key", "on_hand_qty", "n_rows", "weeks_supply")
+      .orderBy("yr_wk_num", "prod_key", "on_hand_qty")
+  }
+
+  val q07Sql: String =
+    s"""SELECT ${wkSql("l_shipdate")} AS yr_wk_num, l_partkey AS prod_key,
+       |  l_quantity AS on_hand_qty, COUNT(*) AS n_rows,
+       |  l_quantity / SUM(l_quantity) AS weeks_supply
+       |FROM lineitem GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q08 — multi-branch metric assembly: N independently aggregated
+  // branches over one fact, chained back together with inner equi-joins
+  // on the grain (reference J7, Data Transformation.py:156-164). The
+  // branches share one shuffle-partitioning on the grain keys, so the
+  // joins after the first are co-partitioned — no extra full shuffle.
+  // ---------------------------------------------------------------------
+  def q08(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .withColumn("yr_wk_num", wk(col("l_shipdate")))
+    val keys = Seq("yr_wk_num", "prod_key")
+    val base = li.select(col("yr_wk_num"), col("l_partkey").as("prod_key"),
+      col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+      col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+      to_date(col("l_shipdate")).as("cal_dt"))
+    val b1 = base.groupBy(keys.map(col): _*)
+      .agg(sum(dec2(col("l_extendedprice"))).cast("double").as("total_sales_amt"),
+        sum(col("l_quantity")).as("total_sales_qty"))
+    val b2 = base.groupBy(keys.map(col): _*)
+      .agg(count(when(col("l_returnflag") === "R", lit(1))).as("returned_cnt"))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("cal_dt").desc, col("l_orderkey").desc, col("l_linenumber").desc)
+    val b3 = base.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("yr_wk_num"), col("prod_key"), col("l_quantity").as("qty_end_wk"))
+    b1.join(b2, keys).join(b3, keys)
+      .select("yr_wk_num", "prod_key", "total_sales_amt", "total_sales_qty",
+        "returned_cnt", "qty_end_wk")
+      .orderBy("yr_wk_num", "prod_key")
+  }
+
+  val q08Sql: String =
+    s"""WITH base AS (
+       |  SELECT ${wkSql("l_shipdate")} AS yr_wk_num, l_partkey AS prod_key,
+       |    l_quantity, l_extendedprice, l_returnflag, l_orderkey, l_linenumber,
+       |    CAST(l_shipdate AS DATE) AS cal_dt
+       |  FROM lineitem),
+       |b1 AS (
+       |  SELECT yr_wk_num, prod_key,
+       |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales_amt,
+       |    SUM(l_quantity) AS total_sales_qty
+       |  FROM base GROUP BY 1, 2),
+       |b2 AS (
+       |  SELECT yr_wk_num, prod_key, count_if(l_returnflag = 'R') AS returned_cnt
+       |  FROM base GROUP BY 1, 2),
+       |b3 AS (
+       |  SELECT yr_wk_num, prod_key, l_quantity AS qty_end_wk FROM (
+       |    SELECT yr_wk_num, prod_key, l_quantity, ROW_NUMBER() OVER (
+       |      PARTITION BY yr_wk_num, prod_key
+       |      ORDER BY cal_dt DESC, l_orderkey DESC, l_linenumber DESC) AS rn
+       |    FROM base) WHERE rn = 1)
+       |SELECT b1.yr_wk_num, b1.prod_key, total_sales_amt, total_sales_qty,
+       |  returned_cnt, qty_end_wk
+       |FROM b1
+       |JOIN b2 USING (yr_wk_num, prod_key)
+       |JOIN b3 USING (yr_wk_num, prod_key)
+       |ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q09 — derived flag + filter (reference P7 low_stock_flg,
+  // Data Transformation.py:100,133).
+  // ---------------------------------------------------------------------
+  def q09(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.withColumn("low_qty_flg", when(col("l_quantity") < 5, lit(1)).otherwise(lit(0)))
+      .filter(col("low_qty_flg") === 1)
+      .groupBy(col("l_partkey").as("prod_key"))
+      .agg(count(lit(1)).as("low_qty_instances"))
+      .orderBy("prod_key")
+  }
+
+  val q09Sql: String =
+    """SELECT l_partkey AS prod_key, COUNT(*) AS low_qty_instances
+      |FROM (SELECT l_partkey, CASE WHEN l_quantity < 5 THEN 1 ELSE 0 END AS low_qty_flg
+      |      FROM lineitem)
+      |WHERE low_qty_flg = 1
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q10 — global top-k with deterministic tie-break (extends the
+  // reference's global orderBy, Data Transformation.py:67 etc., with the
+  // limit it never used). Spark plans this as TakeOrderedAndProject —
+  // per-partition top-k then a k-row merge, no global sort at scale.
+  // ---------------------------------------------------------------------
+  def q10(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val o  = Tables.load(spark, dir, "orders")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("order_dt"))
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q10Sql: String =
+    s"""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_dt,
+       |  CAST(SUM($revenueSql) AS DOUBLE) AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY 1, 2
+       |ORDER BY revenue DESC, o_orderkey LIMIT 100""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary"   -> (q01 _),
+    "q02_filter_project"    -> (q02 _),
+    "q03_star_join_revenue" -> (q03 _),
+    "q04_snapshot_window"   -> (q04 _),
+    "q05_fanout_join"       -> (q05 _),
+    "q06_conditional_agg"   -> (q06 _),
+    "q07_group_by_measure"  -> (q07 _),
+    "q08_metric_assembly"   -> (q08 _),
+    "q09_derived_flag"      -> (q09 _),
+    "q10_top_revenue"       -> (q10 _))
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary"   -> q01Sql,
+    "q02_filter_project"    -> q02Sql,
+    "q03_star_join_revenue" -> q03Sql,
+    "q04_snapshot_window"   -> q04Sql,
+    "q05_fanout_join"       -> q05Sql,
+    "q06_conditional_agg"   -> q06Sql,
+    "q07_group_by_measure"  -> q07Sql,
+    "q08_metric_assembly"   -> q08Sql,
+    "q09_derived_flag"      -> q09Sql,
+    "q10_top_revenue"       -> q10Sql)
+}

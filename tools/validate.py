@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Runs DuckDB on each oracle_sql.json entry against the same sf dir the
+Verify dump used, and compares (column-name-sorted, row-sorted) values
+against the Spark parquet output. Purely a builder-side dev tool —
+the engine itself is Scala/Spark only.
+
+Usage: python3 tools/validate.py <sfDir> <verifyOutDir>
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def eq(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+            want = con.execute(sql).df()
+            got, want = canon(got), canon(want)
+            if list(got.columns) != list(want.columns):
+                print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}")
+                continue
+            if len(got) != len(want):
+                print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
+                continue
+            bad = None
+            for col in got.columns:
+                gv, wv = got[col].tolist(), want[col].tolist()
+                for i, (a, b) in enumerate(zip(gv, wv)):
+                    if not eq(a, b):
+                        bad = (col, i, a, b)
+                        break
+                if bad:
+                    break
+            if bad:
+                col, i, a, b = bad
+                print(f"FAIL {name}: {col}[{i}] spark={a!r} oracle={b!r}")
+            else:
+                n_ok += 1
+                print(f"OK   {name} ({len(got)} rows)")
+        except Exception as e:  # noqa: BLE001
+            print(f"ERR  {name}: {str(e)[:300]}")
+    print(f"{n_ok}/{len(oracles)} queries match")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])

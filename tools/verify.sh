@@ -1,0 +1,23 @@
+#!/bin/bash
+# Dev loop: run graft.Verify directly (no sbt JVM startup), then the
+# DuckDB comparison. Usage: tools/verify.sh [sfDir] [outDir] [mainClass]
+set -e
+SF=${1:-/root/testdata/sf0.01}
+OUT=${2:-/tmp/verify_out}
+MAIN=${3:-graft.Verify}
+CP="/opt/spark/jars/*:/root/repo/target/scala-2.13/classes"
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+rm -rf "$OUT"
+SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} java $OPENS -Xmx12g \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "$CP" "$MAIN" "$SF" "$OUT" 2>&1 | grep -v '^2[0-9/]*' || true
+if [ "$MAIN" = "graft.Verify" ]; then
+  python3 /root/repo/tools/validate.py "$SF" "$OUT"
+fi
