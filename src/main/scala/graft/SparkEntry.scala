@@ -18,11 +18,11 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q01(spark, "/root/testdata/sf0.001")
+    RetailPipeline.faithful(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries
+    Relational.queries ++ RetailPipeline.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracles
+    Relational.oracles ++ RetailPipeline.oracles
 }

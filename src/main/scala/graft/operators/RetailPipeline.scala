@@ -1,0 +1,393 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.storage.StorageLevel
+import graft.Tables
+
+/** The reference's entire weekly-metrics pipeline (reference:
+  * Data Transformation.py:50-181), re-expressed Spark-first over the
+  * test star schema, in two modes:
+  *
+  *  - `retail_weekly_faithful` — reproduces the reference's semantics
+  *    exactly, including its quirks: the date-less sales⋈inventory join
+  *    that fans out within (product, store) (Data Transformation.py:50),
+  *    `sum(out_of_stock_flg)/7` over the fanned-out relation (:94), the
+  *    week-less t2 grouping (:117), the re-fanning inner join against
+  *    the row-level low-stock frame (:132,:141), the group-by-measure
+  *    weeks_supply (:150-152), and the 8-way inner-join assembly that
+  *    silently drops grain groups missing from any branch (:156-164).
+  *    One deliberate delta: the reference's `row_number` window (:71,:79)
+  *    orders by `CAL_DT` alone, which is nondeterministic under ties;
+  *    we add a full tie-break so results are stable (SURVEY §7.4).
+  *    The dead window at :109-110 (adds a never-used column) is dropped.
+  *
+  *  - `retail_weekly_corrected` — the business intent (README.md:47-60)
+  *    as one date-matched join + a daily pre-aggregation + a single
+  *    weekly aggregation: no fanout, no duplicate metric branches, no
+  *    groups dropped. The daily pre-agg is the 100 TB move: it collapses
+  *    the fact to (day, store, product) grain BEFORE the weekly shuffle,
+  *    and every weekly metric (incl. the end-of-week snapshots, via
+  *    `max_by`) comes out of ONE hash aggregate instead of nine joins.
+  *
+  * Table mapping onto the test data: sales=lineitem (part→product,
+  * supplier→store, shipdate→trans_dt), inventory=derived daily
+  * per-(part, supplier) stock snapshot, calendar=derived date dim with
+  * arithmetic week numbers, store=supplier, product=part.
+  */
+object RetailPipeline {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** The five retail tables of the reference schema
+    * (Data Ingestion.sql:20-112), derived from the test star schema. */
+  private[graft] def retailTables(spark: SparkSession, dir: String)
+    : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val sales = li.select(
+      col("l_partkey").as("PROD_KEY"),
+      col("l_suppkey").as("STORE_KEY"),
+      to_date(col("l_shipdate")).as("TRANS_DT"),
+      col("l_orderkey").as("TRANS_ID"),
+      col("l_quantity").as("SALES_QTY"),
+      dec2(col("l_extendedprice")).as("SALES_AMT"),
+      (dec2(col("l_extendedprice")) *
+        (lit(1).cast(DecimalType(6, 4)) - col("l_discount").cast(DecimalType(6, 4))))
+        .as("SALES_COST"))
+    val inventory = li
+      .groupBy(col("l_partkey").as("PROD_KEY"), col("l_suppkey").as("STORE_KEY"),
+        to_date(col("l_shipdate")).as("CAL_DT"))
+      .agg((sum(col("l_quantity")) * 2).as("INVENTORY_ON_HAND_QTY"),
+        sum(col("l_quantity")).as("INVENTORY_ON_ORDER_QTY"),
+        when(sum(col("l_quantity")) < 10, lit(1)).otherwise(lit(0)).as("OUT_OF_STOCK_FLG"))
+    val calendar = li.select(to_date(col("l_shipdate")).as("CAL_DT")).distinct()
+      .withColumn("YR_WK_NUM", Relational.wk(col("CAL_DT")))
+    val store = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey").as("STORE_KEY"), col("s_name").as("STORE_DESC"))
+    val product = Tables.load(spark, dir, "part")
+      .select(col("p_partkey").as("PROD_KEY"), col("p_name").as("PROD_NAME"))
+    (sales, inventory, calendar, store, product)
+  }
+
+  /** DuckDB emulation of Spark's `round(double, 2)`: Spark rounds the
+    * double's SHORTEST decimal representation HALF_UP (Catalyst Round
+    * goes through BigDecimal(Double.toString)); DuckDB's native round
+    * works off the binary value and disagrees near .005 boundaries.
+    * Round-tripping through VARCHAR reproduces the shortest repr. */
+  private def sparkRound2Sql(x: String): String =
+    s"CAST(ROUND(CAST(CAST(($x) AS VARCHAR) AS DECIMAL(38,20)), 2) AS DOUBLE)"
+
+  private val retailSqlCtes: String =
+    s"""sales AS (
+       |  SELECT l_partkey AS prod_key, l_suppkey AS store_key,
+       |    CAST(l_shipdate AS DATE) AS trans_dt, l_orderkey AS trans_id,
+       |    l_quantity AS sales_qty,
+       |    CAST(l_extendedprice AS DECIMAL(18,2)) AS sales_amt,
+       |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+       |      (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) AS sales_cost
+       |  FROM lineitem),
+       |inventory AS (
+       |  SELECT l_partkey AS prod_key, l_suppkey AS store_key,
+       |    CAST(l_shipdate AS DATE) AS cal_dt,
+       |    SUM(l_quantity) * 2 AS inventory_on_hand_qty,
+       |    SUM(l_quantity) AS inventory_on_order_qty,
+       |    CASE WHEN SUM(l_quantity) < 10 THEN 1 ELSE 0 END AS out_of_stock_flg
+       |  FROM lineitem GROUP BY 1, 2, 3),
+       |calendar AS (
+       |  SELECT DISTINCT CAST(l_shipdate AS DATE) AS cal_dt,
+       |    ${Relational.wkSql("l_shipdate")} AS yr_wk_num
+       |  FROM lineitem)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Faithful mode
+  // ---------------------------------------------------------------------
+  def faithful(spark: SparkSession, dir: String): DataFrame = {
+    val (sales, inventory, calendar, store, product) = retailTables(spark, dir)
+    val keys = Seq("YR_WK_NUM", "STORE_KEY", "PROD_KEY")
+
+    // J1 (date-less, fans out) + J2 (calendar) + J3/J4 (broadcast dims) —
+    // Data Transformation.py:50-54. Persisted: 9 branches read it
+    // (reference recomputes it per branch; SURVEY §4 flags the cache as
+    // the single biggest win).
+    val merged = sales
+      .join(inventory.withColumnRenamed("CAL_DT", "INVENTORY_CAL_DT"),
+        Seq("PROD_KEY", "STORE_KEY"))
+      .join(calendar, col("TRANS_DT") === calendar("CAL_DT"))
+      .join(broadcast(store), Seq("STORE_KEY"))
+      .join(broadcast(product), Seq("PROD_KEY"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // A1-A4 (Data Transformation.py:62-66)
+    val dfSum = merged.groupBy(keys.map(col): _*).agg(
+      round(sum(col("SALES_AMT")), 2).as("total_sales_amt"),
+      round(sum(col("SALES_QTY")), 2).as("total_sales_qty"),
+      round(sum(col("SALES_AMT")).cast("double") / sum(col("SALES_QTY")), 2)
+        .as("avg_sales_amt"),
+      round(sum(col("SALES_COST")), 2).as("total_sales_cost"))
+
+    // W1/W2 (:71-82) — one shared window, fully tie-broken.
+    val wWk = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("CAL_DT").desc, col("INVENTORY_CAL_DT").desc)
+    val ranked = merged.withColumn("row_num", row_number().over(wWk))
+      .where(col("row_num") === 1)
+    val stockLevel = ranked.select(col("YR_WK_NUM"), col("STORE_KEY"), col("PROD_KEY"),
+      col("INVENTORY_ON_HAND_QTY").as("INVENTORY_ON_HAND_QTY_END_WK"))
+    val stockOrder = ranked.select(col("YR_WK_NUM"), col("STORE_KEY"), col("PROD_KEY"),
+      col("INVENTORY_ON_ORDER_QTY").as("INVENTORY_ON_ORDER_QTY_END_WK"))
+
+    // A5 duplicate cost agg (:87-89)
+    val sumCost = merged.groupBy(keys.map(col): _*)
+      .agg(round(sum(col("SALES_COST")), 2).as("total_cost_week"))
+
+    // A6 — sum of the 0/1 flag over the FANNED-OUT relation / 7 (:93-96)
+    val outOfStock = merged.groupBy(keys.map(col): _*)
+      .agg(round(sum(col("OUT_OF_STOCK_FLG")) / 7, 2).as("out_of_stock_count"))
+
+    // Row-level low-stock flags (:100-101)
+    val lowStock = merged.withColumn("low_stock_flg",
+        when(col("INVENTORY_ON_HAND_QTY") < col("SALES_QTY"), lit(1)).otherwise(lit(0)))
+      .select(col("YR_WK_NUM"), col("STORE_KEY"), col("PROD_KEY"), col("low_stock_flg"))
+
+    // subquery m (:109-112; the dead W3 window at :109-110 is dropped —
+    // it added a column no downstream ever read)
+    val m = merged.filter(col("OUT_OF_STOCK_FLG") === 1)
+      .groupBy(keys.map(col): _*)
+      .agg(count(col("OUT_OF_STOCK_FLG")).as("oos_cnt_m"))
+
+    // subquery t2 (:117) — week-less on purpose: counts ALL rows of the
+    // pair across all weeks, exactly as the reference does.
+    val t2 = lowStock.groupBy(col("STORE_KEY"), col("PROD_KEY"))
+      .agg(count(col("low_stock_flg")).as("low_stock_count"))
+
+    // A9 (:121-126)
+    val impact = m.join(t2, Seq("STORE_KEY", "PROD_KEY"))
+      .select(col("YR_WK_NUM"), col("STORE_KEY"), col("PROD_KEY"),
+        (col("oos_cnt_m") + col("low_stock_count")).as("total_low_stock_impact"))
+
+    // A10 (:132-136) — merged ⋈ row-level lowStock re-fans out (n×n per
+    // grain group); kept faithfully.
+    val potential = merged.join(lowStock, keys, "inner")
+      .filter(col("low_stock_flg") === 1)
+      .groupBy(keys.map(col): _*)
+      .agg(round(sum(col("SALES_QTY")) - sum(col("INVENTORY_ON_HAND_QTY")), 2)
+        .as("potential_low_stock_impact"))
+
+    // A11 (:141-145)
+    val noStock = merged.join(lowStock, keys, "inner")
+      .filter(col("OUT_OF_STOCK_FLG") === 1)
+      .groupBy(keys.map(col): _*)
+      .agg(count(col("OUT_OF_STOCK_FLG")).as("no_stock_instances"))
+
+    // A12 (:150-152) — grouping key includes the measure itself.
+    val weeksSupply = merged
+      .groupBy(col("YR_WK_NUM"), col("STORE_KEY"), col("PROD_KEY"),
+        col("INVENTORY_ON_HAND_QTY"))
+      .agg(round(col("INVENTORY_ON_HAND_QTY") / sum(col("SALES_QTY")), 2)
+        .as("weeks_supply"))
+      .select(col("YR_WK_NUM"), col("STORE_KEY"), col("PROD_KEY"), col("weeks_supply"))
+
+    // J7 8-way inner assembly (:156-175)
+    dfSum
+      .join(stockLevel, keys).join(stockOrder, keys).join(sumCost, keys)
+      .join(outOfStock, keys).join(impact, keys).join(potential, keys)
+      .join(noStock, keys).join(weeksSupply, keys)
+      .select(
+        col("YR_WK_NUM").as("yr_wk_num"),
+        col("STORE_KEY").as("store_key"),
+        col("PROD_KEY").as("prod_key"),
+        col("total_sales_amt").cast("double").as("total_sales_amt"),
+        col("total_sales_qty").as("total_sales_qty"),
+        col("avg_sales_amt").as("avg_sales_amt"),
+        col("total_sales_cost").cast("double").as("total_sales_cost"),
+        col("INVENTORY_ON_HAND_QTY_END_WK").as("inventory_on_hand_qty_end_wk"),
+        col("INVENTORY_ON_ORDER_QTY_END_WK").as("inventory_on_order_qty_end_wk"),
+        col("total_cost_week").cast("double").as("total_cost_week"),
+        col("out_of_stock_count").as("out_of_stock_count"),
+        col("total_low_stock_impact").as("total_low_stock_impact"),
+        col("potential_low_stock_impact").as("potential_low_stock_impact"),
+        col("no_stock_instances").as("no_stock_instances"),
+        col("weeks_supply").as("weeks_supply"))
+      .orderBy(col("yr_wk_num"), col("store_key"), col("prod_key"), col("weeks_supply"))
+  }
+
+  val faithfulSql: String =
+    s"""WITH $retailSqlCtes,
+       |merged AS (
+       |  SELECT s.prod_key, s.store_key, s.trans_dt, s.trans_id, s.sales_qty,
+       |    s.sales_amt, s.sales_cost,
+       |    i.cal_dt AS inventory_cal_dt, i.inventory_on_hand_qty,
+       |    i.inventory_on_order_qty, i.out_of_stock_flg,
+       |    c.cal_dt, c.yr_wk_num
+       |  FROM sales s
+       |  JOIN inventory i ON s.prod_key = i.prod_key AND s.store_key = i.store_key
+       |  JOIN calendar c ON s.trans_dt = c.cal_dt
+       |  JOIN supplier ON s.store_key = s_suppkey
+       |  JOIN part ON s.prod_key = p_partkey),
+       |dfsum AS (
+       |  SELECT yr_wk_num, store_key, prod_key,
+       |    ROUND(SUM(sales_amt), 2) AS total_sales_amt,
+       |    ROUND(SUM(sales_qty), 2) AS total_sales_qty,
+       |    ${sparkRound2Sql("CAST(SUM(sales_amt) AS DOUBLE) / SUM(sales_qty)")} AS avg_sales_amt,
+       |    ROUND(SUM(sales_cost), 2) AS total_sales_cost
+       |  FROM merged GROUP BY 1, 2, 3),
+       |ranked AS (
+       |  SELECT yr_wk_num, store_key, prod_key, inventory_on_hand_qty,
+       |    inventory_on_order_qty,
+       |    ROW_NUMBER() OVER (PARTITION BY yr_wk_num, store_key, prod_key
+       |      ORDER BY cal_dt DESC, inventory_cal_dt DESC) AS row_num
+       |  FROM merged),
+       |stock_level AS (
+       |  SELECT yr_wk_num, store_key, prod_key,
+       |    inventory_on_hand_qty AS inventory_on_hand_qty_end_wk
+       |  FROM ranked WHERE row_num = 1),
+       |stock_order AS (
+       |  SELECT yr_wk_num, store_key, prod_key,
+       |    inventory_on_order_qty AS inventory_on_order_qty_end_wk
+       |  FROM ranked WHERE row_num = 1),
+       |sumcost AS (
+       |  SELECT yr_wk_num, store_key, prod_key,
+       |    ROUND(SUM(sales_cost), 2) AS total_cost_week
+       |  FROM merged GROUP BY 1, 2, 3),
+       |oos AS (
+       |  SELECT yr_wk_num, store_key, prod_key,
+       |    ${sparkRound2Sql("SUM(out_of_stock_flg) / 7")} AS out_of_stock_count
+       |  FROM merged GROUP BY 1, 2, 3),
+       |lowstock AS (
+       |  SELECT yr_wk_num, store_key, prod_key,
+       |    CASE WHEN inventory_on_hand_qty < sales_qty THEN 1 ELSE 0 END AS low_stock_flg
+       |  FROM merged),
+       |m AS (
+       |  SELECT yr_wk_num, store_key, prod_key,
+       |    COUNT(out_of_stock_flg) AS oos_cnt_m
+       |  FROM merged WHERE out_of_stock_flg = 1 GROUP BY 1, 2, 3),
+       |t2 AS (
+       |  SELECT store_key, prod_key, COUNT(low_stock_flg) AS low_stock_count
+       |  FROM lowstock GROUP BY 1, 2),
+       |impact AS (
+       |  SELECT m.yr_wk_num, m.store_key, m.prod_key,
+       |    m.oos_cnt_m + t2.low_stock_count AS total_low_stock_impact
+       |  FROM m JOIN t2 ON m.store_key = t2.store_key AND m.prod_key = t2.prod_key),
+       |potential AS (
+       |  SELECT mg.yr_wk_num, mg.store_key, mg.prod_key,
+       |    ROUND(SUM(mg.sales_qty) - SUM(mg.inventory_on_hand_qty), 2)
+       |      AS potential_low_stock_impact
+       |  FROM merged mg JOIN lowstock ls
+       |    ON mg.yr_wk_num = ls.yr_wk_num AND mg.store_key = ls.store_key
+       |    AND mg.prod_key = ls.prod_key
+       |  WHERE ls.low_stock_flg = 1 GROUP BY 1, 2, 3),
+       |nostock AS (
+       |  SELECT mg.yr_wk_num, mg.store_key, mg.prod_key,
+       |    COUNT(*) AS no_stock_instances
+       |  FROM merged mg JOIN lowstock ls
+       |    ON mg.yr_wk_num = ls.yr_wk_num AND mg.store_key = ls.store_key
+       |    AND mg.prod_key = ls.prod_key
+       |  WHERE mg.out_of_stock_flg = 1 GROUP BY 1, 2, 3),
+       |weekssupply AS (
+       |  SELECT yr_wk_num, store_key, prod_key,
+       |    ${sparkRound2Sql("inventory_on_hand_qty / SUM(sales_qty)")} AS weeks_supply
+       |  FROM merged GROUP BY yr_wk_num, store_key, prod_key, inventory_on_hand_qty)
+       |SELECT dfsum.yr_wk_num, dfsum.store_key, dfsum.prod_key,
+       |  CAST(total_sales_amt AS DOUBLE) AS total_sales_amt,
+       |  total_sales_qty, avg_sales_amt,
+       |  CAST(total_sales_cost AS DOUBLE) AS total_sales_cost,
+       |  inventory_on_hand_qty_end_wk, inventory_on_order_qty_end_wk,
+       |  CAST(total_cost_week AS DOUBLE) AS total_cost_week,
+       |  out_of_stock_count, total_low_stock_impact,
+       |  potential_low_stock_impact, no_stock_instances, weeks_supply
+       |FROM dfsum
+       |JOIN stock_level USING (yr_wk_num, store_key, prod_key)
+       |JOIN stock_order USING (yr_wk_num, store_key, prod_key)
+       |JOIN sumcost     USING (yr_wk_num, store_key, prod_key)
+       |JOIN oos         USING (yr_wk_num, store_key, prod_key)
+       |JOIN impact      USING (yr_wk_num, store_key, prod_key)
+       |JOIN potential   USING (yr_wk_num, store_key, prod_key)
+       |JOIN nostock     USING (yr_wk_num, store_key, prod_key)
+       |JOIN weekssupply USING (yr_wk_num, store_key, prod_key)
+       |ORDER BY 1, 2, 3, weeks_supply""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Corrected mode — the intent of README.md:47-60 in one pass.
+  // ---------------------------------------------------------------------
+  def corrected(spark: SparkSession, dir: String): DataFrame = {
+    val (sales, inventory, _, _, _) = retailTables(spark, dir)
+
+    // Date-matched join (fixes the J1 landmine), then collapse to daily
+    // grain FIRST — at 100 TB this is the shuffle-size lever: the weekly
+    // aggregate runs over (days × store × product), not raw transactions.
+    val daily = sales
+      .join(inventory,
+        sales("PROD_KEY") === inventory("PROD_KEY")
+          && sales("STORE_KEY") === inventory("STORE_KEY")
+          && sales("TRANS_DT") === inventory("CAL_DT"))
+      .groupBy(sales("PROD_KEY").as("prod_key"), sales("STORE_KEY").as("store_key"),
+        col("CAL_DT").as("cal_dt"))
+      .agg(
+        sum(col("SALES_QTY")).as("day_qty"),
+        sum(col("SALES_AMT")).as("day_amt"),
+        sum(col("SALES_COST")).as("day_cost"),
+        max(col("INVENTORY_ON_HAND_QTY")).as("on_hand"),
+        max(col("INVENTORY_ON_ORDER_QTY")).as("on_order"),
+        max(col("OUT_OF_STOCK_FLG")).as("oos_flg"))
+
+    daily
+      .groupBy(Relational.wk(col("cal_dt")).as("yr_wk_num"),
+        col("store_key"), col("prod_key"))
+      .agg(
+        sum(col("day_amt")).cast("double").as("total_sales_amt"),
+        sum(col("day_qty")).as("total_sales_qty"),
+        (sum(col("day_amt")).cast("double") / sum(col("day_qty"))).as("avg_sales_amt"),
+        sum(col("day_cost")).cast("double").as("total_sales_cost"),
+        max_by(col("on_hand"), col("cal_dt")).as("inventory_on_hand_qty_end_wk"),
+        max_by(col("on_order"), col("cal_dt")).as("inventory_on_order_qty_end_wk"),
+        count(lit(1)).as("days_active"),
+        count(when(col("oos_flg") === 1, lit(1))).as("out_of_stock_days"),
+        count(when(col("on_hand") < col("day_qty"), lit(1))).as("low_stock_days"),
+        (count(when(col("oos_flg") === 1, lit(1))) / lit(7.0)).as("out_of_stock_ratio"),
+        sum(when(col("on_hand") < col("day_qty"), col("day_qty") - col("on_hand"))
+          .otherwise(lit(0))).as("potential_low_stock_impact"))
+      .withColumn("weeks_supply",
+        col("inventory_on_hand_qty_end_wk") / col("total_sales_qty"))
+      .orderBy(col("yr_wk_num"), col("store_key"), col("prod_key"))
+  }
+
+  val correctedSql: String =
+    s"""WITH $retailSqlCtes,
+       |daily AS (
+       |  SELECT s.prod_key, s.store_key, i.cal_dt,
+       |    SUM(s.sales_qty) AS day_qty,
+       |    SUM(s.sales_amt) AS day_amt,
+       |    SUM(s.sales_cost) AS day_cost,
+       |    MAX(i.inventory_on_hand_qty) AS on_hand,
+       |    MAX(i.inventory_on_order_qty) AS on_order,
+       |    MAX(i.out_of_stock_flg) AS oos_flg
+       |  FROM sales s
+       |  JOIN inventory i ON s.prod_key = i.prod_key
+       |    AND s.store_key = i.store_key AND s.trans_dt = i.cal_dt
+       |  GROUP BY 1, 2, 3)
+       |SELECT ${Relational.wkSql("cal_dt")} AS yr_wk_num, store_key, prod_key,
+       |  CAST(SUM(day_amt) AS DOUBLE) AS total_sales_amt,
+       |  SUM(day_qty) AS total_sales_qty,
+       |  CAST(SUM(day_amt) AS DOUBLE) / SUM(day_qty) AS avg_sales_amt,
+       |  CAST(SUM(day_cost) AS DOUBLE) AS total_sales_cost,
+       |  arg_max(on_hand, cal_dt) AS inventory_on_hand_qty_end_wk,
+       |  arg_max(on_order, cal_dt) AS inventory_on_order_qty_end_wk,
+       |  COUNT(*) AS days_active,
+       |  count_if(oos_flg = 1) AS out_of_stock_days,
+       |  count_if(on_hand < day_qty) AS low_stock_days,
+       |  count_if(oos_flg = 1) / 7.0 AS out_of_stock_ratio,
+       |  SUM(CASE WHEN on_hand < day_qty THEN day_qty - on_hand ELSE 0 END)
+       |    AS potential_low_stock_impact,
+       |  arg_max(on_hand, cal_dt) / SUM(day_qty) AS weeks_supply
+       |FROM daily
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "retail_weekly_faithful"  -> (faithful _),
+    "retail_weekly_corrected" -> (corrected _))
+
+  val oracles: Map[String, String] = Map(
+    "retail_weekly_faithful"  -> faithfulSql,
+    "retail_weekly_corrected" -> correctedSql)
+}
