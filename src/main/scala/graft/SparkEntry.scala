@@ -21,8 +21,12 @@ object SparkEntry {
     RetailPipeline.faithful(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ RetailPipeline.queries
+    Relational.queries ++ RetailPipeline.queries ++ Dedup.queries ++
+      TextAnalysis.queries ++ Similarity.queries ++ Events.queries ++
+      Multimodal.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ RetailPipeline.oracles
+    Relational.oracles ++ RetailPipeline.oracles ++ Dedup.oracles ++
+      TextAnalysis.oracles ++ Similarity.oracles ++ Events.oracles ++
+      Multimodal.oracles
 }

@@ -22,6 +22,16 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** `events.ts` is nanosecond-precision parquet, which Spark 4 refuses
+    * as TimestampType; read nanos as a long (legacy flag) and expose
+    * epoch seconds — all event queries do their window arithmetic in
+    * the epoch-seconds domain anyway (see operators.Events). */
+  def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, sfDir, "events")
+      .withColumn("sec", org.apache.spark.sql.functions.expr("ts div 1000000000"))
+  }
+
   /** Register every table as a temp view so the ad-hoc `spark.sql`
     * surface (reference's Glue/Athena step, README.md:64-78) works
     * in-engine. */

@@ -1,0 +1,273 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication suite over the `documents` and `embeddings` tables —
+  * the operators a large-scale training-data pipeline runs before
+  * anything else. All token/shingle machinery is shared with
+  * [[TextAnalysis]] and kept to codegen'd built-ins + higher-order
+  * array functions (no UDFs), so every stage stays inside whole-stage
+  * codegen and the DuckDB oracles can reproduce it exactly.
+  *
+  * Scale design:
+  *  - exact dedup = hash groupBy on the full text (at 100 TB you'd
+  *    groupBy a 128-bit content hash instead; `text_fingerprint` in
+  *    [[TextAnalysis]] provides exactly that hash).
+  *  - ngram-jaccard = inverted-index self-join on shingles (pairs that
+  *    share ≥1 shingle), NOT an n² cross join.
+  *  - minhash-LSH = 64 permutations → 16 bands × 4 rows; only
+  *    band-collision candidates are verified with exact jaccard. At the
+  *    planted near-dup similarity (≥0.9) the miss probability per pair
+  *    is (1 − 0.9⁴)¹⁶ ≈ 4e-8, which is why its oracle can be the exact
+  *    jaccard SQL.
+  *  - simhash = 60-bit signature; candidate pairs via 4×15-bit band
+  *    blocking, which is EXACT for hamming ≤ 3 by pigeonhole — the
+  *    brute-force oracle must agree perfectly.
+  */
+object Dedup {
+
+  /** Tokenize: lowercase, split on non-alphanumeric, drop empties. */
+  private[graft] val toksSpark = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+  private[graft] val toksSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** Distinct word 3-gram shingles over a `toks` array column. */
+  private[graft] val shinglesSpark =
+    """CASE WHEN size(toks) >= 3 THEN
+      |  array_distinct(transform(sequence(1, size(toks) - 2),
+      |    i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))
+      |ELSE slice(toks, 1, 0) END""".stripMargin
+  private[graft] val shinglesSql =
+    """list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+      |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))""".stripMargin
+
+  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .withColumn("toks", expr(toksSpark))
+      .withColumn("sh", expr(shinglesSpark))
+      .select("doc_id", "sh")
+
+  private val docShinglesSqlCte =
+    s"""toks_t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh_t AS (SELECT doc_id, $shinglesSql AS sh FROM toks_t),
+       |sh AS (SELECT doc_id, unnest(sh) AS s FROM sh_t),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)""".stripMargin
+
+  /** Exact-jaccard pair SQL, shared as the oracle of both the
+    * inverted-index and the minhash-LSH queries. */
+  private def jaccardPairsSql(threshold: Double): String =
+    s"""WITH $docShinglesSqlCte,
+       |inter AS (
+       |  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_i, doc_j,
+       |  n_inter / (sa.n + sb.n - n_inter) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON doc_i = sa.doc_id
+       |JOIN sizes sb ON doc_j = sb.doc_id
+       |WHERE n_inter / (sa.n + sb.n - n_inter) >= $threshold
+       |ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // dedup_exact — hash groupBy on content; keeper = min id per group.
+  // ---------------------------------------------------------------------
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"), length(col("text")).as("text_len"))
+      .orderBy("keep_id")
+
+  val exactSql: String =
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+      |  CAST(len(text) AS INT) AS text_len
+      |FROM documents GROUP BY text ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // dedup_ngram_jaccard — inverted-index exact jaccard at 0.8.
+  // ---------------------------------------------------------------------
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(spark, dir)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.as("sa"), col("doc_i") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_j") === col("sb.doc_id"))
+      .withColumn("jaccard", col("n_inter") / (col("sa.n") + col("sb.n") - col("n_inter")))
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_i", "doc_j", "jaccard")
+      .orderBy("doc_i", "doc_j")
+  }
+
+  // ---------------------------------------------------------------------
+  // dedup_minhash_lsh — 64 minhash perms, 16 bands × 4 rows, exact
+  // verification of band-collision candidates.
+  // ---------------------------------------------------------------------
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docShingles(spark, dir).filter(size(col("sh")) > 0)
+      .withColumn("sig", expr(
+        """transform(sequence(0, 63),
+          |  s -> array_min(transform(sh, x -> xxhash64(concat(cast(s AS string), ':', x)))))"""
+          .stripMargin))
+      .withColumn("n", size(col("sh")))
+    val bands = docs.select(col("doc_id"),
+        explode(expr(
+          """transform(sequence(0, 15), b -> named_struct(
+            |  'band_idx', b,
+            |  'band_hash', xxhash64(element_at(sig, 4*b+1), element_at(sig, 4*b+2),
+            |                        element_at(sig, 4*b+3), element_at(sig, 4*b+4))))"""
+            .stripMargin)).as("band"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
+    val candidates = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx")
+          && col("a.band_hash") === col("b.band_hash")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      .distinct()
+    // Exact verification: intersection over the (small) shingle arrays.
+    candidates
+      .join(docs.select(col("doc_id").as("doc_i"), col("sh").as("sh_a"), col("n").as("na")), "doc_i")
+      .join(docs.select(col("doc_id").as("doc_j"), col("sh").as("sh_b"), col("n").as("nb")), "doc_j")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("n_inter") / (col("na") + col("nb") - col("n_inter")))
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_i", "doc_j", "jaccard")
+      .orderBy("doc_i", "doc_j")
+  }
+
+  // ---------------------------------------------------------------------
+  // dedup_simhash — 60-bit simhash (md5-derived token hashes so the
+  // oracle can reproduce them), pairs at hamming ≤ 3 via 4-band
+  // pigeonhole blocking.
+  // ---------------------------------------------------------------------
+  /** 60-bit token hash both engines can compute: first 15 hex digits of
+    * md5. Spark: conv(hex, 16, 10); DuckDB: CAST('0x'||hex AS BIGINT). */
+  private[graft] def tokHash60Spark(v: String): String =
+    s"CAST(conv(substring(md5(cast($v AS binary)), 1, 15), 16, 10) AS bigint)"
+  private[graft] def tokHash60Sql(v: String): String =
+    s"CAST('0x' || substr(md5($v), 1, 15) AS BIGINT)"
+  private val tokHashSpark = tokHash60Spark("x")
+
+  private val simhashSpark =
+    s"""aggregate(sequence(0, 59), 0L, (acc, k) -> acc +
+       |  IF(aggregate(transform(toks, x -> $tokHashSpark), 0L,
+       |       (a, h) -> a + IF((shiftright(h, k) & 1) = 1, 1L, -1L)) > 0,
+       |     shiftleft(1L, k), 0L))""".stripMargin
+
+  private val simhashSql =
+    """CAST(list_sum(list_transform(range(0, 60), k ->
+      |  CASE WHEN list_sum(list_transform(
+      |         list_transform(toks, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)),
+      |         h -> CASE WHEN ((h >> k) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+      |       THEN (CAST(1 AS BIGINT) << k) ELSE 0 END))
+      |AS BIGINT)""".stripMargin
+
+  private def simhashes(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .withColumn("toks", expr(toksSpark))
+      .filter(size(col("toks")) > 0)
+      .withColumn("simhash", expr(simhashSpark))
+      .select("doc_id", "simhash")
+
+  private val simhashesSqlCte =
+    s"""toks_t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sims AS (SELECT doc_id, $simhashSql AS simhash FROM toks_t WHERE len(toks) > 0)"""
+      .stripMargin
+
+  def simhashValues(spark: SparkSession, dir: String): DataFrame =
+    simhashes(spark, dir).orderBy("doc_id")
+
+  val simhashValuesSql: String =
+    s"WITH $simhashesSqlCte SELECT doc_id, simhash FROM sims ORDER BY 1"
+
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sims = simhashes(spark, dir)
+    // 4 bands × 15 bits: hamming ≤ 3 ⇒ at least one band identical.
+    val banded = sims.select(col("doc_id"), col("simhash"),
+        explode(expr(
+          "transform(sequence(0, 3), b -> named_struct('band_idx', b, 'band_val', shiftright(simhash, b * 15) & 32767))"))
+          .as("band"))
+      .select(col("doc_id"), col("simhash"), col("band.band_idx"), col("band.band_val"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx")
+          && col("a.band_val") === col("b.band_val")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_i", "doc_j")
+  }
+
+  val simhashPairsSql: String =
+    s"""WITH $simhashesSqlCte
+       |SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // dedup_embedding_cosine — near-dup pairs by cosine over the embedding
+  // column. Brute-force pair scan here (the certified-exact baseline);
+  // the LSH-bucketed scale path lives in Similarity.annLsh.
+  // ---------------------------------------------------------------------
+  private[graft] val normSpark =
+    "sqrt(aggregate(embedding, 0D, (a, x) -> a + cast(x AS double) * cast(x AS double)))"
+  private[graft] val normSql =
+    "sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b))"
+
+  def embeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+      .withColumn("norm", expr(normSpark))
+      .select("vec_id", "embedding", "norm")
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(a.embedding, b.embedding, (x, y) -> cast(x AS double) * cast(y AS double)), 0D, (acc, v) -> acc + v)"))
+      .withColumn("cosine", round(col("dot") / (col("a.norm") * col("b.norm")), 6))
+      .filter(col("cosine") >= 0.45)
+      .select(col("a.vec_id").as("vec_i"), col("b.vec_id").as("vec_j"), col("cosine"))
+      .orderBy("vec_i", "vec_j")
+  }
+
+  val embeddingCosineSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding, $normSql AS norm FROM embeddings)
+       |SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
+       |  CAST(ROUND(CAST(CAST(
+       |    list_reduce(list_transform(range(1, len(a.embedding) + 1),
+       |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x, y) -> x + y)
+       |    / (a.norm * b.norm) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS cosine
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE CAST(ROUND(CAST(CAST(
+       |    list_reduce(list_transform(range(1, len(a.embedding) + 1),
+       |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x, y) -> x + y)
+       |    / (a.norm * b.norm) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) >= 0.45
+       |ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact"            -> (exact _),
+    "dedup_ngram_jaccard"    -> (ngramJaccard _),
+    "dedup_minhash_lsh"      -> (minhashLsh _),
+    "text_simhash"           -> (simhashValues _),
+    "dedup_simhash"          -> (simhashPairs _),
+    "dedup_embedding_cosine" -> (embeddingCosine _))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact"            -> exactSql,
+    "dedup_ngram_jaccard"    -> jaccardPairsSql(0.8),
+    // LSH recall at the planted ≥0.9 similarity is 1 − 4e-8 per pair, and
+    // candidates are exact-verified — the exact jaccard SQL is the oracle.
+    "dedup_minhash_lsh"      -> jaccardPairsSql(0.8),
+    "text_simhash"           -> simhashValuesSql,
+    "dedup_simhash"          -> simhashPairsSql,
+    "dedup_embedding_cosine" -> embeddingCosineSql)
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Event-stream analytics over the `events` table, batch-first (the
+  * reference is a pure daily batch pipeline — SURVEY §2.10); the
+  * Structured Streaming variant of the tumbling aggregation lives in
+  * [[graft.streaming.EventsStream]] and is asserted equal to the batch
+  * result in its spec.
+  *
+  * Timestamp parity notes: the parquet column is nanosecond-precision;
+  * Spark truncates to microseconds, DuckDB keeps its own precision —
+  * so oracle-compared outputs only ever expose epoch SECONDS (both
+  * engines floor identically) and windows are epoch-second arithmetic,
+  * not engine-native window functions. `sum(value)` goes through
+  * DECIMAL(18,6) so it is order-independent under Spark's parallel
+  * partial aggregation.
+  */
+object Events {
+
+  // ---------------------------------------------------------------------
+  // events_tumbling_agg — 1-hour tumbling windows per event_type.
+  // ---------------------------------------------------------------------
+  def tumblingAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.loadEvents(spark, dir)
+      .groupBy(expr("sec div 3600").as("bucket_hr"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy("bucket_hr", "event_type")
+
+  val tumblingAggSql: String =
+    """SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket_hr, event_type,
+      |  COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+      |  MIN(value) AS min_value,
+      |  MAX(value) AS max_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // events_sliding_agg — 1-hour windows sliding by 30 min, via explode
+  // of the (two) windows each event belongs to. This is exactly how
+  // Spark's own window() with slide works logically; done in epoch
+  // arithmetic for oracle parity.
+  // ---------------------------------------------------------------------
+  def slidingAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.loadEvents(spark, dir)
+      .withColumn("win_start",
+        explode(expr("array((sec div 1800) * 1800 - 1800, (sec div 1800) * 1800)")))
+      .groupBy(col("win_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .orderBy("win_start", "event_type")
+
+  val slidingAggSql: String =
+    """WITH e AS (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+      |w AS (
+      |  SELECT unnest([(sec // 1800) * 1800 - 1800, (sec // 1800) * 1800]) AS win_start,
+      |    event_type, value
+      |  FROM e)
+      |SELECT win_start, event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // events_sessionize — gap-based sessions (30 min) per user via
+  // lag + running sum; per-session rollup. The classic stateful-stream
+  // operation expressed as two window passes (one shuffle on user_id).
+  // ---------------------------------------------------------------------
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+    Tables.loadEvents(spark, dir)
+      .withColumn("new_session",
+        when(col("sec") - lag(col("sec"), 1).over(byUser) > 1800, 1)
+          .when(lag(col("sec"), 1).over(byUser).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("sec")).as("start_s"),
+        max(col("sec")).as("end_s"),
+        (max(col("sec")) - min(col("sec"))).as("dur_s"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  val sessionizeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, sec,
+      |    CASE WHEN lag(sec) OVER w IS NULL THEN 1
+      |         WHEN sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+      |sessions AS (
+      |  SELECT user_id, sec,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM flagged)
+      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+      |  COUNT(*) AS n_events, MIN(sec) AS start_s, MAX(sec) AS end_s,
+      |  MAX(sec) - MIN(sec) AS dur_s
+      |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_tumbling_agg" -> (tumblingAgg _),
+    "events_sliding_agg"  -> (slidingAgg _),
+    "events_sessionize"   -> (sessionize _))
+
+  val oracles: Map[String, String] = Map(
+    "events_tumbling_agg" -> tumblingAggSql,
+    "events_sliding_agg"  -> slidingAggSql,
+    "events_sessionize"   -> sessionizeSql)
+}

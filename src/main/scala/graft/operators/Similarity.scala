@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (`Array[Float]`, dim
+  * 64): brute-force cosine top-k as the certified baseline, and a
+  * random-hyperplane-LSH bucketed ANN as the scale path.
+  *
+  * Scale design: the query set is tiny relative to the corpus, so the
+  * brute-force plan BROADCASTS the queries and streams the corpus scan
+  * past them — one pass over the big side, no shuffle of the corpus,
+  * then a per-query top-k window over (queries × corpus) rows. The ANN
+  * variant cuts the scanned candidates to the query's LSH bucket and
+  * its hamming-1 neighbors (multi-probe), which is the 100 TB move:
+  * the corpus is bucketed once (could be written bucketed/partitioned
+  * by `bucket`), and each query touches ~9/256 of it.
+  *
+  * Vector math is double-cast, sequential-fold built-ins (zip_with +
+  * aggregate), so the DuckDB oracle (list_reduce — also a sequential
+  * left fold) reproduces the exact IEEE result bit-for-bit; scores are
+  * rounded to 6dp before ranking with a full tie-break so top-k is
+  * deterministic in both engines.
+  */
+object Similarity {
+
+  /** Spark-compatible round-to-6dp in DuckDB (same shortest-repr trick
+    * as RetailPipeline.sparkRound2Sql, at scale 6). */
+  private def sparkRound6Sql(x: String): String =
+    s"CAST(ROUND(CAST(CAST(($x) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)"
+
+  private val dotSql =
+    """list_reduce(list_transform(range(1, len(a.embedding) + 1),
+      |  i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x, y) -> x + y)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // sim_cosine_topk — exact brute-force top-10 for query vectors
+  // (vec_id % 50 == 0) against the full corpus.
+  // ---------------------------------------------------------------------
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+      .withColumn("norm", expr(Dedup.normSpark))
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val scored = e.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(q_emb, embedding, (x, y) -> cast(x AS double) * cast(y AS double)), 0D, (acc, v) -> acc + v)"))
+      .withColumn("score", round(col("dot") / (col("q_norm") * col("norm")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  val cosineTopKSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding, ${Dedup.normSql} AS norm FROM embeddings),
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    ${sparkRound6Sql(s"($dotSql) / (a.norm * b.norm)")} AS score
+       |  FROM e a JOIN e b ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, score FROM ranked
+       |WHERE rank <= 10 ORDER BY 1, 3""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // sim_ann_lsh — 8 deterministic random hyperplanes → 256 buckets;
+  // multi-probe (own bucket + hamming-1) then exact cosine re-rank.
+  // Approximate by construction → rows-only driver check; recall vs the
+  // brute-force baseline is asserted in SimilaritySpec.
+  // ---------------------------------------------------------------------
+  /** Deterministic pseudo-random hyperplane weight in [-1, 1]:
+    * w(plane, dim) from xxhash64 — reproducible across runs/executors. */
+  private val bucketSpark =
+    """aggregate(sequence(0, 7), 0, (acc, p) -> acc +
+      |  IF(aggregate(sequence(1, size(embedding)), 0D, (s, i) ->
+      |        s + ((pmod(xxhash64(concat(cast(p AS string), ':', cast(i AS string))), 2001) - 1000) / 1000.0)
+      |            * cast(element_at(embedding, i) AS double)) > 0D,
+      |     shiftleft(1, p), 0))""".stripMargin
+
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+      .withColumn("norm", expr(Dedup.normSpark))
+      .withColumn("bucket", expr(bucketSpark))
+    val corpus = e.select(col("vec_id"), col("embedding"), col("norm"), col("bucket"))
+    val probes = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"),
+        explode(expr(
+          "concat(array(bucket), transform(sequence(0, 7), j -> bucket ^ shiftleft(1, j)))"))
+          .as("probe_bucket"))
+    val candidates = corpus.join(broadcast(probes),
+        col("bucket") === col("probe_bucket") && col("query_id") =!= col("vec_id"))
+      .select("query_id", "q_emb", "q_norm", "vec_id", "embedding", "norm")
+      .distinct()
+    val scored = candidates
+      .withColumn("dot", expr(
+        "aggregate(zip_with(q_emb, embedding, (x, y) -> cast(x AS double) * cast(y AS double)), 0D, (acc, v) -> acc + v)"))
+      .withColumn("score", round(col("dot") / (col("q_norm") * col("norm")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_cosine_topk" -> (cosineTopK _),
+    "sim_ann_lsh"     -> (annLsh _))
+
+  /** sim_ann_lsh is approximate → no SQL oracle (driver rows-only check);
+    * its recall against sim_cosine_topk is covered by SimilaritySpec. */
+  val oracles: Map[String, String] = Map(
+    "sim_cosine_topk" -> cosineTopKSql)
+}

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming surface. The reference pipeline is a daily
+  * batch triggered by a file-readiness check (SURVEY §2.10/C1-C2); the
+  * Spark-native analog is a file-source stream with
+  * `Trigger.AvailableNow` — the same "process what has landed, then
+  * stop" contract, but with exactly-once bookkeeping from the stream
+  * checkpoint instead of a Lambda + Airflow sensor.
+  *
+  * `EventsStreamSpec` asserts the streaming result equals
+  * [[graft.operators.Events.tumblingAgg]] on the same input.
+  */
+object EventsStream {
+
+  /** 1-hour tumbling aggregation as a stream over the events parquet.
+    * Watermark bounds state for continuous runs; with AvailableNow +
+    * complete mode it simply drains the backlog. */
+  def tumblingAgg(spark: SparkSession, dir: String, queryName: String): StreamingQuery = {
+    // events.ts is nanosecond parquet → read as long, rebuild a
+    // microsecond TimestampType for the event-time window/watermark.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val src = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    src
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_utc", "2 hours")
+      .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .select(
+        (unix_timestamp(col("window.start")).cast("long") / 3600).cast("long").as("bucket_hr"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Batch frame with the same shape, for equivalence checks. */
+  def batchEquivalent(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.tumblingAgg(spark, dir)
+      .select("bucket_hr", "event_type", "n_events", "sum_value")
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite with SparkSuite {
+
+  test("minhash-LSH finds exactly the exact-jaccard pairs (certified recall)") {
+    val exact = Dedup.ngramJaccard(spark, SF)
+      .select("doc_i", "doc_j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(spark, SF)
+      .select("doc_i", "doc_j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test data must contain planted near-dups")
+    assert(lsh === exact,
+      s"LSH missed ${exact.diff(lsh)} / fabricated ${lsh.diff(exact)}")
+  }
+
+  test("near-dup pairs are also close in simhash space") {
+    val jacPairs = Dedup.ngramJaccard(spark, SF)
+      .filter("jaccard >= 0.95")
+      .select("doc_i", "doc_j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val simPairs = Dedup.simhashPairs(spark, SF)
+      .select("doc_i", "doc_j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = jacPairs.count(simPairs.contains)
+    assert(jacPairs.isEmpty || found >= jacPairs.size / 2,
+      s"simhash found $found of ${jacPairs.size} very-near dups at hamming<=3")
+  }
+
+  test("exact dedup keeps one keeper per distinct text") {
+    val docs = Tables.load(spark, SF, "documents").count()
+    val dedup = Dedup.exact(spark, SF)
+    assert(dedup.count() <= docs)
+    assert(dedup.selectExpr("sum(n_copies)").head().getLong(0) === docs)
+  }
+
+  test("embedding near-dup join is symmetric-free (i < j) and thresholded") {
+    val df = Dedup.embeddingCosine(spark, SF)
+    assert(df.filter("vec_i >= vec_j").count() === 0)
+    assert(df.filter("cosine < 0.45").count() === 0)
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Events
+import graft.streaming.EventsStream
+
+class EventsSpec extends AnyFunSuite with SparkSuite {
+
+  test("tumbling agg partitions all events exactly once") {
+    val total = Tables.loadEvents(spark, SF).count()
+    val agg = Events.tumblingAgg(spark, SF)
+    assert(agg.selectExpr("sum(n_events)").head().getLong(0) === total)
+  }
+
+  test("sliding windows (1h, slide 30m) see each event exactly twice") {
+    val total = Tables.loadEvents(spark, SF).count()
+    val agg = Events.slidingAgg(spark, SF)
+    assert(agg.selectExpr("sum(n_events)").head().getLong(0) === total * 2)
+  }
+
+  test("sessionize covers every event; gaps within sessions <= 30min") {
+    val total = Tables.loadEvents(spark, SF).count()
+    val s = Events.sessionize(spark, SF)
+    assert(s.selectExpr("sum(n_events)").head().getLong(0) === total)
+    assert(s.filter("dur_s < 0").count() === 0)
+  }
+
+  test("structured-streaming tumbling agg equals the batch result") {
+    val q = EventsStream.tumblingAgg(spark, SF, "stream_out")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("stream_out")
+      .selectExpr("bucket_hr", "event_type", "n_events", "sum_value")
+      .collect().map(_.toSeq).toSet
+    val batch = EventsStream.batchEquivalent(spark, SF)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Relational
+
+/** Correctness smoke + physical-plan assertions: the plans must be the
+  * plans we'd want at 100 TB (pushdown reaching the scan, broadcast on
+  * dims, top-k as TakeOrdered), not just any plan that returns rows. */
+class RelationalSpec extends AnyFunSuite with SparkSuite {
+
+  test("q01 pricing summary returns the 6 flag/status groups") {
+    val rows = Relational.q01(spark, SF).collect()
+    assert(rows.length === 6)
+    assert(rows.map(_.getLong(6)).sum === 3225) // count_order total = filtered lineitem rows
+  }
+
+  test("q02 pushes filters and prunes columns at the parquet scan") {
+    val plan = Relational.q02(spark, SF).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("GreaterThanOrEqual(l_quantity"),
+      s"filter not pushed:\n$plan")
+    // 6 needed columns only (5 projected + shipdate for the filter)
+    assert(plan.contains("ReadSchema") && !plan.contains("l_returnflag"),
+      s"column pruning failed:\n$plan")
+  }
+
+  test("q03 star join broadcasts every dimension") {
+    val plan = Relational.q03(spark, SF).queryExecution.executedPlan.toString
+    assert(plan.split("BroadcastHashJoin").length >= 4, s"dims not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") || plan.indexOf("SortMergeJoin") > 0)
+  }
+
+  test("q04 snapshot window picks the latest date per grain") {
+    val df = Relational.q04(spark, SF)
+    val row = df.filter("yr_wk_num = 0").orderBy("store_key", "prod_key").head()
+    assert(row.getAs[java.sql.Date]("last_dt") != null)
+    assert(df.groupBy("yr_wk_num", "store_key", "prod_key").count()
+      .filter("count > 1").count() === 0, "grain must be unique after rn=1 filter")
+  }
+
+  test("q05 faithful fanout join inflates row counts within (prod, store)") {
+    val df = Relational.q05(spark, SF)
+    // fanout_rows ≥ 1 everywhere; at least one group fans out (>1) if any
+    // (prod, store) pair ships on two different days in a week.
+    assert(df.filter("fanout_rows < 1").count() === 0)
+    assert(df.filter("fanout_rows > 1").count() > 0)
+  }
+
+  test("q10 plans as TakeOrderedAndProject (no global sort at scale)") {
+    val plan = Relational.q10(spark, SF).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$plan")
+  }
+}
