@@ -1,0 +1,100 @@
+package graft.app
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.RetailPipeline
+import graft.pipeline.{LogNotifier, Notifier, Readiness, RunConfig}
+import graft.sources.{CsvTableReader, OutputWriter}
+
+/** The end-to-end daily pipeline as one process (reference entry point
+  * 1, SURVEY §3.1): readiness gate → explicit-schema CSV scans →
+  * weekly-metrics build → date-partitioned parquet, replacing the
+  * reference's CloudWatch → Lambda → Airflow → EMR chain (reference:
+  * Lambda Function.py, Airflow Dag.py, Data Transformation.py) with a
+  * single spark-submit-able main. Same jar runs `local[*]` in tests
+  * and `--master yarn`/`k8s` on a cluster — the master is never
+  * hardcoded (the reference hardcodes `master("Yarn")`, Data
+  * Transformation.py:19, which its own spark-submit then overrides).
+  *
+  * Usage:
+  *   --date YYYY-MM-DD --out PATH [--mode faithful|corrected]
+  *   [--single-file] and either --in-dir DIR (readiness-gated, files
+  *   named {table}_YYYYMMDD.csv) or five explicit --calendar/
+  *   --inventory/--product/--sales/--store paths.
+  */
+object RetailEtlApp {
+
+  def main(args: Array[String]): Unit = {
+    val exit = run(args.toSeq, LogNotifier)
+    if (exit != 0) sys.exit(exit)
+  }
+
+  /** Factored for tests: returns an exit code instead of calling
+    * sys.exit. 0 = wrote output; 1 = bad args; 2 = inputs not ready. */
+  def run(args: Seq[String], notifier: Notifier): Int = {
+    val i = args.indexOf("--in-dir")
+    val (inDir, rest) =
+      if (i >= 0 && i + 1 < args.length)
+        (Some(args(i + 1)), args.patch(i, Nil, 2))
+      else (None, args)
+
+    parseWithDir(rest, inDir) match {
+      case Left(err) =>
+        System.err.println(s"[retail-etl] $err"); 1
+      case Right((conf, None)) =>
+        execute(conf); 0
+      case Right((conf, Some(dir))) =>
+        Readiness.checkFs(dir, conf.date) match {
+          case Left(missing) =>
+            notifier.notifyMissing(conf.date, missing); 2
+          case Right(paths) =>
+            execute(conf.copy(inputs = paths)); 0
+        }
+    }
+  }
+
+  /** --in-dir replaces the five per-table flags; splice placeholder
+    * inputs so RunConfig.parse's completeness check passes, then let
+    * the readiness gate fill in the real paths. */
+  private def parseWithDir(rest: Seq[String], inDir: Option[String])
+      : Either[String, (RunConfig, Option[String])] = inDir match {
+    case None => RunConfig.parse(rest).map(_ -> None)
+    case Some(dir) =>
+      val placeholders = Readiness.tables.toSeq.flatMap(t => Seq(s"--$t", "<in-dir>"))
+      RunConfig.parse(rest ++ placeholders).map(_ -> Some(dir))
+  }
+
+  private def execute(conf: RunConfig): Unit = {
+    val spark = SparkSession.builder()
+      .appName(s"retail-etl-${conf.mode}-${conf.date}")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    val out = build(spark, conf)
+    OutputWriter.writeFact(out, conf.out, conf.date.toString, conf.singleFile)
+  }
+
+  /** Read the five tables and build the weekly fact; also registers
+    * every input and the output as temp views so ad-hoc `spark.sql` is
+    * available in-process (the reference needed a Glue crawler +
+    * Athena for this — README.md:64-78). */
+  def build(spark: SparkSession, conf: RunConfig): DataFrame = {
+    val t = CsvTableReader.readAll(spark, conf.inputs)
+    t.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+    val fact = conf.mode match {
+      case "corrected" =>
+        RetailPipeline.buildCorrected(t("sales"), t("inventory"), Some(t("calendar")))
+      case _ =>
+        RetailPipeline.buildFaithful(
+          t("sales"), t("inventory"), t("calendar"), t("store"), t("product"))
+    }
+    fact.createOrReplaceTempView("weekly_store_product_metrics")
+    fact
+  }
+
+  /** Readiness probe for schedulers (reference C1/C6): exit 0 when all
+    * five inputs for `date` exist under `dir`. */
+  def ready(dir: String, date: LocalDate): Boolean =
+    Readiness.checkFs(dir, date).isRight
+}

@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** JIT-friendly kernels for the sketching hot paths. Top-level object →
+  * Scala emits static forwarders, so generated code can call
+  * `graft.functions.VecKernels.simhash60(arr)` directly. */
+object VecKernels {
+
+  /** 60-bit simhash over precomputed 60-bit token hashes: bit k is set
+    * iff Σ_tokens (bit k of hash ? +1 : −1) > 0 — the exact rule the
+    * DuckDB oracle SQL implements over the same md5-derived hashes. */
+  def simhash60(hashes: ArrayData): Long = {
+    val n = hashes.numElements()
+    val counts = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var k = 0
+      while (k < 60) {
+        if (((h >>> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
+        k += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < 60) {
+      if (counts(k) > 0) sig |= (1L << k)
+      k += 1
+    }
+    sig
+  }
+
+  /** 64 minhash values over precomputed shingle hashes; permutation s
+    * re-mixes each shingle hash with xxhash64(seed = s). Only the LSH
+    * *candidate generation* depends on these values — collisions are
+    * exact-verified afterwards — so the mixer choice is free. */
+  def minhashSig64(hashes: ArrayData): ArrayData = {
+    val n = hashes.numElements()
+    val sig = new Array[Long](64)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var s = 0
+      while (s < 64) {
+        val v = XXH64.hashLong(h, s.toLong)
+        if (v < sig(s)) sig(s) = v
+        s += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+}
+
+/** `simhash60(array<long>) -> long`. */
+case class SimHash60(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60"
+
+  override protected def nullSafeEval(a: Any): Any =
+    VecKernels.simhash60(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecKernels.simhash60($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+}
+
+/** `minhash_sig64(array<long>) -> array<long>` (64 permutations). */
+case class MinHashSig64(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig64"
+
+  override protected def nullSafeEval(a: Any): Any =
+    VecKernels.minhashSig64(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecKernels.minhashSig64($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig64 =
+    copy(child = newChild)
+}
+
+/** One registration point for every graft native function; call at the
+  * top of any query that uses them (idempotent, per-session). */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("vec_dot",
+      (c: Seq[Expression]) => DotProductFloat(c(0), c(1)), "scala_udf")
+    registry.createOrReplaceTempFunction("vec_norm",
+      (c: Seq[Expression]) => NormFloat(c.head), "scala_udf")
+    registry.createOrReplaceTempFunction("simhash60",
+      (c: Seq[Expression]) => SimHash60(c.head), "scala_udf")
+    registry.createOrReplaceTempFunction("minhash_sig64",
+      (c: Seq[Expression]) => MinHashSig64(c.head), "scala_udf")
+  }
+}

@@ -111,13 +111,19 @@ object Dedup {
   // verification of band-collision candidates.
   // ---------------------------------------------------------------------
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    // doc_id, sh, n — shared by candidate generation AND verification;
+    // the signature is deliberately NOT on this frame so the two
+    // verification joins don't recompute 64 permutations per doc.
     val docs = docShingles(spark, dir).filter(size(col("sh")) > 0)
-      .withColumn("sig", expr(
-        """transform(sequence(0, 63),
-          |  s -> array_min(transform(sh, x -> xxhash64(concat(cast(s AS string), ':', x)))))"""
-          .stripMargin))
       .withColumn("n", size(col("sh")))
-    val bands = docs.select(col("doc_id"),
+    // One cheap xxhash64 per shingle, then the 64-permutation min-scan
+    // runs over longs in a codegen'd kernel (graft.functions.MinHashSig64)
+    // — no per-permutation string building.
+    val sigs = docs
+      .withColumn("sig", expr("minhash_sig64(transform(sh, x -> xxhash64(x)))"))
+      .select("doc_id", "sig")
+    val bands = sigs.select(col("doc_id"),
         explode(expr(
           """transform(sequence(0, 15), b -> named_struct(
             |  'band_idx', b,
@@ -156,11 +162,12 @@ object Dedup {
     s"CAST('0x' || substr(md5($v), 1, 15) AS BIGINT)"
   private val tokHashSpark = tokHash60Spark("x")
 
+  /** Token hashes are computed ONCE per token (the md5+conv is the
+    * expensive part), then the 60-bit majority vote runs in the
+    * codegen'd kernel (graft.functions.SimHash60) — the same rule the
+    * oracle SQL evaluates, so values are identical. */
   private val simhashSpark =
-    s"""aggregate(sequence(0, 59), 0L, (acc, k) -> acc +
-       |  IF(aggregate(transform(toks, x -> $tokHashSpark), 0L,
-       |       (a, h) -> a + IF((shiftright(h, k) & 1) = 1, 1L, -1L)) > 0,
-       |     shiftleft(1L, k), 0L))""".stripMargin
+    s"simhash60(transform(toks, x -> $tokHashSpark))"
 
   private val simhashSql =
     """CAST(list_sum(list_transform(range(0, 60), k ->
@@ -170,12 +177,14 @@ object Dedup {
       |       THEN (CAST(1 AS BIGINT) << k) ELSE 0 END))
       |AS BIGINT)""".stripMargin
 
-  private def simhashes(spark: SparkSession, dir: String): DataFrame =
+  private def simhashes(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables.load(spark, dir, "documents")
       .withColumn("toks", expr(toksSpark))
       .filter(size(col("toks")) > 0)
       .withColumn("simhash", expr(simhashSpark))
       .select("doc_id", "simhash")
+  }
 
   private val simhashesSqlCte =
     s"""toks_t AS (SELECT doc_id, $toksSql AS toks FROM documents),
@@ -227,12 +236,17 @@ object Dedup {
     "sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b))"
 
   def embeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    // vec_dot/vec_norm are native codegen'd expressions
+    // (graft.functions.DotProductFloat) — same ascending-index IEEE
+    // summation as the zip_with/aggregate composition and the oracle's
+    // list_reduce, minus the per-element lambda interpreter, which is
+    // the whole cost of an all-pairs scan.
     val e = Tables.load(spark, dir, "embeddings")
-      .withColumn("norm", expr(normSpark))
+      .withColumn("norm", expr("vec_norm(embedding)"))
       .select("vec_id", "embedding", "norm")
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(a.embedding, b.embedding, (x, y) -> cast(x AS double) * cast(y AS double)), 0D, (acc, v) -> acc + v)"))
+      .withColumn("dot", expr("vec_dot(a.embedding, b.embedding)"))
       .withColumn("cosine", round(col("dot") / (col("a.norm") * col("b.norm")), 6))
       .filter(col("cosine") >= 0.45)
       .select(col("a.vec_id").as("vec_i"), col("b.vec_id").as("vec_j"), col("cosine"))

@@ -105,6 +105,15 @@ object RetailPipeline {
   // ---------------------------------------------------------------------
   def faithful(spark: SparkSession, dir: String): DataFrame = {
     val (sales, inventory, calendar, store, product) = retailTables(spark, dir)
+    buildFaithful(sales, inventory, calendar, store, product)
+  }
+
+  /** Core faithful-mode builder over the five reference-schema frames
+    * (uppercase reference column names). Factored out of the test-data
+    * wrapper so the CLI app (graft.app.RetailEtlApp) can run it over
+    * real CSV inputs and unit tests over hand-built fixtures. */
+  def buildFaithful(sales: DataFrame, inventory: DataFrame, calendar: DataFrame,
+      store: DataFrame, product: DataFrame): DataFrame = {
     val keys = Seq("YR_WK_NUM", "STORE_KEY", "PROD_KEY")
 
     // J1 (date-less, fans out) + J2 (calendar) + J3/J4 (broadcast dims) —
@@ -119,66 +128,50 @@ object RetailPipeline {
       .join(broadcast(product), Seq("PROD_KEY"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // A1-A4 (Data Transformation.py:62-66)
-    val dfSum = merged.groupBy(keys.map(col): _*).agg(
+    // The reference computes 9 separate branches over `merged` (A1-A4
+    // at :62-66, A5 at :87-89, A6 at :93-96, m at :109-112, the two
+    // re-fanout joins at :132-145) and glues them with an 8-way join
+    // (:156-164). All of the grain-level branches are one hash
+    // aggregate, and the two re-fanout joins reduce algebraically:
+    // the pair relation merged ⋈ lowStock repeats every merged row of
+    // a grain group once per low-stock row of that group, so
+    //   A10 potential = round(f·Σqty − f·Σon_hand, 2)   (ls filtered to flag=1)
+    //   A11 no_stock  = oos_cnt · n                     (ls side UNfiltered)
+    // with f = low-stock row count, n = group row count, oos_cnt =
+    // out-of-stock row count —
+    // identical values (the test quantities are integral, so the
+    // double sums are exact in any order) with no O(n²) join. The
+    // inner-join drops of J7 (groups lacking m or potential rows)
+    // become the equivalent filter oos_cnt > 0 AND f > 0.
+    val big = merged.groupBy(keys.map(col): _*).agg(
       round(sum(col("SALES_AMT")), 2).as("total_sales_amt"),
       round(sum(col("SALES_QTY")), 2).as("total_sales_qty"),
       round(sum(col("SALES_AMT")).cast("double") / sum(col("SALES_QTY")), 2)
         .as("avg_sales_amt"),
-      round(sum(col("SALES_COST")), 2).as("total_sales_cost"))
+      round(sum(col("SALES_COST")), 2).as("total_sales_cost"),
+      round(sum(col("SALES_COST")), 2).as("total_cost_week"), // A5 ≡ A4, kept
+      round(sum(col("OUT_OF_STOCK_FLG")) / 7, 2).as("out_of_stock_count"),
+      count(when(col("OUT_OF_STOCK_FLG") === 1, lit(1))).as("oos_cnt_m"),
+      count(when(col("INVENTORY_ON_HAND_QTY") < col("SALES_QTY"), lit(1))).as("f_cnt"),
+      count(lit(1)).as("n_cnt"),
+      sum(col("SALES_QTY")).as("qty_sum"),
+      sum(col("INVENTORY_ON_HAND_QTY")).as("onhand_sum"))
 
-    // W1/W2 (:71-82) — one shared window, fully tie-broken.
+    // W1/W2 (:71-82) — one shared window, fully tie-broken; both
+    // end-of-week snapshot columns come out of the same pass (the
+    // reference runs two identical windows and joins them back).
     val wWk = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("CAL_DT").desc, col("INVENTORY_CAL_DT").desc)
-    val ranked = merged.withColumn("row_num", row_number().over(wWk))
+    val snap = merged.withColumn("row_num", row_number().over(wWk))
       .where(col("row_num") === 1)
-    val stockLevel = ranked.select(col("YR_WK_NUM"), col("STORE_KEY"), col("PROD_KEY"),
-      col("INVENTORY_ON_HAND_QTY").as("INVENTORY_ON_HAND_QTY_END_WK"))
-    val stockOrder = ranked.select(col("YR_WK_NUM"), col("STORE_KEY"), col("PROD_KEY"),
-      col("INVENTORY_ON_ORDER_QTY").as("INVENTORY_ON_ORDER_QTY_END_WK"))
-
-    // A5 duplicate cost agg (:87-89)
-    val sumCost = merged.groupBy(keys.map(col): _*)
-      .agg(round(sum(col("SALES_COST")), 2).as("total_cost_week"))
-
-    // A6 — sum of the 0/1 flag over the FANNED-OUT relation / 7 (:93-96)
-    val outOfStock = merged.groupBy(keys.map(col): _*)
-      .agg(round(sum(col("OUT_OF_STOCK_FLG")) / 7, 2).as("out_of_stock_count"))
-
-    // Row-level low-stock flags (:100-101)
-    val lowStock = merged.withColumn("low_stock_flg",
-        when(col("INVENTORY_ON_HAND_QTY") < col("SALES_QTY"), lit(1)).otherwise(lit(0)))
-      .select(col("YR_WK_NUM"), col("STORE_KEY"), col("PROD_KEY"), col("low_stock_flg"))
-
-    // subquery m (:109-112; the dead W3 window at :109-110 is dropped —
-    // it added a column no downstream ever read)
-    val m = merged.filter(col("OUT_OF_STOCK_FLG") === 1)
-      .groupBy(keys.map(col): _*)
-      .agg(count(col("OUT_OF_STOCK_FLG")).as("oos_cnt_m"))
+      .select(col("YR_WK_NUM"), col("STORE_KEY"), col("PROD_KEY"),
+        col("INVENTORY_ON_HAND_QTY").as("INVENTORY_ON_HAND_QTY_END_WK"),
+        col("INVENTORY_ON_ORDER_QTY").as("INVENTORY_ON_ORDER_QTY_END_WK"))
 
     // subquery t2 (:117) — week-less on purpose: counts ALL rows of the
     // pair across all weeks, exactly as the reference does.
-    val t2 = lowStock.groupBy(col("STORE_KEY"), col("PROD_KEY"))
-      .agg(count(col("low_stock_flg")).as("low_stock_count"))
-
-    // A9 (:121-126)
-    val impact = m.join(t2, Seq("STORE_KEY", "PROD_KEY"))
-      .select(col("YR_WK_NUM"), col("STORE_KEY"), col("PROD_KEY"),
-        (col("oos_cnt_m") + col("low_stock_count")).as("total_low_stock_impact"))
-
-    // A10 (:132-136) — merged ⋈ row-level lowStock re-fans out (n×n per
-    // grain group); kept faithfully.
-    val potential = merged.join(lowStock, keys, "inner")
-      .filter(col("low_stock_flg") === 1)
-      .groupBy(keys.map(col): _*)
-      .agg(round(sum(col("SALES_QTY")) - sum(col("INVENTORY_ON_HAND_QTY")), 2)
-        .as("potential_low_stock_impact"))
-
-    // A11 (:141-145)
-    val noStock = merged.join(lowStock, keys, "inner")
-      .filter(col("OUT_OF_STOCK_FLG") === 1)
-      .groupBy(keys.map(col): _*)
-      .agg(count(col("OUT_OF_STOCK_FLG")).as("no_stock_instances"))
+    val t2 = merged.groupBy(col("STORE_KEY"), col("PROD_KEY"))
+      .agg(count(lit(1)).as("low_stock_count"))
 
     // A12 (:150-152) — grouping key includes the measure itself.
     val weeksSupply = merged
@@ -188,11 +181,16 @@ object RetailPipeline {
         .as("weeks_supply"))
       .select(col("YR_WK_NUM"), col("STORE_KEY"), col("PROD_KEY"), col("weeks_supply"))
 
-    // J7 8-way inner assembly (:156-175)
-    dfSum
-      .join(stockLevel, keys).join(stockOrder, keys).join(sumCost, keys)
-      .join(outOfStock, keys).join(impact, keys).join(potential, keys)
-      .join(noStock, keys).join(weeksSupply, keys)
+    // Assembly (reference J7, :156-175) — 3 joins instead of 8.
+    big
+      .join(snap, keys)
+      .join(t2, Seq("STORE_KEY", "PROD_KEY"))
+      .join(weeksSupply, keys)
+      .filter(col("oos_cnt_m") > 0 && col("f_cnt") > 0)
+      .withColumn("total_low_stock_impact", col("oos_cnt_m") + col("low_stock_count"))
+      .withColumn("potential_low_stock_impact",
+        round(col("f_cnt") * col("qty_sum") - col("f_cnt") * col("onhand_sum"), 2))
+      .withColumn("no_stock_instances", col("oos_cnt_m") * col("n_cnt"))
       .select(
         col("YR_WK_NUM").as("yr_wk_num"),
         col("STORE_KEY").as("store_key"),
@@ -312,7 +310,16 @@ object RetailPipeline {
   // ---------------------------------------------------------------------
   def corrected(spark: SparkSession, dir: String): DataFrame = {
     val (sales, inventory, _, _, _) = retailTables(spark, dir)
+    buildCorrected(sales, inventory)
+  }
 
+  /** Core corrected-mode builder (see [[buildFaithful]] for why it is
+    * factored out). Dims contribute no metric columns; the week comes
+    * from the calendar dim when one is supplied (the reference's week
+    * is data-driven — Data Ingestion.sql:74, SURVEY §7.4), else from
+    * days-since-epoch arithmetic (the test-data convention). */
+  def buildCorrected(sales: DataFrame, inventory: DataFrame,
+      calendarOpt: Option[DataFrame] = None): DataFrame = {
     // Date-matched join (fixes the J1 landmine), then collapse to daily
     // grain FIRST — at 100 TB this is the shuffle-size lever: the weekly
     // aggregate runs over (days × store × product), not raw transactions.
@@ -331,8 +338,21 @@ object RetailPipeline {
         max(col("INVENTORY_ON_ORDER_QTY")).as("on_order"),
         max(col("OUT_OF_STOCK_FLG")).as("oos_flg"))
 
-    daily
-      .groupBy(Relational.wk(col("cal_dt")).as("yr_wk_num"),
+    // Week assignment: broadcast-join the (tiny) calendar dim if given,
+    // else pure arithmetic — either way no extra shuffle before the
+    // weekly aggregate.
+    val weekly = calendarOpt match {
+      case Some(cal) =>
+        daily.join(
+          broadcast(cal.select(col("CAL_DT").as("cal_dt"),
+            col("YR_WK_NUM").as("wk_of_day"))),
+          Seq("cal_dt"))
+      case None =>
+        daily.withColumn("wk_of_day", Relational.wk(col("cal_dt")))
+    }
+
+    weekly
+      .groupBy(col("wk_of_day").as("yr_wk_num"),
         col("store_key"), col("prod_key"))
       .agg(
         sum(col("day_amt")).cast("double").as("total_sales_amt"),

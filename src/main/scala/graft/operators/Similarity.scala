@@ -18,9 +18,10 @@ import graft.Tables
   * the corpus is bucketed once (could be written bucketed/partitioned
   * by `bucket`), and each query touches ~9/256 of it.
   *
-  * Vector math is double-cast, sequential-fold built-ins (zip_with +
-  * aggregate), so the DuckDB oracle (list_reduce — also a sequential
-  * left fold) reproduces the exact IEEE result bit-for-bit; scores are
+  * Vector math runs in native codegen'd expressions (vec_dot/vec_norm,
+  * graft.functions.DotProductFloat) that fold ascending-index in
+  * double, so the DuckDB oracle (list_reduce — also a sequential left
+  * fold) reproduces the exact IEEE result bit-for-bit; scores are
   * rounded to 6dp before ranking with a full tie-break so top-k is
   * deterministic in both engines.
   */
@@ -40,13 +41,13 @@ object Similarity {
   // (vec_id % 50 == 0) against the full corpus.
   // ---------------------------------------------------------------------
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val e = Tables.load(spark, dir, "embeddings")
-      .withColumn("norm", expr(Dedup.normSpark))
+      .withColumn("norm", expr("vec_norm(embedding)"))
     val q = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
     val scored = e.join(broadcast(q), col("query_id") =!= col("vec_id"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(q_emb, embedding, (x, y) -> cast(x AS double) * cast(y AS double)), 0D, (acc, v) -> acc + v)"))
+      .withColumn("dot", expr("vec_dot(q_emb, embedding)"))
       .withColumn("score", round(col("dot") / (col("q_norm") * col("norm")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))
@@ -86,8 +87,9 @@ object Similarity {
       |     shiftleft(1, p), 0))""".stripMargin
 
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val e = Tables.load(spark, dir, "embeddings")
-      .withColumn("norm", expr(Dedup.normSpark))
+      .withColumn("norm", expr("vec_norm(embedding)"))
       .withColumn("bucket", expr(bucketSpark))
     val corpus = e.select(col("vec_id"), col("embedding"), col("norm"), col("bucket"))
     val probes = e.filter(col("vec_id") % 50 === 0)
@@ -101,8 +103,7 @@ object Similarity {
       .select("query_id", "q_emb", "q_norm", "vec_id", "embedding", "norm")
       .distinct()
     val scored = candidates
-      .withColumn("dot", expr(
-        "aggregate(zip_with(q_emb, embedding, (x, y) -> cast(x AS double) * cast(y AS double)), 0D, (acc, v) -> acc + v)"))
+      .withColumn("dot", expr("vec_dot(q_emb, embedding)"))
       .withColumn("score", round(col("dot") / (col("q_norm") * col("norm")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))

@@ -1,0 +1,122 @@
+package graft.pipeline
+
+import java.time.LocalDate
+import java.time.format.DateTimeFormatter
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Input-readiness gate + run config (reference operators C2-C4, C7,
+  * SURVEY §2.9).
+  *
+  * The reference runs this as a Lambda: list the S3 bucket, check the
+  * five expected `{table}_YYYYMMDD.csv` names are present, then either
+  * POST a `{table -> url}` conf to Airflow or send an SES alert
+  * (reference: Lambda Function.py:10-47, AWS SES.py:31-51). Here the
+  * same gate is a pure function over a listed name set, with the
+  * filesystem walk done through the Hadoop `FileSystem` API — so the
+  * identical code paths work on file://, hdfs:// and s3a:// URIs.
+  */
+object Readiness {
+
+  val tables: Set[String] = Set("calendar", "inventory", "product", "sales", "store")
+  private val ymd = DateTimeFormatter.ofPattern("yyyyMMdd")
+
+  /** Expected file names for a run date — Lambda Function.py:17. */
+  def requiredFiles(date: LocalDate): Set[String] =
+    tables.map(t => s"${t}_${date.format(ymd)}.csv")
+
+  /** Table-name derivation: strip the 13-char `_YYYYMMDD.csv` suffix
+    * (reference C3 — Lambda Function.py:23 does `a[:-13]`). Returns
+    * None instead of mangling names that don't match the contract. */
+  def tableNameOf(fileName: String): Option[String] = {
+    val re = "([a-z]+)_(\\d{8})\\.csv".r
+    fileName match {
+      case re(table, _) if tables(table) => Some(table)
+      case _ => None
+    }
+  }
+
+  /** Pure gate: given the listed names, either the missing set or the
+    * resolved `table -> fileName` inputs. */
+  def check(listed: Set[String], date: LocalDate): Either[Set[String], Map[String, String]] = {
+    val required = requiredFiles(date)
+    val missing = required.diff(listed)
+    if (missing.nonEmpty) Left(missing)
+    else Right(required.flatMap(f => tableNameOf(f).map(_ -> f)).toMap)
+  }
+
+  /** Filesystem-backed gate: list `dir` (non-recursive, like the
+    * Lambda's flat-bucket scan) and run [[check]]; resolved values
+    * become fully-qualified paths. */
+  def checkFs(dir: String, date: LocalDate, conf: Configuration = new Configuration())
+      : Either[Set[String], Map[String, String]] = {
+    val p = new Path(dir)
+    val fs = FileSystem.get(p.toUri, conf)
+    val listed =
+      if (!fs.exists(p)) Set.empty[String]
+      else fs.listStatus(p).map(_.getPath.getName).toSet
+    check(listed, date).map(_.map { case (t, f) => t -> new Path(p, f).toString })
+  }
+}
+
+/** Failure alerting seam (reference C7 — the SES email at AWS
+  * SES.py:31-51, triggered from Lambda Function.py:46-47). The engine
+  * ships the logging impl; transports like SES stay out of scope. */
+trait Notifier {
+  def notifyMissing(date: LocalDate, missing: Set[String]): Unit
+}
+
+object LogNotifier extends Notifier {
+  def notifyMissing(date: LocalDate, missing: Set[String]): Unit =
+    System.err.println(
+      s"[readiness] input files missing for $date: ${missing.toSeq.sorted.mkString(", ")}")
+}
+
+/** One coherent run contract (reference C4). The reference's Lambda →
+  * Airflow → spark-submit chain disagrees with itself about argument
+  * shape (flag args built at Airflow Dag.py:22-26 vs positional
+  * sys.argv parsing at Data Transformation.py:10-11, with the calendar
+  * value passed under a '--sales' flag); this case class replaces all
+  * of it. */
+final case class RunConfig(
+    date: LocalDate,
+    inputs: Map[String, String],
+    out: String,
+    mode: String = "faithful",
+    singleFile: Boolean = false)
+
+object RunConfig {
+
+  /** Parse `--date YYYY-MM-DD --calendar P --inventory P --product P
+    * --sales P --store P --out P [--mode faithful|corrected]
+    * [--single-file]`. Either a config or an error message. */
+  def parse(args: Seq[String]): Either[String, RunConfig] = {
+    val flags = Readiness.tables.map("--" + _) ++ Set("--date", "--out", "--mode")
+    def loop(rest: List[String], acc: Map[String, String], single: Boolean)
+        : Either[String, (Map[String, String], Boolean)] = rest match {
+      case Nil => Right((acc, single))
+      case "--single-file" :: tl => loop(tl, acc, single = true)
+      case f :: v :: tl if flags(f) && !v.startsWith("--") =>
+        loop(tl, acc + (f.drop(2) -> v), single)
+      case f :: _ => Left(s"unrecognized or valueless argument: $f")
+    }
+    loop(args.toList, Map.empty, single = false).flatMap { case (kv, single) =>
+      for {
+        date <- kv.get("date").toRight("missing --date")
+          .flatMap(d => scala.util.Try(LocalDate.parse(d)).toEither
+            .left.map(_ => s"bad --date '$d' (want YYYY-MM-DD)"))
+        out <- kv.get("out").toRight("missing --out")
+        mode = kv.getOrElse("mode", "faithful")
+        _ <- if (Set("faithful", "corrected")(mode)) Right(())
+             else Left(s"bad --mode '$mode' (want faithful|corrected)")
+        inputs = kv.view.filterKeys(Readiness.tables).toMap
+        _ <- {
+          val missing = Readiness.tables.diff(inputs.keySet)
+          if (missing.isEmpty) Right(())
+          else Left(s"missing input flags: ${missing.toSeq.sorted.map("--" + _).mkString(" ")}")
+        }
+      } yield RunConfig(date, inputs, out, mode, single)
+    }
+  }
+}

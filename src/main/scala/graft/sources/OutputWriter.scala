@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions.{col, current_date, lit}
+
+/** Sinks (reference operators S3 + S7, SURVEY §2.1).
+  *
+  * The reference writes its weekly fact with
+  * `repartition(1).write.mode("overwrite").option("csv").parquet(
+  * "s3://…/date={date_str}")` (reference: Data Transformation.py:181):
+  * one task funnels the whole output, the date lives in the path
+  * string instead of a partition column, and `.option("csv")` is a
+  * malformed no-op. This writer fixes all three.
+  *
+  * Scale notes: `partitionBy("date")` gives Hive-layout output that
+  * downstream SQL prunes statically and dynamically; keeping the
+  * write parallel means N shuffle partitions → N files per date
+  * (bounded by AQE coalescing). `singleFile=true` reproduces the
+  * reference's one-file contract when a consumer genuinely needs it —
+  * via `coalesce(1)`, which only narrows the LAST stage instead of
+  * inserting the extra exchange `repartition(1)` would.
+  */
+object OutputWriter {
+
+  /** Parquet fact sink, date-partitioned. `date` is added as a real
+    * partition column (yyyy-MM-dd run date). */
+  def writeFact(df: DataFrame, outPath: String, date: String,
+      singleFile: Boolean = false): Unit = {
+    val dated = df.withColumn("date", lit(date))
+    val shaped = if (singleFile) dated.coalesce(1) else dated
+    shaped.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy("date")
+      .parquet(outPath)
+  }
+
+  /** CSV unload (reference S7 — Data Load.sql:4-41 unloads each table
+    * as one headered CSV filtered to `dt <= current_date()`). */
+  def csvUnload(df: DataFrame, dateCol: String, outPath: String): Unit =
+    df.filter(col(dateCol) <= current_date())
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite)
+      .option("header", "true")
+      .csv(outPath)
+}

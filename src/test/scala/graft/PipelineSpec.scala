@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.time.LocalDate
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.app.RetailEtlApp
+import graft.pipeline.{Notifier, Readiness, RunConfig}
+
+/** Pipeline surface: readiness gate, run-config contract, CSV-in →
+  * parquet-out end to end on hand-built fixture files (FIXTURES.md §A
+  * scenarios; expectations computed by hand, independent of the
+  * DuckDB oracle). */
+class PipelineSpec extends AnyFunSuite with SparkSuite {
+
+  private val d = LocalDate.parse("2024-01-08")
+
+  // -- readiness (C2/C3) --------------------------------------------------
+
+  test("readiness passes iff all five dated files are present") {
+    val all = Set("calendar_20240108.csv", "inventory_20240108.csv",
+      "product_20240108.csv", "sales_20240108.csv", "store_20240108.csv")
+    assert(Readiness.check(all + "junk.txt", d).isRight)
+    val r = Readiness.check(all - "sales_20240108.csv", d)
+    assert(r === Left(Set("sales_20240108.csv")))
+  }
+
+  test("table-name derivation accepts only the contract shape") {
+    assert(Readiness.tableNameOf("sales_20240108.csv") === Some("sales"))
+    assert(Readiness.tableNameOf("sales_2024.csv") === None)
+    assert(Readiness.tableNameOf("unknown_20240108.csv") === None)
+  }
+
+  test("run-config parse: full flags, defaults, and error paths") {
+    val ok = RunConfig.parse(Seq("--date", "2024-01-08", "--out", "/tmp/o",
+      "--calendar", "c", "--inventory", "i", "--product", "p",
+      "--sales", "s", "--store", "st", "--mode", "corrected", "--single-file"))
+    assert(ok.exists(c => c.mode == "corrected" && c.singleFile && c.inputs.size == 5))
+    assert(RunConfig.parse(Seq("--date", "nope", "--out", "/tmp/o")).isLeft)
+    assert(RunConfig.parse(Seq("--date", "2024-01-08")).swap
+      .exists(_.contains("--out")))
+    assert(RunConfig.parse(Seq("--date", "2024-01-08", "--out", "o")).swap
+      .exists(_.contains("--calendar")))
+  }
+
+  // -- CSV fixtures (one week, one store/product) --------------------------
+
+  private def write(dir: Path, name: String, lines: String*): Unit =
+    Files.write(dir.resolve(name), String.join("\n", lines: _*).getBytes)
+
+  /** sales 2 days (qty 5 then 10), inventory 2 days (on-hand 8 then 4,
+    * day-2 out-of-stock) — exercises the date-less J1 fanout, both
+    * snapshot windows, the low-stock flag, and the weeks_supply
+    * group-by-measure landmine. */
+  private lazy val fixtureDir: Path = {
+    val dir = Files.createTempDirectory("graft_fixture")
+    write(dir, "calendar_20240108.csv",
+      "cal_dt,cal_type_desc,day_of_wk_num,day_of_wk_desc,yr_num,wk_num,yr_wk_num,mnth_num,yr_mnth_num,qtr_num,yr_qtr_num",
+      "2024-01-01,day,1,Mon,2024,1,202401,1,202401,1,20241",
+      "2024-01-02,day,2,Tue,2024,1,202401,1,202401,1,20241")
+    write(dir, "sales_20240108.csv",
+      "trans_id,prod_key,store_key,trans_dt,trans_time,sales_qty,sales_price,sales_amt,discount,sales_cost,sales_mgrn,ship_cost",
+      "1,1,1,2024-01-01,900,5,10,50,0,25,25,0",
+      "2,1,1,2024-01-02,900,10,10,100,0,50,50,0")
+    write(dir, "inventory_20240108.csv",
+      "cal_dt,store_key,prod_key,inventory_on_hand_qty,inventory_on_order_qty,out_of_stock_flg,waste_qty,promotion_flg,next_delivery_dt",
+      "2024-01-01,1,1,8,3,0,0,false,2024-01-09",
+      "2024-01-02,1,1,4,2,1,0,false,2024-01-09")
+    write(dir, "store_20240108.csv",
+      "store_key,store_num,store_desc,addr,city,region,cntry_cd,cntry_nm,postal_zip_cd,prov_state_desc,prov_state_cd,store_type_cd,store_type_desc,frnchs_flg,store_size,market_key,market_name,submarket_key,submarket_name,latitude,longitude",
+      "1,S1,Store One,1 Main,Town,R1,CA,Canada,A1A,Ontario,ON,T,Type,false,100.0,1,M1,1,SM1,43.0,-79.0")
+    write(dir, "product_20240108.csv",
+      "prod_key,prod_name,vol,wgt,brand_name,status_code,status_code_name,category_key,category_name,subcategory_key,subcategory_name",
+      "1,Widget,1,1,Brand,1,Active,1,Cat,1,SubCat")
+    dir
+  }
+
+  test("faithful mode over CSV fixtures matches hand-computed metrics") {
+    val conf = RunConfig(d, Map(
+      "calendar" -> s"$fixtureDir/calendar_20240108.csv",
+      "inventory" -> s"$fixtureDir/inventory_20240108.csv",
+      "product" -> s"$fixtureDir/product_20240108.csv",
+      "sales" -> s"$fixtureDir/sales_20240108.csv",
+      "store" -> s"$fixtureDir/store_20240108.csv"), out = "/unused")
+    val rows = RetailEtlApp.build(spark, conf)
+      .orderBy("weeks_supply").collect()
+
+    // J1 fanout: 2 sales × 2 inventory days = 4 merged rows; J7 ×
+    // weeks_supply (2 distinct on-hand values) → 2 output rows that
+    // differ ONLY in weeks_supply (8/15 and 4/15, rounded).
+    assert(rows.length === 2)
+    assert(rows.map(_.getAs[Double]("weeks_supply")).toSeq === Seq(0.27, 0.53))
+    val r = rows.head
+    assert(r.getAs[Int]("yr_wk_num") === 202401) // week from calendar dim
+    assert(r.getAs[Double]("total_sales_amt") === 300.0)  // (50+100) ×2 fanout
+    assert(r.getAs[Double]("total_sales_qty") === 30.0)   // (5+10) ×2
+    assert(r.getAs[Double]("avg_sales_amt") === 10.0)     // 300/30
+    assert(r.getAs[Double]("total_cost_week") === 150.0)  // (25+50) ×2
+    assert(r.getAs[Double]("inventory_on_hand_qty_end_wk") === 4.0) // latest day
+    assert(r.getAs[Double]("inventory_on_order_qty_end_wk") === 2.0)
+    assert(r.getAs[Double]("out_of_stock_count") === 0.29) // 2 flagged rows / 7
+    // m=2 oos rows, t2=4 pair rows → impact 6
+    assert(r.getAs[Long]("total_low_stock_impact") === 6L)
+    // 3-of-4 rows low-stock; re-fanout ×3: 3×(5+5+10+10) − 3×(8+4+8+4) = 90−72
+    assert(r.getAs[Double]("potential_low_stock_impact") === 18.0)
+    assert(r.getAs[Long]("no_stock_instances") === 8L) // 2 oos rows ×4 re-fanout
+  }
+
+  test("corrected mode over CSV fixtures: date-matched join, unique grain") {
+    val conf = RunConfig(d, Map(
+      "calendar" -> s"$fixtureDir/calendar_20240108.csv",
+      "inventory" -> s"$fixtureDir/inventory_20240108.csv",
+      "product" -> s"$fixtureDir/product_20240108.csv",
+      "sales" -> s"$fixtureDir/sales_20240108.csv",
+      "store" -> s"$fixtureDir/store_20240108.csv"), out = "/unused",
+      mode = "corrected")
+    val rows = RetailEtlApp.build(spark, conf).collect()
+    assert(rows.length === 1) // no fanout, one grain row
+    val r = rows.head
+    assert(r.getAs[Number]("yr_wk_num").longValue === 202401L) // calendar-driven week
+    assert(r.getAs[Double]("total_sales_amt") === 150.0) // un-inflated
+    assert(r.getAs[Double]("total_sales_qty") === 15.0)
+    assert(r.getAs[Double]("inventory_on_hand_qty_end_wk") === 4.0)
+    assert(r.getAs[Long]("out_of_stock_days") === 1L)
+    assert(r.getAs[Long]("low_stock_days") === 1L) // only day 2 (4 < 10)
+  }
+
+  test("end-to-end run: readiness gate + partitioned parquet output") {
+    val out = Files.createTempDirectory("graft_out").toString
+    val silent = new Notifier {
+      var last: Set[String] = Set.empty
+      def notifyMissing(date: LocalDate, missing: Set[String]): Unit = last = missing
+    }
+    // not-ready date → exit 2, no output
+    assert(RetailEtlApp.run(Seq("--date", "2024-01-09", "--in-dir",
+      fixtureDir.toString, "--out", out), silent) === 2)
+    // ready date → exit 0, hive-partitioned parquet
+    assert(RetailEtlApp.run(Seq("--date", "2024-01-08", "--in-dir",
+      fixtureDir.toString, "--out", out, "--single-file"), silent) === 0)
+    assert(Files.exists(Paths.get(out, "date=2024-01-08")))
+    val back = spark.read.parquet(out)
+    assert(back.count() === 2)
+    assert(back.columns.contains("date")) // real partition column
+  }
+}
