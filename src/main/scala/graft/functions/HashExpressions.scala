@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** JIT-friendly kernels for the sketching hot paths. Top-level object →
   * Scala emits static forwarders, so generated code can call
@@ -34,6 +35,30 @@ object VecKernels {
       k += 1
     }
     sig
+  }
+
+  /** Distinct word 3-gram shingles (first-occurrence order). Exists as
+    * a kernel because the declarative form — `transform(sequence(...),
+    * i -> concat(element_at(toks, i), ...))` — is a Catalyst landmine:
+    * when a filter like `size(shingles) > 0` is pushed below the
+    * projection, PushDownPredicates INLINES the whole expression, and
+    * the interpreted lambda then re-derives `toks` (a full tokenize of
+    * the document) for every element_at call — O(|shingles|) extra
+    * tokenizations per document per occurrence. One opaque call has
+    * nothing to inline per element. */
+  def shingles3(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    if (n < 3) return new GenericArrayData(new Array[Any](0))
+    val space = UTF8String.fromString(" ")
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i + 2 < n) {
+      seen.add(UTF8String.concat(
+        toks.getUTF8String(i), space, toks.getUTF8String(i + 1), space,
+        toks.getUTF8String(i + 2)))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray[AnyRef](new Array[AnyRef](0)))
   }
 
   /** 64 minhash values over precomputed shingle hashes; permutation s
@@ -76,6 +101,23 @@ case class SimHash60(child: Expression)
     copy(child = newChild)
 }
 
+/** `shingles3(array<string>) -> array<string>` — distinct word 3-grams. */
+case class Shingles3(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles3"
+
+  override protected def nullSafeEval(a: Any): Any =
+    VecKernels.shingles3(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecKernels.shingles3($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Shingles3 =
+    copy(child = newChild)
+}
+
 /** `minhash_sig64(array<long>) -> array<long>` (64 permutations). */
 case class MinHashSig64(child: Expression)
     extends UnaryExpression {
@@ -104,6 +146,8 @@ object GraftFunctions {
       (c: Seq[Expression]) => NormFloat(c.head), "scala_udf")
     registry.createOrReplaceTempFunction("simhash60",
       (c: Seq[Expression]) => SimHash60(c.head), "scala_udf")
+    registry.createOrReplaceTempFunction("shingles3",
+      (c: Seq[Expression]) => Shingles3(c.head), "scala_udf")
     registry.createOrReplaceTempFunction("minhash_sig64",
       (c: Seq[Expression]) => MinHashSig64(c.head), "scala_udf")
   }

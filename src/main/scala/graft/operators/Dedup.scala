@@ -43,11 +43,17 @@ object Dedup {
     """list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
       |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))""".stripMargin
 
-  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+  /** Shingling runs in the codegen'd kernel (graft.functions.Shingles3;
+    * same distinct-3-gram output as [[shinglesSpark]]): the declarative
+    * form gets its tokenization inlined per element when Catalyst
+    * pushes `size(sh) > 0` below the projection — see the kernel's
+    * scaladoc for the full autopsy. */
+  private def docShingles(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables.load(spark, dir, "documents")
-      .withColumn("toks", expr(toksSpark))
-      .withColumn("sh", expr(shinglesSpark))
+      .withColumn("sh", expr(s"shingles3($toksSpark)"))
       .select("doc_id", "sh")
+  }
 
   private val docShinglesSqlCte =
     s"""toks_t AS (SELECT doc_id, $toksSql AS toks FROM documents),
@@ -90,8 +96,13 @@ object Dedup {
   // dedup_ngram_jaccard — inverted-index exact jaccard at 0.8.
   // ---------------------------------------------------------------------
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // Inverted index carries an 8-byte shingle hash, not the ~30-byte
+    // string: the self-join shuffles a fraction of the bytes. (64-bit
+    // collisions across distinct shingles are ~|S|²/2⁶⁵ — immaterial —
+    // and the exact-string DuckDB oracle would catch one.)
     val sh = docShingles(spark, dir)
       .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("s"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
