@@ -16,6 +16,9 @@ object Bench {
       // Catalyst prune the expensive expressions right out of the plan.
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+      // release per-query persist()s (e.g. the faithful pipeline's
+      // merged frame) so queries don't fight earlier queries' cache
+      spark.catalog.clearCache()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+
+/** Property tests: every native kernel expression must be value-equal
+  * to the declarative built-in composition it replaced (that is the
+  * whole contract that lets the DuckDB oracles stay unchanged). */
+class FunctionsSpec extends AnyFunSuite with SparkSuite {
+
+  GraftFunctions.register(spark)
+
+  /** Deterministic property driver (scalatestplus isn't resolvable
+    * offline): N samples of `gen` from fixed seeds. */
+  private def forAllSeeded[A](gen: Gen[A], n: Int)(check: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      check(gen.pureApply(Gen.Parameters.default, Seed(0xC0FFEE + i)))
+    }
+
+  private val textGen: Gen[String] = for {
+    n <- Gen.choose(0, 40)
+    words <- Gen.listOfN(n, Gen.oneOf(
+      "the", "spark", "table", "row", "scan", "join", "12", "x9", "Data,",
+      "query!", "стол", "vec", "a", "", "  ", "GROUP"))
+  } yield words.mkString(" ")
+
+  private val vecGen: Gen[Seq[Float]] = for {
+    n <- Gen.choose(0, 96)
+    xs <- Gen.listOfN(n, Gen.chooseNum(-2.0f, 2.0f))
+  } yield xs
+
+  test("vec_dot / vec_norm equal the zip_with + aggregate composition") {
+    forAllSeeded(Gen.zip(vecGen, vecGen), 30) { case (a: Seq[Float], b: Seq[Float]) =>
+      val n = math.min(a.length, b.length)
+      val (aa, bb) = (a.take(n), b.take(n))
+      val schema = StructType(Seq(
+        StructField("a", ArrayType(FloatType)), StructField("b", ArrayType(FloatType))))
+      val df = spark.createDataFrame(
+        java.util.List.of(Row(aa, bb)), schema)
+      val r = df.select(
+        expr("vec_dot(a, b)").as("kd"),
+        expr("aggregate(zip_with(a, b, (x, y) -> cast(x AS double) * cast(y AS double)), 0D, (acc, v) -> acc + v)").as("dd"),
+        expr("vec_norm(a)").as("kn"),
+        expr("sqrt(aggregate(a, 0D, (acc, x) -> acc + cast(x AS double) * cast(x AS double)))").as("dn"))
+        .head()
+      assert(java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) === 0)
+      assert(java.lang.Double.compare(r.getDouble(2), r.getDouble(3)) === 0)
+    }
+  }
+
+  test("shingles3 equals the declarative distinct-3-gram transform") {
+    forAllSeeded(textGen, 40) { text: String =>
+      val df = spark.createDataFrame(
+        java.util.List.of(Row(text)),
+        StructType(Seq(StructField("text", StringType))))
+        .withColumn("toks", expr(operators.Dedup.toksSpark))
+      val r = df.select(
+        expr("shingles3(toks)").as("k"),
+        expr("""CASE WHEN size(toks) >= 3 THEN
+            array_distinct(transform(sequence(1, size(toks) - 2),
+              i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))
+          ELSE slice(toks, 1, 0) END""").as("d"))
+        .head()
+      assert(r.getSeq[String](0) === r.getSeq[String](1))
+    }
+  }
+
+  test("simhash60 equals the per-bit majority-vote rule") {
+    val hashGen = Gen.listOf(Gen.choose(0L, (1L << 60) - 1))
+    forAllSeeded(hashGen, 40) { hs: List[Long] =>
+      val expected = {
+        var sig = 0L
+        for (k <- 0 until 60) {
+          val vote = hs.map(h => if (((h >>> k) & 1L) == 1L) 1 else -1).sum
+          if (vote > 0) sig |= (1L << k)
+        }
+        sig
+      }
+      val df = spark.createDataFrame(
+        java.util.List.of(Row(hs)),
+        StructType(Seq(StructField("hs", ArrayType(LongType)))))
+      assert(df.select(expr("simhash60(hs)")).head().getLong(0) === expected)
+    }
+  }
+
+  test("minhash_sig64: 64 mins, monotone under union, permutation-invariant") {
+    val hashGen = Gen.nonEmptyListOf(Gen.choose(Long.MinValue, Long.MaxValue))
+    forAllSeeded(hashGen, 30) { hs: List[Long] =>
+      val schema = StructType(Seq(StructField("hs", ArrayType(LongType))))
+      def sig(xs: Seq[Long]): Seq[Long] =
+        spark.createDataFrame(java.util.List.of(Row(xs)), schema)
+          .select(expr("minhash_sig64(hs)")).head().getSeq[Long](0)
+      val s = sig(hs)
+      assert(s.length === 64)
+      assert(sig(scala.util.Random.shuffle(hs)) === s) // set semantics
+      val superset = sig(hs ++ hs.map(h => h ^ 0x9e3779b97f4a7c15L))
+      assert(superset.zip(s).forall { case (sup, base) => sup <= base }) // min over more
+    }
+  }
+}
