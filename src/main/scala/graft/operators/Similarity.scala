@@ -113,9 +113,91 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  // ---------------------------------------------------------------------
+  // sim_ann_ivf — inverted-file ANN: a 16-centroid coarse quantizer
+  // (deterministic seeds + 2 Lloyd iterations, all in DataFrame ops —
+  // no driver-side collect), nprobe=4 probing, exact cosine re-rank.
+  // The 100 TB shape: centroids are a broadcast-sized side table, the
+  // corpus is partitioned by cluster id (bucketed/partitioned at rest
+  // in a real deployment), and each query touches ~nprobe/K of it.
+  // ---------------------------------------------------------------------
+  private val K = 16
+  private val NProbe = 4
+
+  /** Element-wise mean of the member vectors per cluster, computed via
+    * posexplode → (cluster, dim) partial sums → sorted re-assembly. */
+  private def recenter(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(avg(col("v")).as("m"))
+      .groupBy(col("cluster"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cluster"),
+        expr("transform(pm, x -> cast(x.m AS float))").as("centroid"))
+
+  /** Nearest-centroid assignment (broadcast K×dim table, argmax by
+    * dot/|c| — corpus norms cancel within a row). */
+  private def assign(e: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("cluster"))
+    e.join(broadcast(centroids))
+      .withColumn("score",
+        expr("vec_dot(embedding, centroid)") / expr("vec_norm(centroid)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .drop("score", "rk", "centroid")
+  }
+
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.load(spark, dir, "embeddings")
+      .withColumn("norm", expr("vec_norm(embedding)"))
+      .select("vec_id", "embedding", "norm")
+
+    // Deterministic pseudo-random seeds at any corpus size (hash-order
+    // TakeOrdered — no count(), no collect), then 2 Lloyd iterations.
+    var centroids = e
+      .orderBy(pmod(xxhash64(col("vec_id")), lit(1000003)), col("vec_id"))
+      .limit(K)
+      .select(row_number().over(Window.orderBy(col("vec_id"))).as("cluster"),
+        col("embedding").as("centroid"))
+    for (_ <- 1 to 2)
+      centroids = recenter(assign(e, centroids)
+        .select(col("cluster"), col("embedding")))
+
+    val lists = assign(e, centroids) // the inverted file: vec_id → cluster
+
+    // Probe the NProbe nearest centroids per query.
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cscore").desc, col("cluster"))
+    val probes = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+      .join(broadcast(centroids))
+      .withColumn("cscore",
+        expr("vec_dot(q_emb, centroid)") / expr("vec_norm(centroid)"))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= NProbe)
+      .select("query_id", "q_emb", "q_norm", "cluster")
+
+    // Scan only the probed lists; exact re-rank.
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    lists.join(broadcast(probes), Seq("cluster"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("score",
+        round(expr("vec_dot(q_emb, embedding)") / (col("q_norm") * col("norm")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> (cosineTopK _),
-    "sim_ann_lsh"     -> (annLsh _))
+    "sim_ann_lsh"     -> (annLsh _),
+    "sim_ann_ivf"     -> (ivfTopK _))
 
   /** sim_ann_lsh is approximate → no SQL oracle (driver rows-only check);
     * its recall against sim_cosine_topk is covered by SimilaritySpec. */

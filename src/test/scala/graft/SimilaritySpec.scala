@@ -39,4 +39,24 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     // embeddings are near-uniform — real clustered data recalls higher.)
     assert(recall > 0.07, s"recall $recall not better than random scan")
   }
+
+  test("IVF: exact scores, ~nprobe/K of the corpus scanned, beats random") {
+    val exact = Similarity.cosineTopK(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val ivf = Similarity.ivfTopK(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3))
+    ivf.foreach { case (key, score) =>
+      exact.get(key).foreach(es => assert(es === score, s"score mismatch for $key"))
+    }
+    val queries = exact.keys.map(_._1).toSet
+    val hit = queries.toSeq.map { q =>
+      val e = exact.keys.filter(_._1 == q).toSet
+      val a = ivf.map(_._1).filter(_._1 == q).toSet
+      e.count(a.contains).toDouble / e.size
+    }
+    val recall = hit.sum / hit.size
+    // nprobe=4 of K=16 lists ≈ 25% of the corpus; require clearly better
+    // than a random 25% scan even on near-uniform synthetic vectors.
+    assert(recall > 0.35, s"IVF recall $recall not better than random scan")
+  }
 }
