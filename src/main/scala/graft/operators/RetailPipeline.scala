@@ -117,11 +117,13 @@ object RetailPipeline {
     val keys = Seq("YR_WK_NUM", "STORE_KEY", "PROD_KEY")
 
     // J1 (date-less, fans out) + J2 (calendar) + J3/J4 (broadcast dims) —
-    // Data Transformation.py:50-54. Persisted: 9 branches read it
-    // (reference recomputes it per branch; SURVEY §4 flags the cache as
-    // the single biggest win).
+    // Data Transformation.py:50-54. Persisted: three aggregation paths
+    // read it (the reference recomputes its equivalent per branch —
+    // SURVEY §4 flags the cache as the single biggest win; measured 2×
+    // at sf0.1 even after the branch-merging below).
     val merged = sales
-      .join(inventory.withColumnRenamed("CAL_DT", "INVENTORY_CAL_DT"),
+      .join(inventory.withColumnRenamed("CAL_DT", "INVENTORY_CAL_DT")
+        .hint("shuffle_hash"),
         Seq("PROD_KEY", "STORE_KEY"))
       .join(calendar, col("TRANS_DT") === calendar("CAL_DT"))
       .join(broadcast(store), Seq("STORE_KEY"))
@@ -155,18 +157,16 @@ object RetailPipeline {
       count(when(col("INVENTORY_ON_HAND_QTY") < col("SALES_QTY"), lit(1))).as("f_cnt"),
       count(lit(1)).as("n_cnt"),
       sum(col("SALES_QTY")).as("qty_sum"),
-      sum(col("INVENTORY_ON_HAND_QTY")).as("onhand_sum"))
-
-    // W1/W2 (:71-82) — one shared window, fully tie-broken; both
-    // end-of-week snapshot columns come out of the same pass (the
-    // reference runs two identical windows and joins them back).
-    val wWk = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("CAL_DT").desc, col("INVENTORY_CAL_DT").desc)
-    val snap = merged.withColumn("row_num", row_number().over(wWk))
-      .where(col("row_num") === 1)
-      .select(col("YR_WK_NUM"), col("STORE_KEY"), col("PROD_KEY"),
-        col("INVENTORY_ON_HAND_QTY").as("INVENTORY_ON_HAND_QTY_END_WK"),
-        col("INVENTORY_ON_ORDER_QTY").as("INVENTORY_ON_ORDER_QTY_END_WK"))
+      sum(col("INVENTORY_ON_HAND_QTY")).as("onhand_sum"),
+      // W1/W2 (:71-82): the reference runs two identical row_number
+      // windows over merged and joins both back; on tie-free data the
+      // top-1 by (CAL_DT desc, INVENTORY_CAL_DT desc) is exactly
+      // max_by over the same key pair — folded into this aggregate,
+      // saving a full window pass over merged plus a join.
+      max_by(
+        struct(col("INVENTORY_ON_HAND_QTY").as("h"),
+          col("INVENTORY_ON_ORDER_QTY").as("o")),
+        struct(col("CAL_DT"), col("INVENTORY_CAL_DT"))).as("snap"))
 
     // subquery t2 (:117) — week-less on purpose: counts ALL rows of the
     // pair across all weeks, exactly as the reference does.
@@ -181,9 +181,10 @@ object RetailPipeline {
         .as("weeks_supply"))
       .select(col("YR_WK_NUM"), col("STORE_KEY"), col("PROD_KEY"), col("weeks_supply"))
 
-    // Assembly (reference J7, :156-175) — 3 joins instead of 8.
+    // Assembly (reference J7, :156-175) — 2 joins instead of 8.
     big
-      .join(snap, keys)
+      .withColumn("INVENTORY_ON_HAND_QTY_END_WK", col("snap.h"))
+      .withColumn("INVENTORY_ON_ORDER_QTY_END_WK", col("snap.o"))
       .join(t2, Seq("STORE_KEY", "PROD_KEY"))
       .join(weeksSupply, keys)
       .filter(col("oos_cnt_m") > 0 && col("f_cnt") > 0)
@@ -323,8 +324,11 @@ object RetailPipeline {
     // Date-matched join (fixes the J1 landmine), then collapse to daily
     // grain FIRST — at 100 TB this is the shuffle-size lever: the weekly
     // aggregate runs over (days × store × product), not raw transactions.
+    // shuffle_hash: both sides are fact-sized and the join keys match
+    // the following groupBy, so sort-merge's two sorts are pure waste —
+    // hash-join the shuffled partitions instead.
     val daily = sales
-      .join(inventory,
+      .join(inventory.hint("shuffle_hash"),
         sales("PROD_KEY") === inventory("PROD_KEY")
           && sales("STORE_KEY") === inventory("STORE_KEY")
           && sales("TRANS_DT") === inventory("CAL_DT"))
