@@ -85,9 +85,53 @@ object Multimodal {
   def decodeStub(spark: SparkSession, dir: String): DataFrame =
     decode(mediaTable(spark, dir)).toDF().orderBy("doc_id")
 
+  /** A sampled frame reference: which frame of which doc, plus the
+    * (stubbed) frame feature vector derived from it. */
+  case class FrameRef(doc_id: Long, frame_idx: Int, ts_ms: Long, feature: Long)
+
+  /** Frame sampling: up to `maxFrames` evenly-strided frames per video
+    * (images/audio contribute their single frame). A narrow flatMap —
+    * output rows scale with docs × maxFrames, never with payload size,
+    * and no shuffle is introduced. The frame "feature" is the stubbed
+    * decode seam (real deployments put the codec + model call there). */
+  def frameSample(decoded: Dataset[DecodedMedia], maxFrames: Int = 4): Dataset[FrameRef] = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    decoded.flatMap { d =>
+      val take = math.min(maxFrames, d.n_frames)
+      val stride = math.max(1, d.n_frames / math.max(take, 1))
+      (0 until take).map { i =>
+        val idx = i * stride
+        FrameRef(d.doc_id, idx, idx * 40L, // 25fps → 40ms/frame
+          (d.checksum * 31 + idx) % 1000000007L)
+      }
+    }
+  }
+
+  /** Resize planning: clamp each media item into a target box
+    * preserving aspect ratio (integer math only, deterministic — the
+    * actual pixel resample is the same stubbed seam as decode). */
+  def resizePlan(decoded: Dataset[DecodedMedia], maxW: Int = 512, maxH: Int = 512): DataFrame = {
+    val d = decoded.toDF()
+    d.withColumn("scale_num",
+        least(lit(maxW) * col("height"), lit(maxH) * col("width")))
+      .withColumn("scale_den", col("width") * col("height"))
+      .withColumn("out_w",
+        when(col("width") <= maxW && col("height") <= maxH, col("width"))
+          .otherwise(greatest(lit(1), (col("width") * col("scale_num") / col("scale_den")).cast("int"))))
+      .withColumn("out_h",
+        when(col("width") <= maxW && col("height") <= maxH, col("height"))
+          .otherwise(greatest(lit(1), (col("height") * col("scale_num") / col("scale_den")).cast("int"))))
+      .select("doc_id", "media_type", "width", "height", "out_w", "out_h")
+  }
+
+  def frameSampleQuery(spark: SparkSession, dir: String): DataFrame =
+    frameSample(decode(mediaTable(spark, dir))).toDF().orderBy("doc_id", "frame_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_binary_meta" -> (binaryMeta _),
-    "mm_decode_stub" -> (decodeStub _))
+    "mm_binary_meta"  -> (binaryMeta _),
+    "mm_decode_stub"  -> (decodeStub _),
+    "mm_frame_sample" -> (frameSampleQuery _))
 
   val oracles: Map[String, String] = Map(
     "mm_binary_meta" -> binaryMetaSql)

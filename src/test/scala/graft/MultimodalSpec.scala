@@ -25,4 +25,34 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(df.filter("length(digest) <> 64").count() === 0)
     assert(df.count() === Tables.load(spark, SF, "documents").count())
   }
+
+  test("frame sampling: 1..maxFrames strided frames per doc, no shuffle") {
+    val decoded = Multimodal.decode(Multimodal.mediaTable(spark, SF))
+    val frames = Multimodal.frameSample(decoded, maxFrames = 4)
+    val perDoc = frames.groupBy("doc_id").count().collect()
+    assert(perDoc.length === decoded.count())
+    assert(perDoc.forall { r =>
+      val n = r.getLong(1); n >= 1 && n <= 4
+    })
+    val plan = frames.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"frame sampling must not shuffle:\n$plan")
+  }
+
+  test("resize plan clamps into the box preserving aspect ratio") {
+    val decoded = Multimodal.decode(Multimodal.mediaTable(spark, SF))
+    val planned = Multimodal.resizePlan(decoded, maxW = 128, maxH = 96).collect()
+    planned.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (ow, oh) = (r.getAs[Int]("out_w"), r.getAs[Int]("out_h"))
+      assert(ow <= 128 && oh <= 96 && ow >= 1 && oh >= 1)
+      if (w <= 128 && h <= 96) assert(ow === w && oh === h)
+      else {
+        // same integer math as the plan: scale by min(maxW/w, maxH/h)
+        val num = math.min(128L * h, 96L * w)
+        val den = w.toLong * h
+        assert(ow === math.max(1L, w * num / den).toInt)
+        assert(oh === math.max(1L, h * num / den).toInt)
+      }
+    }
+  }
 }

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SkewJoin
+
+/** The salted join must be multiset-identical to the plain join and
+  * must actually spread a hot key across salt partitions. */
+class SkewJoinSpec extends AnyFunSuite with SparkSuite {
+
+  import spark.implicits._
+
+  test("salted join result equals the plain join (skewed fact)") {
+    // one hot supplier (90% of rows) + a tail
+    val left = Tables.load(spark, SF, "lineitem")
+      .select(col("l_suppkey").as("k"), col("l_quantity").as("v"))
+      .withColumn("k", when(col("v") < 45, lit(7L)).otherwise(col("k")))
+    val right = Tables.load(spark, SF, "supplier")
+      .select(col("s_suppkey").as("k"), col("s_name"))
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k", "v", "s_name").count()
+        .as[(Long, Double, String, Long)].collect().toSet
+
+    val plain = canon(left.join(right, Seq("k")))
+    assert(canon(SkewJoin.salted(left, right, Seq("k"), factor = 8)) === plain)
+    assert(canon(SkewJoin.saltedBy(left, right, Seq("k"), 8, col("v"))) === plain)
+  }
+
+  test("hot key rows actually spread over the salt space") {
+    val left = spark.range(10000).select(lit(1L).as("k"), col("id").as("v"))
+    val salted = left.withColumn("salt", pmod(hash(col("v")), lit(8)))
+    val counts = salted.groupBy("salt").count().as[(Int, Long)].collect().toMap
+    assert(counts.size === 8, "all 8 salt values used")
+    assert(counts.values.max < 10000 * 0.25, "no salt bucket dominates")
+  }
+}
