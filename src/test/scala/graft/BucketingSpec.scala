@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Bucketing
+
+/** Bucketed writes must buy exchange-free joins and aggregations on
+  * the bucket key — the once-per-write shuffle trade that matters when
+  * a 100 TB fact is joined far more often than it is rewritten. */
+class BucketingSpec extends AnyFunSuite with SparkSuite {
+
+  test("join of two same-bucketed tables plans without any Exchange") {
+    val li = Tables.load(spark, SF, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val ord = Tables.load(spark, SF, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    // the in-memory catalog forgets tables across JVMs but their
+    // warehouse directories persist — clear both before writing
+    Seq("li_bkt", "ord_bkt").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), t)
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    Bucketing.writeBucketed(li, "li_bkt", buckets = 8, keys = Seq("l_orderkey"))
+    Bucketing.writeBucketed(ord, "ord_bkt", buckets = 8, keys = Seq("l_orderkey"))
+
+    // sf0.001 tables are broadcast-sized, which would sidestep the
+    // bucketed path entirely — force the big-big join shape this
+    // utility exists for
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.coLocatedJoin(spark, "li_bkt", "ord_bkt", Seq("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+
+      // correctness: same result as the plain (shuffling) join
+      val expected = li.join(ord, Seq("l_orderkey")).count()
+      assert(joined.count() === expected)
+
+      // aggregation on the bucket key also skips its exchange
+      val aggPlan = spark.table("li_bkt").groupBy("l_orderkey")
+        .agg(sum("l_quantity")).queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange"), s"bucketed agg must not shuffle:\n$aggPlan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+}

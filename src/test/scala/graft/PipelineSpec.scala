@@ -126,6 +126,16 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(r.getAs[Long]("low_stock_days") === 1L) // only day 2 (4 < 10)
   }
 
+  test("typed Dataset facade: compile-time fields over the same CSVs") {
+    import graft.schema.RetailRows
+    val sales = RetailRows.sales(spark, s"$fixtureDir/sales_20240108.csv")
+    assert(sales.collect().flatMap(_.sales_qty).sum === 15.0)
+    val cal = RetailRows.calendar(spark, s"$fixtureDir/calendar_20240108.csv")
+    assert(cal.collect().flatMap(_.yr_wk_num).distinct.toSeq === Seq(202401))
+    val inv = RetailRows.inventory(spark, s"$fixtureDir/inventory_20240108.csv")
+    assert(inv.filter(_.out_of_stock_flg.contains(1)).count() === 1)
+  }
+
   test("end-to-end run: readiness gate + partitioned parquet output") {
     val out = Files.createTempDirectory("graft_out").toString
     val silent = new Notifier {
