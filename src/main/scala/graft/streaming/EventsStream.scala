@@ -51,4 +51,39 @@ object EventsStream {
   def batchEquivalent(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Events.tumblingAgg(spark, dir)
       .select("bucket_hr", "event_type", "n_events", "sum_value")
+
+  /** Sliding-window (1 h, slide 30 min) streaming aggregation — the
+    * overlapping-window face of
+    * [[graft.operators.Events.slidingAgg]]: each event lands in two
+    * windows; watermark bounds the open-window state. */
+  def slidingAgg(spark: SparkSession, dir: String, queryName: String): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val src = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    src
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_utc", "2 hours")
+      .groupBy(window(col("ts_utc"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Batch twin of [[slidingAgg]] (the epoch-arithmetic batch query in
+    * operators.Events shares its shape). */
+  def slidingBatchEquivalent(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.slidingAgg(spark, dir)
+      .select("win_start", "event_type", "n_events", "sum_value")
 }

@@ -36,4 +36,16 @@ class EventsSpec extends AnyFunSuite with SparkSuite {
       .collect().map(_.toSeq).toSet
     assert(streamed === batch)
   }
+
+  test("structured-streaming sliding agg equals the batch result") {
+    val q = EventsStream.slidingAgg(spark, SF, "stream_sliding_out")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("stream_sliding_out")
+      .selectExpr("win_start", "event_type", "n_events", "sum_value")
+      .collect().map(_.toSeq).toSet
+    val batch = EventsStream.slidingBatchEquivalent(spark, SF)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+  }
 }
