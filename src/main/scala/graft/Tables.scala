@@ -34,7 +34,12 @@ object Tables {
 
   /** Register every table as a temp view so the ad-hoc `spark.sql`
     * surface (reference's Glue/Athena step, README.md:64-78) works
-    * in-engine. */
+    * in-engine. `events` must go through [[loadEvents]]: a plain read
+    * of its nanosecond timestamps throws in Spark 4, and the event
+    * queries expect the derived `sec` column. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") loadEvents(spark, sfDir) else load(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

@@ -17,11 +17,13 @@ import graft.Tables
   *    [[TextAnalysis]] provides exactly that hash).
   *  - ngram-jaccard = inverted-index self-join on shingles (pairs that
   *    share ≥1 shingle), NOT an n² cross join.
-  *  - minhash-LSH = 64 permutations → 16 bands × 4 rows; only
+  *  - minhash-LSH = 64 permutations → 32 bands × 2 rows; only
   *    band-collision candidates are verified with exact jaccard. At the
-  *    planted near-dup similarity (≥0.9) the miss probability per pair
-  *    is (1 − 0.9⁴)¹⁶ ≈ 4e-8, which is why its oracle can be the exact
-  *    jaccard SQL.
+  *    oracle threshold (jaccard ≥ 0.8) the per-pair miss probability is
+  *    (1 − 0.8²)³² ≈ 6e-15, which is why its oracle can be the exact
+  *    jaccard SQL: the banding is chosen for the THRESHOLD, not just
+  *    the planted similarity. Spurious low-similarity collisions cost
+  *    only verification work, never correctness.
   *  - simhash = 60-bit signature; candidate pairs via 4×15-bit band
   *    blocking, which is EXACT for hamming ≤ 3 by pigeonhole — the
   *    brute-force oracle must agree perfectly.
@@ -118,7 +120,7 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
-  // dedup_minhash_lsh — 64 minhash perms, 16 bands × 4 rows, exact
+  // dedup_minhash_lsh — 64 minhash perms, 32 bands × 2 rows, exact
   // verification of band-collision candidates.
   // ---------------------------------------------------------------------
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
@@ -136,10 +138,9 @@ object Dedup {
       .select("doc_id", "sig")
     val bands = sigs.select(col("doc_id"),
         explode(expr(
-          """transform(sequence(0, 15), b -> named_struct(
+          """transform(sequence(0, 31), b -> named_struct(
             |  'band_idx', b,
-            |  'band_hash', xxhash64(element_at(sig, 4*b+1), element_at(sig, 4*b+2),
-            |                        element_at(sig, 4*b+3), element_at(sig, 4*b+4))))"""
+            |  'band_hash', xxhash64(element_at(sig, 2*b+1), element_at(sig, 2*b+2))))"""
             .stripMargin)).as("band"))
       .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
     val candidates = bands.as("a")
@@ -289,7 +290,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_exact"            -> exactSql,
     "dedup_ngram_jaccard"    -> jaccardPairsSql(0.8),
-    // LSH recall at the planted ≥0.9 similarity is 1 − 4e-8 per pair, and
+    // 32×2 banding misses a jaccard-0.8 pair with p ≈ 6e-15, and
     // candidates are exact-verified — the exact jaccard SQL is the oracle.
     "dedup_minhash_lsh"      -> jaccardPairsSql(0.8),
     "text_simhash"           -> simhashValuesSql,

@@ -113,15 +113,17 @@ object Multimodal {
     * actual pixel resample is the same stubbed seam as decode). */
   def resizePlan(decoded: Dataset[DecodedMedia], maxW: Int = 512, maxH: Int = 512): DataFrame = {
     val d = decoded.toDF()
+    // w·min(maxW·h, maxH·w)/(w·h) reduces to min(maxW·h, maxH·w)/h —
+    // the unreduced form overflows Int for large media dims (8000² ×
+    // 512 > Int.MaxValue), the reduced one cannot.
     d.withColumn("scale_num",
         least(lit(maxW) * col("height"), lit(maxH) * col("width")))
-      .withColumn("scale_den", col("width") * col("height"))
       .withColumn("out_w",
         when(col("width") <= maxW && col("height") <= maxH, col("width"))
-          .otherwise(greatest(lit(1), (col("width") * col("scale_num") / col("scale_den")).cast("int"))))
+          .otherwise(greatest(lit(1), (col("scale_num") / col("height")).cast("int"))))
       .withColumn("out_h",
         when(col("width") <= maxW && col("height") <= maxH, col("height"))
-          .otherwise(greatest(lit(1), (col("height") * col("scale_num") / col("scale_den")).cast("int"))))
+          .otherwise(greatest(lit(1), (col("scale_num") / col("width")).cast("int"))))
       .select("doc_id", "media_type", "width", "height", "out_w", "out_h")
   }
 

@@ -41,6 +41,21 @@ object RetailPipeline {
 
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** buildFaithful persists its fanned-out join for the plan's three
+    * aggregation paths, but a builder can't know when its caller is
+    * done executing the returned frame — so cap the leak at one cached
+    * copy per session: each build unpersists the previous one. */
+  private val lastMerged =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+
+  private def persistMerged(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val persisted = df.persist(StorageLevel.MEMORY_AND_DISK)
+    val prev = lastMerged.put(spark, persisted)
+    if (prev != null && (prev ne persisted)) prev.unpersist(blocking = false)
+    persisted
+  }
+
   /** The five retail tables of the reference schema
     * (Data Ingestion.sql:20-112), derived from the test star schema. */
   private[graft] def retailTables(spark: SparkSession, dir: String)
@@ -121,14 +136,13 @@ object RetailPipeline {
     // read it (the reference recomputes its equivalent per branch —
     // SURVEY §4 flags the cache as the single biggest win; measured 2×
     // at sf0.1 even after the branch-merging below).
-    val merged = sales
+    val merged = persistMerged(sales
       .join(inventory.withColumnRenamed("CAL_DT", "INVENTORY_CAL_DT")
         .hint("shuffle_hash"),
         Seq("PROD_KEY", "STORE_KEY"))
       .join(calendar, col("TRANS_DT") === calendar("CAL_DT"))
       .join(broadcast(store), Seq("STORE_KEY"))
-      .join(broadcast(product), Seq("PROD_KEY"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .join(broadcast(product), Seq("PROD_KEY")))
 
     // The reference computes 9 separate branches over `merged` (A1-A4
     // at :62-66, A5 at :87-89, A6 at :93-96, m at :109-112, the two

@@ -98,10 +98,13 @@ object Similarity {
         explode(expr(
           "concat(array(bucket), transform(sequence(0, 7), j -> bucket ^ shiftleft(1, j)))"))
           .as("probe_bucket"))
+    // No dedup needed: a query's 9 probe buckets are pairwise distinct
+    // and a corpus row has exactly one bucket, so each (query, corpus)
+    // pair matches at most one probe row — a distinct() here would
+    // shuffle the widest intermediate in the query for nothing.
     val candidates = corpus.join(broadcast(probes),
         col("bucket") === col("probe_bucket") && col("query_id") =!= col("vec_id"))
       .select("query_id", "q_emb", "q_norm", "vec_id", "embedding", "norm")
-      .distinct()
     val scored = candidates
       .withColumn("dot", expr("vec_dot(q_emb, embedding)"))
       .withColumn("score", round(col("dot") / (col("q_norm") * col("norm")), 6))

@@ -29,7 +29,7 @@ object SkewJoin {
       factor: Int, seed: Long = 42L): DataFrame = {
     require(factor >= 1, s"salt factor must be >= 1, got $factor")
     val saltedLeft = left.withColumn(SaltCol,
-      pmod(hash(rand(seed) * lit(Int.MaxValue)), lit(factor)))
+      floor(rand(seed) * lit(factor)).cast("int"))
     val replicatedRight = right.withColumn(SaltCol,
       explode(sequence(lit(0), lit(factor - 1))))
     saltedLeft

@@ -30,6 +30,10 @@ object OutputWriter {
     val shaped = if (singleFile) dated.coalesce(1) else dated
     shaped.write
       .mode(SaveMode.Overwrite)
+      // dynamic: overwrite ONLY the partitions present in this write
+      // (this run's date). Static mode — the default — would delete
+      // every previously written date under outPath on each daily run.
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("date")
       .parquet(outPath)
   }

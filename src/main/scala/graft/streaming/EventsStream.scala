@@ -17,21 +17,26 @@ import org.apache.spark.sql.types.DecimalType
   */
 object EventsStream {
 
+  /** Watermarked event-time stream over the events parquet — shared
+    * source for both window shapes. events.ts is nanosecond parquet →
+    * read as long, rebuild a microsecond TimestampType for the
+    * event-time window/watermark. */
+  private def eventsSource(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_utc", "2 hours")
+  }
+
   /** 1-hour tumbling aggregation as a stream over the events parquet.
     * Watermark bounds state for continuous runs; with AvailableNow +
     * complete mode it simply drains the backlog. */
   def tumblingAgg(spark: SparkSession, dir: String, queryName: String): StreamingQuery = {
-    // events.ts is nanosecond parquet → read as long, rebuild a
-    // microsecond TimestampType for the event-time window/watermark.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val src = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    src
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ts_utc", "2 hours")
+    eventsSource(spark, dir)
       .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -57,15 +62,7 @@ object EventsStream {
     * [[graft.operators.Events.slidingAgg]]: each event lands in two
     * windows; watermark bounds the open-window state. */
   def slidingAgg(spark: SparkSession, dir: String, queryName: String): StreamingQuery = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val src = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    src
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ts_utc", "2 hours")
+    eventsSource(spark, dir)
       .groupBy(window(col("ts_utc"), "1 hour", "30 minutes"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),

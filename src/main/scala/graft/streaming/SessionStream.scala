@@ -48,11 +48,17 @@ object SessionStream {
     * timeout at its earliest possible close. */
   private[streaming] def updateUser(userId: Long, events: Iterator[Ev],
       state: GroupState[UserSession]): Iterator[SessionOut] = {
+    // setTimeoutTimestamp throws if the requested timestamp is not
+    // beyond the current watermark (possible when the watermark jumped
+    // far ahead of this user's last event) — always clamp.
+    def setTimeout(atMs: Long): Unit =
+      state.setTimeoutTimestamp(math.max(atMs, state.getCurrentWatermarkMs() + 1))
+
     if (state.hasTimedOut) {
       val s = state.get
       if (s.n > 0) { // flush the open session, leave a counter tombstone
         state.update(UserSession(0, 0, 0, s.closed + 1))
-        state.setTimeoutTimestamp((s.last + GapSeconds + TombstoneSeconds) * 1000L)
+        setTimeout((s.last + GapSeconds + TombstoneSeconds) * 1000L)
         return Iterator(SessionOut(userId, s.closed + 1, s.n, s.start, s.last, s.last - s.start))
       } else { // tombstone expiry
         state.remove()
@@ -79,7 +85,7 @@ object SessionStream {
     open match {
       case Some(s) =>
         state.update(s.copy(closed = closed))
-        state.setTimeoutTimestamp((s.last + GapSeconds) * 1000L)
+        setTimeout((s.last + GapSeconds) * 1000L)
       case None => // no new events and nothing open: keep prior tombstone as-is
     }
     out.result().iterator

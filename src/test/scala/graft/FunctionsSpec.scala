@@ -54,6 +54,14 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("vec_dot surfaces dimension mismatch as null, not a prefix dot") {
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(FloatType)), StructField("b", ArrayType(FloatType))))
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f))), schema)
+    assert(df.select(expr("vec_dot(a, b)")).head().isNullAt(0))
+  }
+
   test("shingles3 equals the declarative distinct-3-gram transform") {
     forAllSeeded(textGen, 40) { text: String =>
       val df = spark.createDataFrame(

@@ -49,9 +49,8 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
       else {
         // same integer math as the plan: scale by min(maxW/w, maxH/h)
         val num = math.min(128L * h, 96L * w)
-        val den = w.toLong * h
-        assert(ow === math.max(1L, w * num / den).toInt)
-        assert(oh === math.max(1L, h * num / den).toInt)
+        assert(ow === math.max(1L, num / h).toInt)
+        assert(oh === math.max(1L, num / w).toInt)
       }
     }
   }
