@@ -153,4 +153,16 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(back.count() === 2)
     assert(back.columns.contains("date")) // real partition column
   }
+
+  test("daily reruns keep earlier date partitions (dynamic overwrite)") {
+    import graft.sources.OutputWriter
+    val out = Files.createTempDirectory("graft_daily").toString
+    val df = spark.range(3).toDF("id")
+    OutputWriter.writeFact(df, out, "2024-01-08")
+    OutputWriter.writeFact(df, out, "2024-01-09") // next day's run
+    OutputWriter.writeFact(spark.range(5).toDF("id"), out, "2024-01-09") // rerun
+    val back = spark.read.parquet(out)
+    assert(back.filter("date = '2024-01-08'").count() === 3, "prior day survived")
+    assert(back.filter("date = '2024-01-09'").count() === 5, "rerun replaced its own day")
+  }
 }
