@@ -20,16 +20,21 @@ object Bench {
       catch { case _: Throwable => () }
       spark.catalog.clearCache()
     }
+    // Two timed reps, keep the min: single-shot numbers swing several
+    // seconds with GC/JIT phase noise even after warmup.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink materializes every output column; count() would let
-      // Catalyst prune the expensive expressions right out of the plan.
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      // release per-query persist()s (e.g. the faithful pipeline's
-      // merged frame) so queries don't fight earlier queries' cache
-      spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      val reps = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink materializes every output column; count() would let
+        // Catalyst prune the expensive expressions right out of the plan.
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+        // release per-query persist()s (e.g. the faithful pipeline's
+        // merged frame) so queries don't fight earlier queries' cache
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> reps.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

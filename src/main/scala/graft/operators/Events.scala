@@ -111,10 +111,42 @@ object Events {
       |  MAX(sec) - MIN(sec) AS dur_s
       |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // events_hll_distinct — mergeable distinct-user sketches (SURVEY §7.3's
+  // "mergeable HLL" north-star, via Spark 4's built-in DataSketches
+  // functions — no custom TypedImperativeAggregate needed). Daily
+  // sketches are built once and UNIONED into weekly estimates: at
+  // 100 TB the daily sketch table is what you persist, and any rollup
+  // (week, month, ad-hoc date range) is a cheap union over kilobyte
+  // sketches instead of a re-scan of raw events. Estimates are
+  // approximate → rows-only driver check; EventsSpec bounds the error
+  // against exact counts.
+  // ---------------------------------------------------------------------
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.loadEvents(spark, dir)
+      .groupBy(expr("sec div 86400").as("bucket_day"), col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("day_sketch"),
+        count(lit(1)).as("n_events"))
+    daily
+      .groupBy(expr("bucket_day div 7").as("bucket_wk"), col("event_type"))
+      .agg(
+        expr("hll_sketch_estimate(hll_union_agg(day_sketch))").as("approx_users_wk"),
+        sum(col("n_events")).as("n_events"))
+      .orderBy("bucket_wk", "event_type")
+  }
+
+  /** Exact twin of [[hllDistinct]] for error-bound checks. */
+  def exactDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.loadEvents(spark, dir)
+      .groupBy(expr("sec div 86400 div 7").as("bucket_wk"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users_wk"))
+      .orderBy("bucket_wk", "event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_tumbling_agg" -> (tumblingAgg _),
     "events_sliding_agg"  -> (slidingAgg _),
-    "events_sessionize"   -> (sessionize _))
+    "events_sessionize"   -> (sessionize _),
+    "events_hll_distinct" -> (hllDistinct _))
 
   val oracles: Map[String, String] = Map(
     "events_tumbling_agg" -> tumblingAggSql,

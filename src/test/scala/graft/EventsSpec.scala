@@ -37,6 +37,19 @@ class EventsSpec extends AnyFunSuite with SparkSuite {
     assert(streamed === batch)
   }
 
+  test("mergeable HLL sketches: weekly union estimate within 5% of exact") {
+    val approx = graft.operators.Events.hllDistinct(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2).toDouble).toMap
+    val exact = graft.operators.Events.exactDistinct(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      assert(math.abs(ap - ex) <= math.max(1.0, ex * 0.05),
+        s"$k: approx $ap vs exact $ex")
+    }
+  }
+
   test("structured-streaming sliding agg equals the batch result") {
     val q = EventsStream.slidingAgg(spark, SF, "stream_sliding_out")
     q.processAllAvailable()
