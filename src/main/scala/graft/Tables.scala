@@ -22,13 +22,25 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Like [[load]], but spread across the cluster when the input has
+    * fewer splits than cores. Small single-row-group parquet (the test
+    * data) is unsplittable, so every map stage before the first
+    * shuffle would otherwise run on ONE task; a real lake table has
+    * plenty of splits and passes through untouched. Use for operators
+    * with heavy per-row compute (hashing, sketching, vector math). */
+  def loadBalanced(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = load(spark, sfDir, name)
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** `events.ts` is nanosecond-precision parquet, which Spark 4 refuses
     * as TimestampType; read nanos as a long (legacy flag) and expose
     * epoch seconds — all event queries do their window arithmetic in
     * the epoch-seconds domain anyway (see operators.Events). */
   def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
+    loadBalanced(spark, sfDir, "events")
       .withColumn("sec", org.apache.spark.sql.functions.expr("ts div 1000000000"))
   }
 

@@ -52,7 +52,7 @@ object Dedup {
     * scaladoc for the full autopsy. */
   private def docShingles(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    Tables.load(spark, dir, "documents")
+    Tables.loadBalanced(spark, dir, "documents")
       .withColumn("sh", expr(s"shingles3($toksSpark)"))
       .select("doc_id", "sh")
   }
@@ -191,7 +191,7 @@ object Dedup {
 
   private def simhashes(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    Tables.load(spark, dir, "documents")
+    Tables.loadBalanced(spark, dir, "documents")
       .withColumn("toks", expr(toksSpark))
       .filter(size(col("toks")) > 0)
       .withColumn("simhash", expr(simhashSpark))
@@ -254,7 +254,7 @@ object Dedup {
     // summation as the zip_with/aggregate composition and the oracle's
     // list_reduce, minus the per-element lambda interpreter, which is
     // the whole cost of an all-pairs scan.
-    val e = Tables.load(spark, dir, "embeddings")
+    val e = Tables.loadBalanced(spark, dir, "embeddings")
       .withColumn("norm", expr("vec_norm(embedding)"))
       .select("vec_id", "embedding", "norm")
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))

@@ -42,7 +42,7 @@ object Similarity {
   // ---------------------------------------------------------------------
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val e = Tables.load(spark, dir, "embeddings")
+    val e = Tables.loadBalanced(spark, dir, "embeddings")
       .withColumn("norm", expr("vec_norm(embedding)"))
     val q = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
@@ -88,7 +88,7 @@ object Similarity {
 
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val e = Tables.load(spark, dir, "embeddings")
+    val e = Tables.loadBalanced(spark, dir, "embeddings")
       .withColumn("norm", expr("vec_norm(embedding)"))
       .withColumn("bucket", expr(bucketSpark))
     val corpus = e.select(col("vec_id"), col("embedding"), col("norm"), col("bucket"))
@@ -154,7 +154,7 @@ object Similarity {
 
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val e = Tables.load(spark, dir, "embeddings")
+    val e = Tables.loadBalanced(spark, dir, "embeddings")
       .withColumn("norm", expr("vec_norm(embedding)"))
       .select("vec_id", "embedding", "norm")
 

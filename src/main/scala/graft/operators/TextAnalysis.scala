@@ -26,7 +26,7 @@ object TextAnalysis {
   // text_token_stats
   // ---------------------------------------------------------------------
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+    Tables.loadBalanced(spark, dir, "documents")
       .withColumn("toks", expr(ws))
       .filter(size(col("toks")) > 0)
       .select(
@@ -70,7 +70,7 @@ object TextAnalysis {
     s"(len(padded) - len(replace(padded, '$m', ''))) // ${m.length}"
 
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val scored = Tables.load(spark, dir, "documents")
+    val scored = Tables.loadBalanced(spark, dir, "documents")
       .withColumn("padded", concat(lit(" "), lower(col("text")), lit(" ")))
       .withColumn("score_en", expr(markers("en").map(occSpark).mkString(" + ")))
       .withColumn("score_de", expr(markers("de").map(occSpark).mkString(" + ")))
@@ -108,7 +108,7 @@ object TextAnalysis {
   // order-SENSITIVE polynomial rolling hash mod 1e9+7.
   // ---------------------------------------------------------------------
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+    Tables.loadBalanced(spark, dir, "documents")
       .withColumn("toks", expr(ws))
       .filter(size(col("toks")) > 0)
       .select(
@@ -141,7 +141,7 @@ object TextAnalysis {
   private val stopArrSql = stopwordsList.map(w => s"'$w'").mkString("[", ", ", "]")
 
   def quality(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+    Tables.loadBalanced(spark, dir, "documents")
       .withColumn("toks", expr(ws))
       .filter(size(col("toks")) > 0)
       .withColumn("n_tokens", size(col("toks")))
