@@ -60,7 +60,7 @@ object RetailPipeline {
     * (Data Ingestion.sql:20-112), derived from the test star schema. */
   private[graft] def retailTables(spark: SparkSession, dir: String)
     : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val li = Tables.loadBalanced(spark, dir, "lineitem")
+    val li = Tables.load(spark, dir, "lineitem")
     val sales = li.select(
       col("l_partkey").as("PROD_KEY"),
       col("l_suppkey").as("STORE_KEY"),
@@ -136,13 +136,22 @@ object RetailPipeline {
     // read it (the reference recomputes its equivalent per branch —
     // SURVEY §4 flags the cache as the single biggest win; measured 2×
     // at sf0.1 even after the branch-merging below).
+    // The dim joins affect ROWS only (inner-join filtering) — the
+    // reference never selects a store/product column downstream
+    // (SURVEY §1.3: "pure column-pruning fodder") — so the cache holds
+    // just the eleven columns the aggregates read, not the full
+    // ~50-column join product.
     val merged = persistMerged(sales
       .join(inventory.withColumnRenamed("CAL_DT", "INVENTORY_CAL_DT")
         .hint("shuffle_hash"),
         Seq("PROD_KEY", "STORE_KEY"))
       .join(calendar, col("TRANS_DT") === calendar("CAL_DT"))
       .join(broadcast(store), Seq("STORE_KEY"))
-      .join(broadcast(product), Seq("PROD_KEY")))
+      .join(broadcast(product), Seq("PROD_KEY"))
+      .select(col("YR_WK_NUM"), col("STORE_KEY"), col("PROD_KEY"),
+        col("SALES_AMT"), col("SALES_QTY"), col("SALES_COST"),
+        col("OUT_OF_STOCK_FLG"), col("INVENTORY_ON_HAND_QTY"),
+        col("INVENTORY_ON_ORDER_QTY"), col("CAL_DT"), col("INVENTORY_CAL_DT")))
 
     // The reference computes 9 separate branches over `merged` (A1-A4
     // at :62-66, A5 at :87-89, A6 at :93-96, m at :109-112, the two
