@@ -62,7 +62,7 @@ object Relational {
   // round(sum(...)) and a manual ratio average at the week grain).
   // ---------------------------------------------------------------------
   def q01(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(spark, dir, "lineitem")
+    val li = Tables.loadBalanced(spark, dir, "lineitem")
     li.filter(to_date(col("l_shipdate")) <= lit("1998-09-02").cast("date"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
@@ -93,7 +93,7 @@ object Relational {
   // ReadSchema must reach the parquet scan (verified in RelationalSpec).
   // ---------------------------------------------------------------------
   def q02(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(spark, dir, "lineitem")
+    val li = Tables.loadBalanced(spark, dir, "lineitem")
     li.filter(to_date(col("l_shipdate")).between(
         lit("1997-01-01").cast("date"), lit("1997-03-31").cast("date"))
         && col("l_quantity") >= 45)
@@ -115,7 +115,7 @@ object Relational {
   // the fact side).
   // ---------------------------------------------------------------------
   def q03(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(spark, dir, "lineitem")
+    val li = Tables.loadBalanced(spark, dir, "lineitem")
     val o  = Tables.load(spark, dir, "orders")
     val c  = Tables.load(spark, dir, "customer")
     val n  = Tables.load(spark, dir, "nation")
@@ -150,7 +150,7 @@ object Relational {
   // the window is deterministic (SURVEY §7.4 risk 3).
   // ---------------------------------------------------------------------
   def q04(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(spark, dir, "lineitem")
+    val li = Tables.loadBalanced(spark, dir, "lineitem")
       .withColumn("cal_dt", to_date(col("l_shipdate")))
       .withColumn("yr_wk_num", wk(col("l_shipdate")))
     val w = Window.partitionBy(col("yr_wk_num"), col("l_suppkey"), col("l_partkey"))
@@ -184,7 +184,7 @@ object Relational {
   // stock aggregate.
   // ---------------------------------------------------------------------
   def q05(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(spark, dir, "lineitem")
+    val li = Tables.loadBalanced(spark, dir, "lineitem")
     val inv = li.groupBy(col("l_partkey"), col("l_suppkey"),
         to_date(col("l_shipdate")).as("cal_dt"))
       .agg(sum(col("l_quantity")).as("on_hand"))
@@ -221,7 +221,7 @@ object Relational {
   // pass with count(when(...))).
   // ---------------------------------------------------------------------
   def q06(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(spark, dir, "lineitem")
+    val li = Tables.loadBalanced(spark, dir, "lineitem")
     li.groupBy(wk(col("l_shipdate")).as("yr_wk_num"))
       .agg(
         count(when(col("l_discount") > 0.05, lit(1))).as("high_disc_cnt"),
@@ -247,7 +247,7 @@ object Relational {
   // row per distinct measure value per grain).
   // ---------------------------------------------------------------------
   def q07(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(spark, dir, "lineitem")
+    val li = Tables.loadBalanced(spark, dir, "lineitem")
     li.groupBy(wk(col("l_shipdate")).as("yr_wk_num"),
         col("l_partkey").as("prod_key"), col("l_quantity").as("on_hand_qty"))
       .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("grp_qty"))
@@ -270,7 +270,7 @@ object Relational {
   // joins after the first are co-partitioned — no extra full shuffle.
   // ---------------------------------------------------------------------
   def q08(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(spark, dir, "lineitem")
+    val li = Tables.loadBalanced(spark, dir, "lineitem")
       .withColumn("yr_wk_num", wk(col("l_shipdate")))
     val keys = Seq("yr_wk_num", "prod_key")
     val base = li.select(col("yr_wk_num"), col("l_partkey").as("prod_key"),
@@ -324,7 +324,7 @@ object Relational {
   // Data Transformation.py:100,133).
   // ---------------------------------------------------------------------
   def q09(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(spark, dir, "lineitem")
+    val li = Tables.loadBalanced(spark, dir, "lineitem")
     li.withColumn("low_qty_flg", when(col("l_quantity") < 5, lit(1)).otherwise(lit(0)))
       .filter(col("low_qty_flg") === 1)
       .groupBy(col("l_partkey").as("prod_key"))
@@ -346,7 +346,7 @@ object Relational {
   // per-partition top-k then a k-row merge, no global sort at scale.
   // ---------------------------------------------------------------------
   def q10(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(spark, dir, "lineitem")
+    val li = Tables.loadBalanced(spark, dir, "lineitem")
     val o  = Tables.load(spark, dir, "orders")
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("order_dt"))

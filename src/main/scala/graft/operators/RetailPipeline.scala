@@ -60,7 +60,7 @@ object RetailPipeline {
     * (Data Ingestion.sql:20-112), derived from the test star schema. */
   private[graft] def retailTables(spark: SparkSession, dir: String)
     : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val li = Tables.load(spark, dir, "lineitem")
+    val li = Tables.loadBalanced(spark, dir, "lineitem")
     val sales = li.select(
       col("l_partkey").as("PROD_KEY"),
       col("l_suppkey").as("STORE_KEY"),
