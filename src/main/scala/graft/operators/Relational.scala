@@ -362,6 +362,61 @@ object Relational {
        |GROUP BY 1, 2
        |ORDER BY revenue DESC, o_orderkey LIMIT 100""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q11 — hierarchical rollup (beyond the reference's flat groupBys:
+  // subtotals per (flag, status), per flag, and grand total in ONE
+  // pass — Spark expands grouping sets before a single hash aggregate,
+  // instead of the 3 scans + union a per-level rewrite would cost).
+  // ---------------------------------------------------------------------
+  def q11(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.loadBalanced(spark, dir, "lineitem")
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec2(col("l_extendedprice"))).cast("double").as("sum_price"),
+        count(lit(1)).as("n_rows"),
+        grouping(col("l_returnflag")).as("g_flag"),
+        grouping(col("l_linestatus")).as("g_status"))
+      .orderBy(col("g_flag"), col("g_status"), col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q11Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  COUNT(*) AS n_rows,
+      |  CAST(GROUPING(l_returnflag) AS TINYINT) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS TINYINT) AS g_status
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+      .stripMargin
+
+  // ---------------------------------------------------------------------
+  // q12 — exact quantiles per group (sort-based aggregation, absent
+  // from the reference's sum/count-only surface). percentile() with
+  // linear interpolation matches DuckDB's quantile_cont definition;
+  // quantities are integral doubles so the interpolated values agree
+  // bit-for-bit.
+  // ---------------------------------------------------------------------
+  def q12(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.loadBalanced(spark, dir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("percentile(l_quantity, 0.99)").as("p99_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  val q12Sql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+      |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+      |  quantile_cont(l_quantity, 0.99) AS p99_qty,
+      |  MIN(l_quantity) AS min_qty,
+      |  MAX(l_quantity) AS max_qty
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> (q01 _),
     "q02_filter_project"    -> (q02 _),
@@ -372,7 +427,9 @@ object Relational {
     "q07_group_by_measure"  -> (q07 _),
     "q08_metric_assembly"   -> (q08 _),
     "q09_derived_flag"      -> (q09 _),
-    "q10_top_revenue"       -> (q10 _))
+    "q10_top_revenue"       -> (q10 _),
+    "q11_rollup"            -> (q11 _),
+    "q12_quantiles"         -> (q12 _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary"   -> q01Sql,
@@ -384,5 +441,7 @@ object Relational {
     "q07_group_by_measure"  -> q07Sql,
     "q08_metric_assembly"   -> q08Sql,
     "q09_derived_flag"      -> q09Sql,
-    "q10_top_revenue"       -> q10Sql)
+    "q10_top_revenue"       -> q10Sql,
+    "q11_rollup"            -> q11Sql,
+    "q12_quantiles"         -> q12Sql)
 }

@@ -49,4 +49,27 @@ class RelationalSpec extends AnyFunSuite with SparkSuite {
     val plan = Relational.q10(spark, SF).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$plan")
   }
+
+  test("q11 rollup emits all three grouping levels in one aggregate") {
+    val rows = Relational.q11(spark, SF).collect()
+    val byLevel = rows.groupBy(r => (r.getAs[Byte]("g_flag"), r.getAs[Byte]("g_status")))
+    assert(byLevel.keySet === Set((0: Byte, 0: Byte), (0: Byte, 1: Byte), (1: Byte, 1: Byte)))
+    val grand = byLevel((1: Byte, 1: Byte))
+    assert(grand.length === 1)
+    // grand total row count = sum of the leaf-level counts
+    assert(grand.head.getAs[Long]("n_rows") ===
+      byLevel((0: Byte, 0: Byte)).map(_.getAs[Long]("n_rows")).sum)
+    // one hash aggregate does all levels — Expand feeds it, no union of scans
+    val plan = Relational.q11(spark, SF).queryExecution.executedPlan.toString
+    assert(plan.contains("Expand") && !plan.contains("Union"), s"rollup shape:\n$plan")
+  }
+
+  test("q12 quantiles are ordered and bounded per group") {
+    Relational.q12(spark, SF).collect().foreach { r =>
+      val (mn, p50, p90, p99, mx) = (r.getAs[Double]("min_qty"),
+        r.getAs[Double]("p50_qty"), r.getAs[Double]("p90_qty"),
+        r.getAs[Double]("p99_qty"), r.getAs[Double]("max_qty"))
+      assert(mn <= p50 && p50 <= p90 && p90 <= p99 && p99 <= mx)
+    }
+  }
 }
