@@ -16,10 +16,19 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      val dest = new java.io.File(s"$outDir/$name")
+      // pre-delete so a failed query can never be scored against a
+      // previous run's parquet lingering at the same path
+      def wipe(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(wipe)
+        f.delete(): Unit
+      }
+      if (dest.exists()) wipe(dest)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+        .parquet(dest.getPath)
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        if (dest.exists()) wipe(dest) // no half-written output either
       }
       spark.catalog.clearCache()
     }

@@ -46,7 +46,12 @@ object RetailEtlApp {
       case Right((conf, None)) =>
         execute(conf); 0
       case Right((conf, Some(dir))) =>
-        Readiness.checkFs(dir, conf.date) match {
+        // the readiness walk must see Spark's Hadoop configuration
+        // (spark.hadoop.* — s3a credentials etc.), so build the session
+        // before gating
+        val spark = session(conf)
+        Readiness.checkFs(dir, conf.date,
+            spark.sparkContext.hadoopConfiguration) match {
           case Left(missing) =>
             notifier.notifyMissing(conf.date, missing); 2
           case Right(paths) =>
@@ -57,21 +62,30 @@ object RetailEtlApp {
 
   /** --in-dir replaces the five per-table flags; splice placeholder
     * inputs so RunConfig.parse's completeness check passes, then let
-    * the readiness gate fill in the real paths. */
+    * the readiness gate fill in the real paths. Mixing --in-dir with an
+    * explicit table flag is rejected — last-wins parsing would silently
+    * discard the explicit path otherwise. */
   private def parseWithDir(rest: Seq[String], inDir: Option[String])
       : Either[String, (RunConfig, Option[String])] = inDir match {
     case None => RunConfig.parse(rest).map(_ -> None)
     case Some(dir) =>
-      val placeholders = Readiness.tables.toSeq.flatMap(t => Seq(s"--$t", "<in-dir>"))
-      RunConfig.parse(rest ++ placeholders).map(_ -> Some(dir))
+      val explicit = Readiness.tables.map("--" + _).filter(rest.contains)
+      if (explicit.nonEmpty)
+        Left(s"--in-dir cannot be combined with ${explicit.toSeq.sorted.mkString(", ")}")
+      else {
+        val placeholders = Readiness.tables.toSeq.flatMap(t => Seq(s"--$t", "<in-dir>"))
+        RunConfig.parse(rest ++ placeholders).map(_ -> Some(dir))
+      }
   }
 
-  private def execute(conf: RunConfig): Unit = {
-    val spark = SparkSession.builder()
+  private def session(conf: RunConfig): SparkSession =
+    SparkSession.builder()
       .appName(s"retail-etl-${conf.mode}-${conf.date}")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    val out = build(spark, conf)
+
+  private def execute(conf: RunConfig): Unit = {
+    val out = build(session(conf), conf)
     OutputWriter.writeFact(out, conf.out, conf.date.toString, conf.singleFile)
   }
 

@@ -136,19 +136,25 @@ case class MinHashSig64(child: Expression)
 }
 
 /** One registration point for every graft native function; call at the
-  * top of any query that uses them (idempotent, per-session). */
+  * top of any query that uses them (idempotent, per-session). The
+  * single `all` list is also what [[GraftExtensions]] injects, so the
+  * programmatic and spark.sql.extensions deployment paths can never
+  * drift apart. */
 object GraftFunctions {
+
+  val all: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("vec_dot", classOf[DotProductFloat],
+      (c: Seq[Expression]) => DotProductFloat(c(0), c(1))),
+    ("vec_norm", classOf[NormFloat], (c: Seq[Expression]) => NormFloat(c.head)),
+    ("simhash60", classOf[SimHash60], (c: Seq[Expression]) => SimHash60(c.head)),
+    ("shingles3", classOf[Shingles3], (c: Seq[Expression]) => Shingles3(c.head)),
+    ("minhash_sig64", classOf[MinHashSig64],
+      (c: Seq[Expression]) => MinHashSig64(c.head)))
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    registry.createOrReplaceTempFunction("vec_dot",
-      (c: Seq[Expression]) => DotProductFloat(c(0), c(1)), "scala_udf")
-    registry.createOrReplaceTempFunction("vec_norm",
-      (c: Seq[Expression]) => NormFloat(c.head), "scala_udf")
-    registry.createOrReplaceTempFunction("simhash60",
-      (c: Seq[Expression]) => SimHash60(c.head), "scala_udf")
-    registry.createOrReplaceTempFunction("shingles3",
-      (c: Seq[Expression]) => Shingles3(c.head), "scala_udf")
-    registry.createOrReplaceTempFunction("minhash_sig64",
-      (c: Seq[Expression]) => MinHashSig64(c.head), "scala_udf")
+    all.foreach { case (name, _, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
   }
 }

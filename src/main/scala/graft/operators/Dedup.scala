@@ -102,9 +102,13 @@ object Dedup {
     // string: the self-join shuffles a fraction of the bytes. (64-bit
     // collisions across distinct shingles are ~|S|²/2⁶⁵ — immaterial —
     // and the exact-string DuckDB oracle would catch one.)
+    // persisted: the exploded index feeds three consumers (sizes + both
+    // self-join sides); without it the tokenize+shingle scan of every
+    // document runs three times (callers release via clearCache)
     val sh = docShingles(spark, dir)
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("s"))
+      .persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -128,8 +132,10 @@ object Dedup {
     // doc_id, sh, n — shared by candidate generation AND verification;
     // the signature is deliberately NOT on this frame so the two
     // verification joins don't recompute 64 permutations per doc.
+    // Persisted: three consumers, one tokenize+shingle scan.
     val docs = docShingles(spark, dir).filter(size(col("sh")) > 0)
       .withColumn("n", size(col("sh")))
+      .persist()
     // One cheap xxhash64 per shingle, then the 64-permutation min-scan
     // runs over longs in a codegen'd kernel (graft.functions.MinHashSig64)
     // — no per-permutation string building.
@@ -210,7 +216,9 @@ object Dedup {
     s"WITH $simhashesSqlCte SELECT doc_id, simhash FROM sims ORDER BY 1"
 
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sims = simhashes(spark, dir)
+    // persisted: both self-join sides read it; the md5-per-token
+    // simhash pass is the expensive part (callers release via clearCache)
+    val sims = simhashes(spark, dir).persist()
     // 4 bands × 15 bits: hamming ≤ 3 ⇒ at least one band identical.
     val banded = sims.select(col("doc_id"), col("simhash"),
         explode(expr(
@@ -242,8 +250,6 @@ object Dedup {
   // column. Brute-force pair scan here (the certified-exact baseline);
   // the LSH-bucketed scale path lives in Similarity.annLsh.
   // ---------------------------------------------------------------------
-  private[graft] val normSpark =
-    "sqrt(aggregate(embedding, 0D, (a, x) -> a + cast(x AS double) * cast(x AS double)))"
   private[graft] val normSql =
     "sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b))"
 

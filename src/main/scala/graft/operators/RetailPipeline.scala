@@ -44,15 +44,25 @@ object RetailPipeline {
   /** buildFaithful persists its fanned-out join for the plan's three
     * aggregation paths, but a builder can't know when its caller is
     * done executing the returned frame — so cap the leak at one cached
-    * copy per session: each build unpersists the previous one. */
+    * copy per session: each build unpersists the previous one. Weak
+    * keys + weak values so a stopped session (and its cached plan)
+    * stays collectable instead of being pinned for the JVM lifetime.
+    * Sequential builds per session assumed (concurrent builds on ONE
+    * session would evict each other's cache — recompute, not wrong
+    * results). */
   private val lastMerged =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+    new java.util.WeakHashMap[SparkSession, java.lang.ref.WeakReference[DataFrame]]()
 
   private def persistMerged(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val persisted = df.persist(StorageLevel.MEMORY_AND_DISK)
-    val prev = lastMerged.put(spark, persisted)
-    if (prev != null && (prev ne persisted)) prev.unpersist(blocking = false)
+    lastMerged.synchronized {
+      val prev = lastMerged.put(spark, new java.lang.ref.WeakReference(persisted))
+      if (prev != null) {
+        val d = prev.get()
+        if (d != null && (d ne persisted)) d.unpersist(blocking = false)
+      }
+    }
     persisted
   }
 

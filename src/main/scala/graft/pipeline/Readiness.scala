@@ -26,15 +26,14 @@ object Readiness {
   def requiredFiles(date: LocalDate): Set[String] =
     tables.map(t => s"${t}_${date.format(ymd)}.csv")
 
+  private val fileNameRe = "([a-z]+)_(\\d{8})\\.csv".r
+
   /** Table-name derivation: strip the 13-char `_YYYYMMDD.csv` suffix
     * (reference C3 — Lambda Function.py:23 does `a[:-13]`). Returns
     * None instead of mangling names that don't match the contract. */
-  def tableNameOf(fileName: String): Option[String] = {
-    val re = "([a-z]+)_(\\d{8})\\.csv".r
-    fileName match {
-      case re(table, _) if tables(table) => Some(table)
-      case _ => None
-    }
+  def tableNameOf(fileName: String): Option[String] = fileName match {
+    case fileNameRe(table, _) if tables(table) => Some(table)
+    case _ => None
   }
 
   /** Pure gate: given the listed names, either the missing set or the

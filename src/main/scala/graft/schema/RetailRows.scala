@@ -31,7 +31,10 @@ object RetailRows {
       promotion_flg: Option[Boolean], next_delivery_dt: Option[Date])
 
   final case class CalendarRow(
-      cal_dt: Date, cal_type_desc: Option[String], day_of_wk_num: Option[String],
+      // Option even though the DDL says NOT NULL: file sources force
+      // user schemas nullable, so a null date would otherwise crash the
+      // decoder mid-task instead of surfacing as data
+      cal_dt: Option[Date], cal_type_desc: Option[String], day_of_wk_num: Option[String],
       day_of_wk_desc: Option[String], yr_num: Option[Int], wk_num: Option[Int],
       yr_wk_num: Option[Int], mnth_num: Option[Int], yr_mnth_num: Option[Int],
       qtr_num: Option[Int], yr_qtr_num: Option[Int])
