@@ -83,4 +83,20 @@ object EventsStream {
   def slidingBatchEquivalent(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Events.slidingAgg(spark, dir)
       .select("win_start", "event_type", "n_events", "sum_value")
+
+  /** Streaming exactly-once dedup: drop replayed event_ids, keeping
+    * state only inside the watermark horizon (the standard at-least-
+    * once-source → exactly-once-pipeline repair; state is bounded by
+    * events per `delay` window, not by stream lifetime). */
+  def dedupStream(spark: SparkSession, dir: String, queryName: String): StreamingQuery = {
+    eventsSource(spark, dir) // carries the 2h event-time watermark
+      .dropDuplicatesWithinWatermark("event_id")
+      .select("event_id", "user_id", "event_type", "value")
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

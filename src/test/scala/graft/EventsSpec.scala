@@ -50,6 +50,16 @@ class EventsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("streaming dedup keeps exactly the distinct event_ids") {
+    val q = EventsStream.dedupStream(spark, SF, "stream_dedup_out")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("stream_dedup_out")
+    val distinctIds = Tables.loadEvents(spark, SF).select("event_id").distinct().count()
+    assert(streamed.count() === distinctIds)
+    assert(streamed.groupBy("event_id").count().filter("count > 1").count() === 0)
+  }
+
   test("structured-streaming sliding agg equals the batch result") {
     val q = EventsStream.slidingAgg(spark, SF, "stream_sliding_out")
     q.processAllAvailable()

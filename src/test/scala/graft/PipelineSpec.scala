@@ -154,6 +154,21 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(back.columns.contains("date")) // real partition column
   }
 
+  test("csv unload filters future dates and writes one headered file") {
+    import graft.sources.OutputWriter
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("graft_unload").toString + "/x"
+    val df = spark.range(4).select(col("id"),
+      when(col("id") < 2, date_sub(current_date(), 1))
+        .otherwise(date_add(current_date(), 5)).as("dt"))
+    OutputWriter.csvUnload(df, "dt", out)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".csv"))
+    assert(files.length === 1, "single headered file, like the reference unload")
+    val back = spark.read.option("header", "true").csv(out)
+    assert(back.count() === 2, "future-dated rows excluded")
+    assert(back.columns.toSet === Set("id", "dt"))
+  }
+
   test("daily reruns keep earlier date partitions (dynamic overwrite)") {
     import graft.sources.OutputWriter
     val out = Files.createTempDirectory("graft_daily").toString
