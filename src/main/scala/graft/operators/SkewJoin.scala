@@ -23,13 +23,19 @@ object SkewJoin {
 
   private val SaltCol = "__graft_salt"
 
+  /** The salt derivations, exposed for spread tests: random (per-row
+    * uniform) and deterministic (hash of stable columns). */
+  private[graft] def randSalt(factor: Int, seed: Long): Column =
+    floor(rand(seed) * lit(factor)).cast("int")
+  private[graft] def hashSalt(saltSource: Column, factor: Int): Column =
+    pmod(hash(saltSource), lit(factor))
+
   /** Inner equi-join of `left` ⋈ `right` on `keys`, salted `factor`
     * ways. `right` is the replicated (smaller) side. */
   def salted(left: DataFrame, right: DataFrame, keys: Seq[String],
       factor: Int, seed: Long = 42L): DataFrame = {
     require(factor >= 1, s"salt factor must be >= 1, got $factor")
-    val saltedLeft = left.withColumn(SaltCol,
-      floor(rand(seed) * lit(factor)).cast("int"))
+    val saltedLeft = left.withColumn(SaltCol, randSalt(factor, seed))
     val replicatedRight = right.withColumn(SaltCol,
       explode(sequence(lit(0), lit(factor - 1))))
     saltedLeft
@@ -44,7 +50,7 @@ object SkewJoin {
   def saltedBy(left: DataFrame, right: DataFrame, keys: Seq[String],
       factor: Int, saltSource: Column): DataFrame = {
     require(factor >= 1, s"salt factor must be >= 1, got $factor")
-    val saltedLeft = left.withColumn(SaltCol, pmod(hash(saltSource), lit(factor)))
+    val saltedLeft = left.withColumn(SaltCol, hashSalt(saltSource, factor))
     val replicatedRight = right.withColumn(SaltCol,
       explode(sequence(lit(0), lit(factor - 1))))
     saltedLeft

@@ -23,6 +23,19 @@ class EventsSpec extends AnyFunSuite with SparkSuite {
     val s = Events.sessionize(spark, SF)
     assert(s.selectExpr("sum(n_events)").head().getLong(0) === total)
     assert(s.filter("dur_s < 0").count() === 0)
+    // the ACTUAL gap rule: per user, sessions == 1 + inter-event gaps > 1800s,
+    // computed independently of the operator under test
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val byUser = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    val expected = Tables.loadEvents(spark, SF)
+      .withColumn("gap", col("sec") - lag("sec", 1).over(byUser))
+      .groupBy("user_id")
+      .agg((sum(when(col("gap") > 1800, 1).otherwise(0)) + 1).as("n_sessions"))
+    val actual = s.groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+    assert(expected.exceptAll(actual).count() === 0 &&
+      actual.exceptAll(expected).count() === 0,
+      "per-user session count must equal 1 + gaps>30min")
   }
 
   test("structured-streaming tumbling agg equals the batch result") {

@@ -26,7 +26,7 @@ class RelationalSpec extends AnyFunSuite with SparkSuite {
   test("q03 star join broadcasts every dimension") {
     val plan = Relational.q03(spark, SF).queryExecution.executedPlan.toString
     assert(plan.split("BroadcastHashJoin").length >= 4, s"dims not broadcast:\n$plan")
-    assert(!plan.contains("SortMergeJoin") || plan.indexOf("SortMergeJoin") > 0)
+    assert(!plan.contains("SortMergeJoin"), s"dim join fell back to SMJ:\n$plan")
   }
 
   test("q04 snapshot window picks the latest date per grain") {

@@ -28,11 +28,14 @@ class SkewJoinSpec extends AnyFunSuite with SparkSuite {
     assert(canon(SkewJoin.saltedBy(left, right, Seq("k"), 8, col("v"))) === plain)
   }
 
-  test("hot key rows actually spread over the salt space") {
+  test("hot key rows actually spread over the salt space (operator's own salts)") {
     val left = spark.range(10000).select(lit(1L).as("k"), col("id").as("v"))
-    val salted = left.withColumn("salt", pmod(hash(col("v")), lit(8)))
-    val counts = salted.groupBy("salt").count().as[(Int, Long)].collect().toMap
-    assert(counts.size === 8, "all 8 salt values used")
-    assert(counts.values.max < 10000 * 0.25, "no salt bucket dominates")
+    // exercise BOTH of SkewJoin's salt derivations, not a re-implementation
+    Seq(SkewJoin.randSalt(8, seed = 42L), SkewJoin.hashSalt(col("v"), 8)).foreach { salt =>
+      val counts = left.withColumn("salt", salt)
+        .groupBy("salt").count().as[(Int, Long)].collect().toMap
+      assert(counts.size === 8, "all 8 salt values used")
+      assert(counts.values.max < 10000 * 0.25, "no salt bucket dominates")
+    }
   }
 }
