@@ -285,13 +285,77 @@ object Dedup {
        |    / (a.norm * b.norm) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) >= 0.45
        |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // dedup_clusters — the operator dedup actually ends with: group the
+  // near-dup PAIRS into connected components and keep one doc per
+  // component. Distributed min-label propagation (labels converge to
+  // the component's minimum doc_id in O(diameter) rounds; lineage is
+  // truncated per round with localCheckpoint so plans don't grow).
+  // Near-dup clusters are tiny in practice, so few rounds suffice —
+  // the 30-round cap is a safety net, and the exact recursive-CTE
+  // oracle would flag any non-convergence as a mismatch.
+  // ---------------------------------------------------------------------
+  def clusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir).select(col("doc_i"), col("doc_j"))
+    val und = pairs.union(
+        pairs.select(col("doc_j").as("doc_i"), col("doc_i").as("doc_j")))
+      .persist()
+    var labels = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < 30) {
+      val nbrMin = labels.join(und, labels("doc_id") === und("doc_i"))
+        .groupBy(col("doc_j").as("nbr_doc"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+      val updated = labels
+        .join(nbrMin, labels("doc_id") === nbrMin("nbr_doc"), "left")
+        .select(col("doc_id"), col("cluster_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("new_label"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("new_label") =!= col("cluster_id")).count()
+      labels = updated.select(col("doc_id"), col("new_label").as("cluster_id"))
+      round += 1
+    }
+    und.unpersist(blocking = false)
+    labels
+      .withColumn("is_keeper", col("cluster_id") === col("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact oracle: transitive closure of the (undirected) near-dup
+    * pairs via recursive CTE; cluster id = min reachable doc. */
+  val clustersSql: String =
+    s"""WITH RECURSIVE ${docShinglesSqlCte},
+       |inter AS (
+       |  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT doc_i, doc_j FROM inter
+       |  JOIN sizes sa ON doc_i = sa.doc_id
+       |  JOIN sizes sb ON doc_j = sb.doc_id
+       |  WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.8),
+       |und AS (SELECT doc_i AS a, doc_j AS b FROM pairs
+       |        UNION SELECT doc_j, doc_i FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+       |SELECT a AS doc_id, MIN(b) AS cluster_id,
+       |  MIN(b) = a AS is_keeper
+       |FROM reach GROUP BY a ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"            -> (exact _),
     "dedup_ngram_jaccard"    -> (ngramJaccard _),
     "dedup_minhash_lsh"      -> (minhashLsh _),
     "text_simhash"           -> (simhashValues _),
     "dedup_simhash"          -> (simhashPairs _),
-    "dedup_embedding_cosine" -> (embeddingCosine _))
+    "dedup_embedding_cosine" -> (embeddingCosine _),
+    "dedup_clusters"         -> (clusters _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact"            -> exactSql,
@@ -301,5 +365,6 @@ object Dedup {
     "dedup_minhash_lsh"      -> jaccardPairsSql(0.8),
     "text_simhash"           -> simhashValuesSql,
     "dedup_simhash"          -> simhashPairsSql,
-    "dedup_embedding_cosine" -> embeddingCosineSql)
+    "dedup_embedding_cosine" -> embeddingCosineSql,
+    "dedup_clusters"         -> clustersSql)
 }

@@ -27,6 +27,20 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       s"simhash found $found of ${jacPairs.size} very-near dups at hamming<=3")
   }
 
+  test("clusters: pair endpoints co-clustered, keeper is component min") {
+    val labels = Dedup.clusters(spark, SF).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.minhashLsh(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (i, j) =>
+      assert(labels(i) === labels(j), s"pair ($i,$j) split across clusters")
+    }
+    labels.groupBy(_._2).foreach { case (cid, members) =>
+      assert(cid === members.keys.min, s"cluster $cid keeper is not the min doc_id")
+    }
+  }
+
   test("exact dedup keeps one keeper per distinct text") {
     val docs = Tables.load(spark, SF, "documents").count()
     val dedup = Dedup.exact(spark, SF)
