@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** JSON-lines source/sink — the interchange format training-data
+  * pipelines actually exchange documents in. Same design rules as the
+  * CSV reader: the schema is DECLARED (a schema-less json read scans
+  * everything once just to infer, and infers unstable unions on dirty
+  * data), corrupt lines are captured instead of killing the job, and
+  * JSONL's line orientation means the reader splits large files by
+  * byte range for free — at 100 TB, split-ability IS the source design.
+  */
+object JsonlTableReader {
+
+  /** The `documents` table's JSONL shape (doc_id, text, lang, source,
+    * n_chars) plus the corrupt-record capture column. */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType),
+    StructField("_corrupt", StringType)))
+
+  /** Read JSONL with a declared schema; malformed lines land whole in
+    * `_corrupt` (PERMISSIVE) so the pipeline can quarantine them with a
+    * filter instead of failing mid-scan — the right boundary behavior
+    * for web-scale text where some corruption is a certainty. */
+  def read(spark: SparkSession, path: String,
+      schema: StructType = documentsSchema): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+
+  /** Split good rows from quarantined ones in one pass. */
+  def readSplit(spark: SparkSession, path: String,
+      schema: StructType = documentsSchema): (DataFrame, DataFrame) = {
+    val df = read(spark, path, schema).cache()
+    (df.filter(df("_corrupt").isNull).drop("_corrupt"),
+      df.filter(df("_corrupt").isNotNull).select("_corrupt"))
+  }
+
+  /** Write a frame as JSONL (one object per line, splittable). */
+  def write(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+}
