@@ -40,8 +40,12 @@ object Tables {
     * the epoch-seconds domain anyway (see operators.Events). */
   def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // floor division via pmod (Spark's `div` truncates toward zero,
+    // which would disagree with the floor-semantics oracles for any
+    // pre-1970 timestamp)
     loadBalanced(spark, sfDir, "events")
-      .withColumn("sec", org.apache.spark.sql.functions.expr("ts div 1000000000"))
+      .withColumn("sec",
+        org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000000000)) div 1000000000"))
   }
 
   /** Register every table as a temp view so the ad-hoc `spark.sql`
@@ -57,7 +61,8 @@ object Tables {
       val df = if (n == "events") {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         load(spark, sfDir, n)
-          .withColumn("sec", org.apache.spark.sql.functions.expr("ts div 1000000000"))
+          .withColumn("sec",
+            org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000000000)) div 1000000000"))
       } else load(spark, sfDir, n)
       df.createOrReplaceTempView(n)
     }

@@ -27,7 +27,7 @@ object Events {
   // ---------------------------------------------------------------------
   def tumblingAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.loadEvents(spark, dir)
-      .groupBy(expr("sec div 3600").as("bucket_hr"), col("event_type"))
+      .groupBy(expr("(sec - pmod(sec, 3600)) div 3600").as("bucket_hr"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),
@@ -53,8 +53,8 @@ object Events {
   // ---------------------------------------------------------------------
   def slidingAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.loadEvents(spark, dir)
-      .withColumn("win_start",
-        explode(expr("array((sec div 1800) * 1800 - 1800, (sec div 1800) * 1800)")))
+      .withColumn("win_start", explode(expr(
+        "array(sec - pmod(sec, 1800) - 1800, sec - pmod(sec, 1800))")))
       .groupBy(col("win_start"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
@@ -124,11 +124,11 @@ object Events {
   // ---------------------------------------------------------------------
   def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.loadEvents(spark, dir)
-      .groupBy(expr("sec div 86400").as("bucket_day"), col("event_type"))
+      .groupBy(expr("(sec - pmod(sec, 86400)) div 86400").as("bucket_day"), col("event_type"))
       .agg(expr("hll_sketch_agg(user_id, 14)").as("day_sketch"),
         count(lit(1)).as("n_events"))
     daily
-      .groupBy(expr("bucket_day div 7").as("bucket_wk"), col("event_type"))
+      .groupBy(expr("(bucket_day - pmod(bucket_day, 7)) div 7").as("bucket_wk"), col("event_type"))
       .agg(
         expr("hll_sketch_estimate(hll_union_agg(day_sketch))").as("approx_users_wk"),
         sum(col("n_events")).as("n_events"))
@@ -138,7 +138,7 @@ object Events {
   /** Exact twin of [[hllDistinct]] for error-bound checks. */
   def exactDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.loadEvents(spark, dir)
-      .groupBy(expr("sec div 86400 div 7").as("bucket_wk"), col("event_type"))
+      .groupBy(expr("(sec - pmod(sec, 604800)) div 604800").as("bucket_wk"), col("event_type"))
       .agg(countDistinct(col("user_id")).as("exact_users_wk"))
       .orderBy("bucket_wk", "event_type")
 

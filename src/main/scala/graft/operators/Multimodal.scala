@@ -40,7 +40,10 @@ object Multimodal {
     * the payload so the distributed plumbing is fully testable. */
   private def decodePartition(rows: Iterator[MediaRow]): Iterator[DecodedMedia] =
     rows.map { r =>
-      val checksum = r.payload.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+      // null payloads (nullable source columns) decode as empty media
+      // instead of NPE-ing the stage
+      val bytes = if (r.payload == null) Array.empty[Byte] else r.payload
+      val checksum = bytes.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
       val w = 64 + (checksum % 1024).toInt
       val h = 64 + ((checksum / 1024) % 1024).toInt
       val frames = r.media_type match {
@@ -48,7 +51,7 @@ object Multimodal {
         case "audio" => 1 + (checksum % 16).toInt
         case _       => 1
       }
-      DecodedMedia(r.doc_id, r.media_type, r.payload.length, w, h, frames, checksum)
+      DecodedMedia(r.doc_id, r.media_type, bytes.length, w, h, frames, checksum)
     }
 
   /** The decode stage: narrow mapPartitions over the typed Dataset —
@@ -89,8 +92,10 @@ object Multimodal {
     * (stubbed) frame feature vector derived from it. */
   case class FrameRef(doc_id: Long, frame_idx: Int, ts_ms: Long, feature: Long)
 
-  /** Frame sampling: up to `maxFrames` evenly-strided frames per video
-    * (images/audio contribute their single frame). A narrow flatMap —
+  /** Frame sampling: up to `maxFrames` evenly-strided frames per item
+    * (images contribute one frame; audio/video contribute up to
+    * `maxFrames` strided samples of their n_frames; ts_ms uses a fixed
+    * 25fps frame clock — the stub's convention). A narrow flatMap —
     * output rows scale with docs × maxFrames, never with payload size,
     * and no shuffle is introduced. The frame "feature" is the stubbed
     * decode seam (real deployments put the codec + model call there). */

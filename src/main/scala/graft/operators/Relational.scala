@@ -47,7 +47,9 @@ object Relational {
     floor(datediff(to_date(c), lit("1995-01-01").cast("date")) / 7).cast("long")
 
   private[graft] def wkSql(col: String): String =
-    s"CAST(datediff('day', DATE '1995-01-01', CAST($col AS DATE)) // 7 AS BIGINT)"
+    // floor(x/7.0), NOT x // 7: DuckDB's // truncates toward zero while
+    // Spark's wk() floors — they'd diverge for dates before the epoch
+    s"CAST(floor(datediff('day', DATE '1995-01-01', CAST($col AS DATE)) / 7.0) AS BIGINT)"
 
   /** Exact revenue expression: extendedprice * (1 - discount) in decimal. */
   private def revenue(price: Column, discount: Column): Column =
@@ -121,7 +123,10 @@ object Relational {
     val n  = Tables.load(spark, dir, "nation")
     val r  = Tables.load(spark, dir, "region")
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      // customer scales with SF — no forced broadcast (AQE still
+      // broadcasts it when it is actually small); nation/region are
+      // fixed-size dims, always broadcastable
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
@@ -274,7 +279,7 @@ object Relational {
       .withColumn("yr_wk_num", wk(col("l_shipdate")))
     val keys = Seq("yr_wk_num", "prod_key")
     val base = li.select(col("yr_wk_num"), col("l_partkey").as("prod_key"),
-      col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+      col("l_quantity"), col("l_extendedprice"),
       col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
       to_date(col("l_shipdate")).as("cal_dt"))
     val b1 = base.groupBy(keys.map(col): _*)

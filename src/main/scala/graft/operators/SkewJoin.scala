@@ -30,31 +30,26 @@ object SkewJoin {
   private[graft] def hashSalt(saltSource: Column, factor: Int): Column =
     pmod(hash(saltSource), lit(factor))
 
+  private def saltedWith(left: DataFrame, right: DataFrame,
+      keys: Seq[String], factor: Int, salt: Column): DataFrame = {
+    require(factor >= 1, s"salt factor must be >= 1, got $factor")
+    left.withColumn(SaltCol, salt)
+      .join(right.withColumn(SaltCol,
+        explode(sequence(lit(0), lit(factor - 1)))), keys :+ SaltCol)
+      .drop(SaltCol)
+  }
+
   /** Inner equi-join of `left` ⋈ `right` on `keys`, salted `factor`
     * ways. `right` is the replicated (smaller) side. */
   def salted(left: DataFrame, right: DataFrame, keys: Seq[String],
-      factor: Int, seed: Long = 42L): DataFrame = {
-    require(factor >= 1, s"salt factor must be >= 1, got $factor")
-    val saltedLeft = left.withColumn(SaltCol, randSalt(factor, seed))
-    val replicatedRight = right.withColumn(SaltCol,
-      explode(sequence(lit(0), lit(factor - 1))))
-    saltedLeft
-      .join(replicatedRight, keys :+ SaltCol)
-      .drop(SaltCol)
-  }
+      factor: Int, seed: Long = 42L): DataFrame =
+    saltedWith(left, right, keys, factor, randSalt(factor, seed))
 
   /** Deterministic variant: salt derived from stable columns of the
     * left row instead of rand() — reproducible across retries, which
     * matters when tasks can be speculatively re-executed (rand() salts
     * are only stable within one deterministic task replay). */
   def saltedBy(left: DataFrame, right: DataFrame, keys: Seq[String],
-      factor: Int, saltSource: Column): DataFrame = {
-    require(factor >= 1, s"salt factor must be >= 1, got $factor")
-    val saltedLeft = left.withColumn(SaltCol, hashSalt(saltSource, factor))
-    val replicatedRight = right.withColumn(SaltCol,
-      explode(sequence(lit(0), lit(factor - 1))))
-    saltedLeft
-      .join(replicatedRight, keys :+ SaltCol)
-      .drop(SaltCol)
-  }
+      factor: Int, saltSource: Column): DataFrame =
+    saltedWith(left, right, keys, factor, hashSalt(saltSource, factor))
 }

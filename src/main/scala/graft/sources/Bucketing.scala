@@ -20,7 +20,11 @@ object Bucketing {
     * sort-merge-ready reads). */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
       keys: Seq[String]): Unit =
-    df.write
+    // repartition on the bucket keys first: otherwise every input task
+    // opens a writer per bucket (tasks x buckets small files) and
+    // multi-file buckets forfeit the sortBy guarantee downstream
+    df.repartition(buckets, keys.map(df.col): _*)
+      .write
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)

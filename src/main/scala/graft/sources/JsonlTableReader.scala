@@ -23,6 +23,13 @@ object JsonlTableReader {
     StructField("n_chars", LongType),
     StructField("_corrupt", StringType)))
 
+  /** Ensure the quarantine column exists in a caller-supplied schema —
+    * without it PERMISSIVE turns malformed lines into silent all-null
+    * rows, exactly the failure mode this reader exists to prevent. */
+  private def withCorrupt(schema: StructType): StructType =
+    if (schema.fieldNames.contains("_corrupt")) schema
+    else StructType(schema.fields :+ StructField("_corrupt", StringType))
+
   /** Read JSONL with a declared schema; malformed lines land whole in
     * `_corrupt` (PERMISSIVE) so the pipeline can quarantine them with a
     * filter instead of failing mid-scan — the right boundary behavior
@@ -30,17 +37,25 @@ object JsonlTableReader {
   def read(spark: SparkSession, path: String,
       schema: StructType = documentsSchema): DataFrame =
     spark.read
-      .schema(schema)
+      .schema(withCorrupt(schema))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt")
       .json(path)
 
-  /** Split good rows from quarantined ones in one pass. */
+  /** One-pass split of good rows from quarantined ones. The parse is
+    * cached (Spark cannot query only the corrupt column straight off
+    * raw files); `release()` unpersists it once both sides have been
+    * consumed — the caller owns that lifecycle. */
+  final case class JsonlSplit(good: DataFrame, quarantined: DataFrame,
+      release: () => Unit)
+
   def readSplit(spark: SparkSession, path: String,
-      schema: StructType = documentsSchema): (DataFrame, DataFrame) = {
+      schema: StructType = documentsSchema): JsonlSplit = {
     val df = read(spark, path, schema).cache()
-    (df.filter(df("_corrupt").isNull).drop("_corrupt"),
-      df.filter(df("_corrupt").isNotNull).select("_corrupt"))
+    JsonlSplit(
+      df.filter(df("_corrupt").isNull).drop("_corrupt"),
+      df.filter(df("_corrupt").isNotNull).select("_corrupt"),
+      () => { df.unpersist(blocking = false); () })
   }
 
   /** Write a frame as JSONL (one object per line, splittable). */

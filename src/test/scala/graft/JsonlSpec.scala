@@ -29,9 +29,10 @@ class JsonlSpec extends AnyFunSuite with SparkSuite {
       """{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}""",
       """{"doc_id": broken not json""",
       """{"doc_id": 2, "text": "also ok", "lang": "en", "source": "s", "n_chars": 7}"""))
-    val (good, bad) = JsonlTableReader.readSplit(spark, dir.toString)
-    assert(good.count() === 2)
-    assert(bad.count() === 1)
-    assert(!good.columns.contains("_corrupt"))
+    val split = JsonlTableReader.readSplit(spark, dir.toString)
+    assert(split.good.count() === 2)
+    assert(split.quarantined.count() === 1)
+    assert(!split.good.columns.contains("_corrupt"))
+    split.release()
   }
 }
