@@ -97,6 +97,18 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("the hot paths actually use the native kernels (plan guard)") {
+    val sf = "/root/testdata/sf0.001"
+    def plan(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.toString
+    assert(plan(operators.Dedup.simhashValues(spark, sf)).contains("simhash60"),
+      "simhash must run in the kernel, not interpreted lambdas")
+    assert(plan(operators.Dedup.embeddingCosine(spark, sf)).contains("vec_dot"))
+    assert(plan(operators.Similarity.cosineTopK(spark, sf)).contains("vec_dot"))
+    val mh = plan(operators.Dedup.minhashLsh(spark, sf))
+    assert(mh.contains("minhash_sig64") && mh.contains("shingles3"))
+  }
+
   test("minhash_sig64: 64 mins, monotone under union, permutation-invariant") {
     val hashGen = Gen.nonEmptyListOf(Gen.choose(Long.MinValue, Long.MaxValue))
     forAllSeeded(hashGen, 30) { hs: List[Long] =>
