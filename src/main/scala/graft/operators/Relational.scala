@@ -239,9 +239,9 @@ object Relational {
 
   val q06Sql: String =
     s"""SELECT ${wkSql("l_shipdate")} AS yr_wk_num,
-       |  count_if(l_discount > 0.05) AS high_disc_cnt,
-       |  count_if(l_returnflag = 'R') AS returned_cnt,
-       |  count_if(l_quantity < 5) AS low_qty_cnt,
+       |  CAST(count_if(l_discount > 0.05) AS BIGINT) AS high_disc_cnt,
+       |  CAST(count_if(l_returnflag = 'R') AS BIGINT) AS returned_cnt,
+       |  CAST(count_if(l_quantity < 5) AS BIGINT) AS low_qty_cnt,
        |  MAX(l_quantity) AS max_qty,
        |  MIN(l_extendedprice) AS min_price
        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
@@ -309,7 +309,7 @@ object Relational {
        |    SUM(l_quantity) AS total_sales_qty
        |  FROM base GROUP BY 1, 2),
        |b2 AS (
-       |  SELECT yr_wk_num, prod_key, count_if(l_returnflag = 'R') AS returned_cnt
+       |  SELECT yr_wk_num, prod_key, CAST(count_if(l_returnflag = 'R') AS BIGINT) AS returned_cnt
        |  FROM base GROUP BY 1, 2),
        |b3 AS (
        |  SELECT yr_wk_num, prod_key, l_quantity AS qty_end_wk FROM (

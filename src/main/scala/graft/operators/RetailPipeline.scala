@@ -431,8 +431,8 @@ object RetailPipeline {
        |  arg_max(on_hand, cal_dt) AS inventory_on_hand_qty_end_wk,
        |  arg_max(on_order, cal_dt) AS inventory_on_order_qty_end_wk,
        |  COUNT(*) AS days_active,
-       |  count_if(oos_flg = 1) AS out_of_stock_days,
-       |  count_if(on_hand < day_qty) AS low_stock_days,
+       |  CAST(count_if(oos_flg = 1) AS BIGINT) AS out_of_stock_days,
+       |  CAST(count_if(on_hand < day_qty) AS BIGINT) AS low_stock_days,
        |  count_if(oos_flg = 1) / 7.0 AS out_of_stock_ratio,
        |  SUM(CASE WHEN on_hand < day_qty THEN day_qty - on_hand ELSE 0 END)
        |    AS potential_low_stock_impact,

@@ -31,6 +31,10 @@ def eq(a, b):
         if math.isnan(a) and math.isnan(b):
             return True
         return a == b
+    # Driver's hash is type-sensitive: BIGINT 5 vs DOUBLE 5.0 mismatch.
+    # (bool is an int subclass — `isinstance` alone would let True==1 slip.)
+    if type(a) is not type(b):
+        return False
     return a == b
 
 
@@ -52,6 +56,16 @@ def main(sf_dir, out_dir):
                 continue
             if len(got) != len(want):
                 print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
+                continue
+            # Dtype-strict: the driver hashes values type-sensitively, so an
+            # int64 column vs a float64 oracle column (e.g. DuckDB count_if
+            # returning HUGEINT -> float64) must FAIL here even when the
+            # values compare equal under Python ==.
+            dbad = [(c, str(got[c].dtype), str(want[c].dtype))
+                    for c in got.columns if got[c].dtype != want[c].dtype]
+            if dbad:
+                c, g, w = dbad[0]
+                print(f"FAIL {name}: dtype {c} spark={g} oracle={w}")
                 continue
             bad = None
             for col in got.columns:
