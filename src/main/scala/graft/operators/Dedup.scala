@@ -16,7 +16,12 @@ import graft.Tables
   *    groupBy a 128-bit content hash instead; `text_fingerprint` in
   *    [[TextAnalysis]] provides exactly that hash).
   *  - ngram-jaccard = inverted-index self-join on shingles (pairs that
-  *    share ≥1 shingle), NOT an n² cross join.
+  *    share ≥1 shingle), NOT an n² cross join; shingles above a
+  *    document-frequency cap are dropped from the pair self-join (a
+  *    hot shingle's posting list is otherwise quadratic) and their
+  *    exact per-pair contribution is re-added from per-doc hot-shingle
+  *    sets, so the cap can only cost candidate recall (a pair missed
+  *    iff ALL its shared shingles are hot), never a wrong jaccard.
   *  - minhash-LSH = 64 permutations → 32 bands × 2 rows; only
   *    band-collision candidates are verified with exact jaccard. At the
   *    oracle threshold (jaccard ≥ 0.8) the per-pair miss probability is
@@ -97,24 +102,85 @@ object Dedup {
   // ---------------------------------------------------------------------
   // dedup_ngram_jaccard — inverted-index exact jaccard at 0.8.
   // ---------------------------------------------------------------------
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // Inverted index carries an 8-byte shingle hash, not the ~30-byte
-    // string: the self-join shuffles a fraction of the bytes. (64-bit
-    // collisions across distinct shingles are ~|S|²/2⁶⁵ — immaterial —
-    // and the exact-string DuckDB oracle would catch one.)
-    // persisted: the exploded index feeds three consumers (sizes + both
-    // self-join sides); without it the tokenize+shingle scan of every
-    // document runs three times (callers release via clearCache)
-    val sh = docShingles(spark, dir)
-      .select(col("doc_id"), explode(col("sh")).as("s"))
+  /** Shingles with document frequency above this are dropped from the
+    * inverted index before the pair self-join. A shingle in d docs
+    * contributes d(d−1)/2 candidate pairs, so one hot shingle ("of the
+    * and") goes quadratic in its posting list at web scale; capping DF
+    * is standard inverted-index practice. Because candidates are then
+    * verified EXACTLY against the full shingle arrays, the cap affects
+    * only recall, never a reported jaccard value — and a qualifying
+    * pair (jaccard ≥ 0.8) is missed only if EVERY shingle it shares is
+    * hot, which for near-dup docs means both are built almost entirely
+    * of ubiquitous shingles. 64 is far above any legitimate per-pair
+    * shingle DF at sf0.01 (the DuckDB oracle proves the pair set is
+    * unchanged) while bounding any posting list to 64·63/2 pairs. */
+  private[graft] val defaultMaxShingleDf = 64L
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardCapped(docShingles(spark, dir), defaultMaxShingleDf)
+
+  /** Hashed inverted index: one row per (doc, shingle). Carries an
+    * 8-byte shingle hash, not the ~30-byte string: the self-join
+    * shuffles a fraction of the bytes. (64-bit collisions across
+    * distinct shingles are ~|S|²/2⁶⁵ — immaterial — and the
+    * exact-string DuckDB oracle would catch one.) */
+  private def hashedIndex(docSh: DataFrame): DataFrame =
+    docSh.select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("s"))
-      .persist()
+
+  /** Shingles with DF > maxDf. Small by construction — it's the
+    * ubiquitous-boilerplate tail, 8 bytes per entry — computed with a
+    * map-side partial count (tiny shuffle) and removed from the index
+    * via broadcast anti-join, so the full index is never re-shuffled
+    * or sorted for the cap. */
+  private def hotShingles(sh: DataFrame, maxDf: Long): DataFrame =
+    sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("s")
+
+  /** Candidate pairs sharing ≥1 shingle with DF ≤ maxDf (spec probe —
+    * [[ngramJaccardCapped]] inlines the same shape). */
+  private[graft] def ngramCandidates(docSh: DataFrame, maxDf: Long): DataFrame = {
+    val sh = hashedIndex(docSh).persist()
+    val cold = sh.join(broadcast(hotShingles(sh, maxDf)), Seq("s"), "left_anti")
+    cold.as("a")
+      .join(cold.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      .distinct()
+  }
+
+  /** Exact jaccard pairs with the hot-shingle cap. Pairs and their
+    * intersection counts stay 16-byte index rows end to end — never
+    * materialized shingle arrays, which on a dense corpus (every pair
+    * sharing any shingle is a candidate) would shuffle GBs. Hot
+    * shingles are excluded from the pair self-join and their exact
+    * per-pair contribution is added back from per-doc hot-shingle
+    * SETS, which are tiny (≤ the handful of boilerplate shingles) and
+    * empty when nothing exceeds the cap. Reported jaccard values are
+    * therefore exact; the cap's only effect is recall: a pair is
+    * missed iff EVERY shingle it shares is hot. */
+  private[graft] def ngramJaccardCapped(docSh: DataFrame, maxDf: Long): DataFrame = {
+    // persisted: feeds the DF stats, per-doc sizes, hot sets, and both
+    // self-join sides; without it the tokenize+shingle scan of every
+    // document runs five times (callers release via clearCache)
+    val sh = hashedIndex(docSh).persist()
+    val hot = hotShingles(sh, maxDf)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+    val cold = sh.join(broadcast(hot), Seq("s"), "left_anti")
+    val coldInter = cold.as("a")
+      .join(cold.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
+      .agg(count(lit(1)).as("n_cold"))
+    // per-doc hot sets: AQE broadcasts them when small/empty; at scale
+    // (boilerplate in most docs) they stay a plain shuffle join
+    val hotSets = sh.join(broadcast(hot), Seq("s"))
+      .groupBy("doc_id").agg(collect_set(col("s")).as("hs"))
+    coldInter
+      .join(hotSets.select(col("doc_id").as("doc_i"), col("hs").as("hs_i")), Seq("doc_i"), "left")
+      .join(hotSets.select(col("doc_id").as("doc_j"), col("hs").as("hs_j")), Seq("doc_j"), "left")
+      .withColumn("n_hot",
+        when(col("hs_i").isNull || col("hs_j").isNull, lit(0L))
+          .otherwise(size(array_intersect(col("hs_i"), col("hs_j"))).cast("long")))
+      .withColumn("n_inter", col("n_cold") + col("n_hot"))
       .join(sizes.as("sa"), col("doc_i") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_j") === col("sb.doc_id"))
       .withColumn("jaccard", col("n_inter") / (col("sa.n") + col("sb.n") - col("n_inter")))
@@ -215,14 +281,35 @@ object Dedup {
   val simhashValuesSql: String =
     s"WITH $simhashesSqlCte SELECT doc_id, simhash FROM sims ORDER BY 1"
 
-  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(spark, dir, nBands = 4)
+
+  /** Near-dup pairs at hamming ≤ nBands−1 ∧ ≤ 3, blocked on nBands
+    * equal-width bands of the 60-bit signature.
+    *
+    * Band-count trade (pigeonhole): `nBands` bands are EXACT for
+    * hamming ≤ nBands−1, but each band then has 60/nBands bits →
+    * 2^(60/nBands) buckets, and in-bucket pairing is quadratic in
+    * occupancy. With the default 4×15 bits (hamming ≤ 3) there are
+    * only 2¹⁵ buckets per band: assuming uniform signatures, expected
+    * candidate pairs ≈ nBands·n²/2^(w+1) — fine to ~10⁸ docs, ~10¹³
+    * pairs at n=10⁹, i.e. it breaks somewhere past 10⁸ docs. The knobs:
+    * nBands=2 (2×30 bits, 2³⁰ buckets) scales to ~10⁹⁺ docs at the
+    * cost of exactness radius (hamming ≤ 1 only); conversely nBands=6
+    * covers hamming ≤ 5. Radius > bucket-count relief inside 60 bits
+    * is a zero-sum game — the real 10⁹⁺-doc fix is a wider signature
+    * (e.g. 128-bit simhash with 4×32-bit bands), which only needs a
+    * wider kernel, not a different plan shape. */
+  def simhashPairs(spark: SparkSession, dir: String, nBands: Int): DataFrame = {
+    require(60 % nBands == 0, s"nBands must divide 60, got $nBands")
+    val width = 60 / nBands
+    val mask = (1L << width) - 1
     // persisted: both self-join sides read it; the md5-per-token
     // simhash pass is the expensive part (callers release via clearCache)
     val sims = simhashes(spark, dir).persist()
-    // 4 bands × 15 bits: hamming ≤ 3 ⇒ at least one band identical.
     val banded = sims.select(col("doc_id"), col("simhash"),
         explode(expr(
-          "transform(sequence(0, 3), b -> named_struct('band_idx', b, 'band_val', shiftright(simhash, b * 15) & 32767))"))
+          s"transform(sequence(0, ${nBands - 1}), b -> named_struct('band_idx', b, 'band_val', shiftright(simhash, b * $width) & $mask))"))
           .as("band"))
       .select(col("doc_id"), col("simhash"), col("band.band_idx"), col("band.band_val"))
     banded.as("a")
@@ -290,34 +377,54 @@ object Dedup {
   // near-dup PAIRS into connected components and keep one doc per
   // component. Distributed min-label propagation (labels converge to
   // the component's minimum doc_id in O(diameter) rounds; lineage is
-  // truncated per round with localCheckpoint so plans don't grow).
+  // truncated per round — see `truncate` — so plans don't grow).
   // Near-dup clusters are tiny in practice, so few rounds suffice —
-  // the 30-round cap is a safety net, and the exact recursive-CTE
+  // the round cap is a safety net, and the exact recursive-CTE
   // oracle would flag any non-convergence as a mismatch.
   // ---------------------------------------------------------------------
+  /** Lineage truncation for the propagation loop: RELIABLE checkpoint
+    * when the session has a checkpoint dir configured (survives
+    * executor loss — required on a real cluster), localCheckpoint
+    * otherwise (single-JVM dev/test, where executor loss == JVM loss
+    * and the reliable variant would only add a tmp-dir requirement). */
+  private def truncate(df: DataFrame, eager: Boolean): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager)
+    else df.localCheckpoint(eager)
+
   def clusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = minhashLsh(spark, dir).select(col("doc_i"), col("doc_j"))
     val und = pairs.union(
         pairs.select(col("doc_j").as("doc_i"), col("doc_i").as("doc_j")))
       .persist()
-    var labels = Tables.load(spark, dir, "documents").select(col("doc_id"))
-      .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint(true)
-    var changed = 1L
+    var labels = truncate(Tables.load(spark, dir, "documents").select(col("doc_id"))
+      .withColumn("cluster_id", col("doc_id")), eager = true)
+    // Convergence is only CHECKED every checkEvery rounds, and on check
+    // rounds the count() doubles as the action that materializes the
+    // (lazy) checkpoint — so every round runs exactly one driver
+    // action, vs two (eager checkpoint + count) when checking each
+    // round. Worst case wastes checkEvery−1 no-op rounds after
+    // convergence; near-dup clusters converge in a handful of rounds,
+    // so that beats 2× the actions on every productive round.
+    val checkEvery = 4
+    val maxRounds = 32
+    var converged = false
     var round = 0
-    while (changed > 0 && round < 30) {
+    while (!converged && round < maxRounds) {
+      round += 1
       val nbrMin = labels.join(und, labels("doc_id") === und("doc_i"))
         .groupBy(col("doc_j").as("nbr_doc"))
         .agg(min(col("cluster_id")).as("nbr_min"))
-      val updated = labels
+      // near-dup components are usually pairs/triples (diameter ≤ 2),
+      // so probe once early at round 2, then settle into the cadence
+      val isCheck = round == 2 || round % checkEvery == 0 || round == maxRounds
+      val updated = truncate(labels
         .join(nbrMin, labels("doc_id") === nbrMin("nbr_doc"), "left")
         .select(col("doc_id"), col("cluster_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("new_label"))
-        .localCheckpoint(true)
-      changed = updated.filter(col("new_label") =!= col("cluster_id")).count()
+            .as("new_label")), eager = !isCheck)
+      if (isCheck)
+        converged = updated.filter(col("new_label") =!= col("cluster_id")).count() == 0
       labels = updated.select(col("doc_id"), col("new_label").as("cluster_id"))
-      round += 1
     }
     und.unpersist(blocking = false)
     labels

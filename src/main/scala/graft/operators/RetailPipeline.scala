@@ -25,12 +25,13 @@ import graft.Tables
   *    The dead window at :109-110 (adds a never-used column) is dropped.
   *
   *  - `retail_weekly_corrected` — the business intent (README.md:47-60)
-  *    as one date-matched join + a daily pre-aggregation + a single
-  *    weekly aggregation: no fanout, no duplicate metric branches, no
-  *    groups dropped. The daily pre-agg is the 100 TB move: it collapses
-  *    the fact to (day, store, product) grain BEFORE the weekly shuffle,
-  *    and every weekly metric (incl. the end-of-week snapshots, via
-  *    `max_by`) comes out of ONE hash aggregate instead of nine joins.
+  *    as daily pre-aggregations of BOTH facts + one co-partitioned
+  *    date-matched join + a single weekly aggregation: no fanout, no
+  *    duplicate metric branches, no groups dropped. The daily pre-aggs
+  *    are the 100 TB move: they collapse each fact to (day, store,
+  *    product) grain BEFORE the join and the weekly shuffle, and every
+  *    weekly metric (incl. the end-of-week snapshots, via `max_by`)
+  *    comes out of ONE hash aggregate instead of nine joins.
   *
   * Table mapping onto the test data: sales=lineitem (part→product,
   * supplier→store, shipdate→trans_dt), inventory=derived daily
@@ -354,26 +355,33 @@ object RetailPipeline {
     * days-since-epoch arithmetic (the test-data convention). */
   def buildCorrected(sales: DataFrame, inventory: DataFrame,
       calendarOpt: Option[DataFrame] = None): DataFrame = {
-    // Date-matched join (fixes the J1 landmine), then collapse to daily
-    // grain FIRST — at 100 TB this is the shuffle-size lever: the weekly
-    // aggregate runs over (days × store × product), not raw transactions.
-    // shuffle_hash: both sides are fact-sized and the join keys match
-    // the following groupBy, so sort-merge's two sorts are pure waste —
-    // hash-join the shuffled partitions instead.
-    val daily = sales
-      .join(inventory.hint("shuffle_hash"),
-        sales("PROD_KEY") === inventory("PROD_KEY")
-          && sales("STORE_KEY") === inventory("STORE_KEY")
-          && sales("TRANS_DT") === inventory("CAL_DT"))
-      .groupBy(sales("PROD_KEY").as("prod_key"), sales("STORE_KEY").as("store_key"),
-        col("CAL_DT").as("cal_dt"))
+    // Collapse BOTH sides to daily grain BEFORE the date-matched join
+    // (fixing the J1 landmine twice over: no transaction×snapshot
+    // fanout even if inventory ever carried duplicate grain rows). At
+    // 100 TB this is the shuffle-size lever: the join and everything
+    // after it run over (days × store × product) rows, not raw
+    // transactions — aggregate-before-join shrinks the join's shuffle
+    // by the per-day transaction multiplicity.
+    val dailySales = sales
+      .groupBy(col("PROD_KEY").as("prod_key"), col("STORE_KEY").as("store_key"),
+        col("TRANS_DT").as("cal_dt"))
       .agg(
         sum(col("SALES_QTY")).as("day_qty"),
         sum(col("SALES_AMT")).as("day_amt"),
-        sum(col("SALES_COST")).as("day_cost"),
+        sum(col("SALES_COST")).as("day_cost"))
+    val dailyInv = inventory
+      .groupBy(col("PROD_KEY").as("prod_key"), col("STORE_KEY").as("store_key"),
+        col("CAL_DT").as("cal_dt"))
+      .agg(
         max(col("INVENTORY_ON_HAND_QTY")).as("on_hand"),
         max(col("INVENTORY_ON_ORDER_QTY")).as("on_order"),
         max(col("OUT_OF_STOCK_FLG")).as("oos_flg"))
+    // Both aggregates hash-partition on the same three keys, so this
+    // join is co-partitioned — no additional shuffle. shuffle_hash:
+    // the sides are daily-grain (small per partition) and sort-merge's
+    // two sorts buy nothing the hash map doesn't.
+    val daily = dailySales.join(dailyInv.hint("shuffle_hash"),
+      Seq("prod_key", "store_key", "cal_dt"))
 
     // Week assignment: broadcast-join the (tiny) calendar dim if given,
     // else pure arithmetic — either way no extra shuffle before the
@@ -411,18 +419,21 @@ object RetailPipeline {
 
   val correctedSql: String =
     s"""WITH $retailSqlCtes,
+       |daily_sales AS (
+       |  SELECT prod_key, store_key, trans_dt AS cal_dt,
+       |    SUM(sales_qty) AS day_qty,
+       |    SUM(sales_amt) AS day_amt,
+       |    SUM(sales_cost) AS day_cost
+       |  FROM sales GROUP BY 1, 2, 3),
+       |daily_inv AS (
+       |  SELECT prod_key, store_key, cal_dt,
+       |    MAX(inventory_on_hand_qty) AS on_hand,
+       |    MAX(inventory_on_order_qty) AS on_order,
+       |    MAX(out_of_stock_flg) AS oos_flg
+       |  FROM inventory GROUP BY 1, 2, 3),
        |daily AS (
-       |  SELECT s.prod_key, s.store_key, i.cal_dt,
-       |    SUM(s.sales_qty) AS day_qty,
-       |    SUM(s.sales_amt) AS day_amt,
-       |    SUM(s.sales_cost) AS day_cost,
-       |    MAX(i.inventory_on_hand_qty) AS on_hand,
-       |    MAX(i.inventory_on_order_qty) AS on_order,
-       |    MAX(i.out_of_stock_flg) AS oos_flg
-       |  FROM sales s
-       |  JOIN inventory i ON s.prod_key = i.prod_key
-       |    AND s.store_key = i.store_key AND s.trans_dt = i.cal_dt
-       |  GROUP BY 1, 2, 3)
+       |  SELECT * FROM daily_sales
+       |  JOIN daily_inv USING (prod_key, store_key, cal_dt))
        |SELECT ${Relational.wkSql("cal_dt")} AS yr_wk_num, store_key, prod_key,
        |  CAST(SUM(day_amt) AS DOUBLE) AS total_sales_amt,
        |  SUM(day_qty) AS total_sales_qty,

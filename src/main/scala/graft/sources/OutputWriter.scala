@@ -38,6 +38,47 @@ object OutputWriter {
       .parquet(outPath)
   }
 
+  /** Catalog-table fact sink: same layout as [[writeFact]] (parquet,
+    * date-partitioned, dynamic overwrite) but registered in the
+    * session catalog / metastore so the table survives the session and
+    * is queryable by name — the Spark-native analog of the reference's
+    * Glue-crawler → Athena path (reference: README.md:64-78), minus
+    * the crawler: the schema is declared by the write, not re-inferred.
+    * With a Hive/metastore-backed catalog this is the cross-session
+    * durable catalog entry; with the default in-memory catalog the
+    * parquet + partition layout still survives in the warehouse dir. */
+  def writeFactTable(df: DataFrame, table: String, date: String): Unit = {
+    val spark = df.sparkSession
+    val dated = df.withColumn("date", lit(date))
+    if (spark.catalog.tableExists(table)) {
+      // saveAsTable(Overwrite) would drop ALL dates and recreate;
+      // dynamic-overwrite insertInto replaces only this run's date.
+      // insertInto resolves columns by POSITION, so align to the
+      // table's declared order first (partition column last).
+      val cols = spark.table(table).columns
+      // the writer OPTION is honored for path writes but not reliably
+      // for insertInto — pin the session conf for the duration instead
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try
+        dated.select(cols.map(col).toIndexedSeq: _*)
+          .write
+          .mode(SaveMode.Overwrite)
+          .insertInto(table)
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    } else {
+      dated.write
+        .mode(SaveMode.Overwrite)
+        .partitionBy("date")
+        .format("parquet")
+        .saveAsTable(table)
+    }
+  }
+
   /** CSV unload (reference S7 — Data Load.sql:4-41 unloads each table
     * as one headered CSV filtered to `dt <= current_date()`). */
   def csvUnload(df: DataFrame, dateCol: String, outPath: String): Unit =

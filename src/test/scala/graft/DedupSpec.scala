@@ -41,6 +41,51 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("DF cap: a planted hot shingle stops inflating the candidate join") {
+    import spark.implicits._
+    // 40 docs that all share one ubiquitous phrase (a hot shingle) but
+    // are otherwise pairwise unrelated, plus one genuine near-dup pair.
+    val boiler = "terms and conditions apply"
+    val unrelated = (1L to 40L).map(i =>
+      (i, s"$boiler document number $i speaks about topic${i}a topic${i}b topic${i}c topic${i}d"))
+    // the dup pair carries the boilerplate too, so part of its true
+    // intersection is HOT shingles — the capped jaccard must re-add
+    // that contribution exactly, not just match on cold shingles
+    val dup = Seq(
+      (100L, s"$boiler the quick brown fox jumps over the lazy dog again and again today"),
+      (101L, s"$boiler the quick brown fox jumps over the lazy dog again and again tonight"))
+    graft.functions.GraftFunctions.register(spark)
+    val docs = (unrelated ++ dup).toDF("doc_id", "text")
+      .withColumn("sh", org.apache.spark.sql.functions.expr(
+        s"shingles3(${Dedup.toksSpark})"))
+      .select("doc_id", "sh")
+    val uncapped = Dedup.ngramCandidates(docs, maxDf = Long.MaxValue).count()
+    val capped = Dedup.ngramCandidates(docs, maxDf = 8).count()
+    // every doc shares the boilerplate shingles -> uncapped candidates
+    // are quadratic in the corpus; the cap removes exactly that blowup
+    assert(uncapped >= 40L * 39 / 2, s"hot shingle should fan out, got $uncapped")
+    assert(capped === 1, s"capped candidates should be just the dup pair, got $capped")
+    // and the final pair set AND exact jaccard values (incl. the hot
+    // shingles' contribution to the intersection) are identical
+    val full = Dedup.ngramJaccardCapped(docs, Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val withCap = Dedup.ngramJaccardCapped(docs, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(full.keySet === Set((100L, 101L)) && withCap === full)
+    spark.catalog.clearCache()
+  }
+
+  test("simhash banding: 6x10-bit bands find the same hamming<=3 pairs as 4x15") {
+    val p4 = Dedup.simhashPairs(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p6 = Dedup.simhashPairs(spark, SF, nBands = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // both band counts are exact for hamming <= 3 by pigeonhole, so the
+    // pair sets must agree perfectly
+    assert(p4 === p6)
+    spark.catalog.clearCache()
+  }
+
   test("exact dedup keeps one keeper per distinct text") {
     val docs = Tables.load(spark, SF, "documents").count()
     val dedup = Dedup.exact(spark, SF)

@@ -180,4 +180,33 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(back.filter("date = '2024-01-08'").count() === 3, "prior day survived")
     assert(back.filter("date = '2024-01-09'").count() === 5, "rerun replaced its own day")
   }
+
+  test("catalog fact table: queryable by name, reruns keep earlier dates") {
+    import graft.sources.OutputWriter
+    val table = "graft_weekly_fact_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // DROP of a table the (in-memory) catalog never knew about leaves a
+    // stale warehouse dir behind from prior JVMs — clear it or CTAS
+    // refuses with LOCATION_ALREADY_EXISTS
+    val wh = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(wh)
+    val df = spark.range(3).toDF("id")
+    OutputWriter.writeFactTable(df, table, "2024-01-08")
+    OutputWriter.writeFactTable(df, table, "2024-01-09")
+    OutputWriter.writeFactTable(spark.range(5).toDF("id"), table, "2024-01-09") // rerun
+    // the Athena-analog contract: query by NAME, partition-pruned
+    val back = spark.table(table)
+    assert(back.filter("date = '2024-01-08'").count() === 3, "prior day survived")
+    assert(back.filter("date = '2024-01-09'").count() === 5, "rerun replaced its own day")
+    assert(spark.catalog.tableExists(table), "table registered in the catalog")
+    val plan = back.filter("date = '2024-01-08'")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || plan.contains("date=2024-01-08"),
+      s"date filter should prune partitions:\n$plan")
+    spark.sql(s"DROP TABLE $table")
+  }
 }

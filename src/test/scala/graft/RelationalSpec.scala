@@ -45,6 +45,25 @@ class RelationalSpec extends AnyFunSuite with SparkSuite {
     assert(df.filter("fanout_rows > 1").count() > 0)
   }
 
+  test("q08 branch joins are co-partitioned on the grain (no join re-shuffle)") {
+    // Pin the static planner: AQE would broadcast these tiny test-scale
+    // branches and hide the partitioning contract this asserts.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Relational.q08(spark, SF).queryExecution.executedPlan.toString
+      // one shuffle per branch (two aggregates + one window), and the
+      // two grain joins reuse that partitioning instead of adding more
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(hashEx === 3, s"expected exactly one shuffle per branch, got $hashEx:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"grain joins should be shuffle-side joins on the branch partitioning:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
   test("q10 plans as TakeOrderedAndProject (no global sort at scale)") {
     val plan = Relational.q10(spark, SF).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$plan")
