@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
 
 /** Table catalog over the driver-generated parquet test data
   * (TESTDATA.md). At 100 TB these reads are plain `spark.read.parquet`
@@ -31,21 +32,40 @@ object Tables {
   def loadBalanced(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = load(spark, sfDir, name)
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // file count as the split estimate: cheap (already listed by the
+    // read) and avoids forcing a full RDD conversion per query build
+    // the way df.rdd.getNumPartitions would. It under-counts splits of
+    // one big SPLITTABLE file — but the repartition only ever fires on
+    // inputs smaller than the core count, where the extra exchange is
+    // noise either way.
+    if (df.inputFiles.length < target) df.repartition(target) else df
   }
 
   /** `events.ts` is nanosecond-precision parquet, which Spark 4 refuses
-    * as TimestampType; read nanos as a long (legacy flag) and expose
-    * epoch seconds — all event queries do their window arithmetic in
-    * the epoch-seconds domain anyway (see operators.Events). */
-  def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * to convert to TimestampType. Declaring ts as LongType in an
+    * explicit read schema yields the raw nano count per row WITHOUT
+    * the session-wide `spark.sql.legacy.parquet.nanosAsLong` flag (a
+    * conf mutation that would surprise other users of the session);
+    * epoch seconds are derived — all event queries do their window
+    * arithmetic in the epoch-seconds domain anyway (see
+    * operators.Events). */
+  private[graft] val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame =
     // floor division via pmod (Spark's `div` truncates toward zero,
     // which would disagree with the floor-semantics oracles for any
     // pre-1970 timestamp)
-    loadBalanced(spark, sfDir, "events")
+    spark.read.schema(eventsSchema).parquet(s"$sfDir/events.parquet")
       .withColumn("sec",
         org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000000000)) div 1000000000"))
+
+  def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = eventsRaw(spark, sfDir)
+    val target = spark.sparkContext.defaultParallelism
+    if (df.inputFiles.length < target) df.repartition(target) else df
   }
 
   /** Register every table as a temp view so the ad-hoc `spark.sql`
@@ -55,15 +75,10 @@ object Tables {
     * queries expect the derived `sec` column. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach { n =>
-      // events needs the nanos conf + sec column, but NOT loadBalanced:
-      // a generic SQL view shouldn't pay a repartition shuffle on every
-      // ad-hoc query
-      val df = if (n == "events") {
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        load(spark, sfDir, n)
-          .withColumn("sec",
-            org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000000000)) div 1000000000"))
-      } else load(spark, sfDir, n)
+      // events needs the explicit nanos-as-long schema + sec column,
+      // but NOT loadBalanced: a generic SQL view shouldn't pay a
+      // repartition shuffle on every ad-hoc query
+      val df = if (n == "events") eventsRaw(spark, sfDir) else load(spark, sfDir, n)
       df.createOrReplaceTempView(n)
     }
 }

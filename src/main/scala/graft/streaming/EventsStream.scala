@@ -22,10 +22,9 @@ object EventsStream {
     * read as long, rebuild a microsecond TimestampType for the
     * event-time window/watermark. */
   private def eventsSource(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // explicit nanos-as-long schema (no session-wide legacy conf)
     spark.readStream
-      .schema(schema)
+      .schema(graft.Tables.eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))

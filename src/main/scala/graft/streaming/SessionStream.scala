@@ -116,9 +116,8 @@ object SessionStream {
     * (AvailableNow) into an in-memory sink named `queryName`. */
   def run(spark: SparkSession, dir: String, queryName: String,
       maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(dir).schema
-    val reader = spark.readStream.schema(schema)
+    // explicit nanos-as-long schema (no session-wide legacy conf)
+    val reader = spark.readStream.schema(graft.Tables.eventsSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val src = reader.parquet(dir)
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
