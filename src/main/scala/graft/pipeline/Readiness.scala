@@ -72,6 +72,43 @@ object LogNotifier extends Notifier {
       s"[readiness] input files missing for $date: ${missing.toSeq.sorted.mkString(", ")}")
 }
 
+/** Durable alert channel: appends one JSON line per alert to a file
+  * on any Hadoop-visible filesystem (local, HDFS, s3a — the same
+  * reach as the readiness scan itself). A real transport (the SES
+  * email of AWS SES.py:31-51, PagerDuty, Slack) tails or subscribes
+  * to this path; the engine stays free of SDK dependencies. Alerts
+  * survive the JVM, unlike stderr. */
+final class FileNotifier(conf: Configuration, path: String) extends Notifier {
+  def notifyMissing(date: LocalDate, missing: Set[String]): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val line = s"""{"kind":"readiness_missing","date":"$date","missing":[${
+      missing.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]}""" + "\n"
+    // append when the FS supports it (HDFS/local), else read-merge-
+    // rewrite — object stores like S3 have no append
+    val out =
+      if (fs.exists(p) && fs.hasPathCapability(p, "fs.capability.paths.append"))
+        fs.append(p)
+      else {
+        val prior =
+          if (!fs.exists(p)) Array.empty[Byte]
+          else {
+            val in = fs.open(p)
+            try {
+              val buf = new java.io.ByteArrayOutputStream()
+              org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+              buf.toByteArray
+            } finally in.close()
+          }
+        val o = fs.create(p, true)
+        o.write(prior)
+        o
+      }
+    try out.write(line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}
+
 /** One coherent run contract (reference C4). The reference's Lambda →
   * Airflow → spark-submit chain disagrees with itself about argument
   * shape (flag args built at Airflow Dag.py:22-26 vs positional

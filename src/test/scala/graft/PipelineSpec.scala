@@ -181,6 +181,21 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(back.filter("date = '2024-01-09'").count() === 5, "rerun replaced its own day")
   }
 
+  test("file notifier appends durable JSONL alerts") {
+    import graft.pipeline.FileNotifier
+    val path = Files.createTempDirectory("graft_alerts").toString + "/alerts.jsonl"
+    val n = new FileNotifier(new org.apache.hadoop.conf.Configuration(), path)
+    n.notifyMissing(LocalDate.parse("2024-01-08"), Set("sales", "calendar"))
+    n.notifyMissing(LocalDate.parse("2024-01-09"), Set("store"))
+    val lines = Files.readAllLines(Paths.get(path))
+    assert(lines.size() === 2, "one JSON line per alert, appended")
+    assert(lines.get(0).contains("\"2024-01-08\"") && lines.get(0).contains("\"calendar\",\"sales\""))
+    assert(lines.get(1).contains("\"store\""))
+    // machine-readable: each line parses as JSON via Spark's reader
+    val parsed = spark.read.json(path)
+    assert(parsed.count() === 2 && parsed.columns.toSet === Set("kind", "date", "missing"))
+  }
+
   test("catalog fact table: queryable by name, reruns keep earlier dates") {
     import graft.sources.OutputWriter
     val table = "graft_weekly_fact_spec"
