@@ -27,7 +27,10 @@ object Bench {
     // two consecutive reps. A failed rep must NOT contribute its
     // time-to-failure — a broken query would otherwise read as a
     // performance win — so failures record -1.
-    val nReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // malformed/zero values must not crash the bench or make every
+    // query read as the -1 failure sentinel
+    val nReps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val reps = (1 to nReps).flatMap { _ =>
         val t0 = System.nanoTime()

@@ -29,17 +29,31 @@ object Tables {
     * shuffle would otherwise run on ONE task; a real lake table has
     * plenty of splits and passes through untouched. Use for operators
     * with heavy per-row compute (hashing, sketching, vector math). */
-  def loadBalanced(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = load(spark, sfDir, name)
+  /** Scan-split estimate from driver-side file metadata: parquet is
+    * split by byte range, so splits ≈ Σ ceil(size / maxPartitionBytes).
+    * Metadata-only (the listing is already cached by the read) — no
+    * full RDD conversion per query build the way df.rdd.getNumPartitions
+    * would force, and unlike a raw file COUNT it does not misjudge one
+    * big splittable file as one split (which would add a full exchange
+    * to exactly the inputs big enough for it to hurt). */
+  private def balance(spark: SparkSession, df: DataFrame): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
-    // file count as the split estimate: cheap (already listed by the
-    // read) and avoids forcing a full RDD conversion per query build
-    // the way df.rdd.getNumPartitions would. It under-counts splits of
-    // one big SPLITTABLE file — but the repartition only ever fires on
-    // inputs smaller than the core count, where the extra exchange is
-    // noise either way.
-    if (df.inputFiles.length < target) df.repartition(target) else df
+    val files = df.inputFiles
+    if (files.length >= target) df
+    else {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes.max(1L)
+      val splits = files.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val len = p.getFileSystem(hconf).getFileStatus(p).getLen
+        ((len + maxBytes - 1) / maxBytes).max(1L)
+      }.sum
+      if (splits < target) df.repartition(target) else df
+    }
   }
+
+  def loadBalanced(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    balance(spark, load(spark, sfDir, name))
 
   /** `events.ts` is nanosecond-precision parquet, which Spark 4 refuses
     * to convert to TimestampType. Declaring ts as LongType in an
@@ -62,11 +76,8 @@ object Tables {
       .withColumn("sec",
         org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000000000)) div 1000000000"))
 
-  def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    val df = eventsRaw(spark, sfDir)
-    val target = spark.sparkContext.defaultParallelism
-    if (df.inputFiles.length < target) df.repartition(target) else df
-  }
+  def loadEvents(spark: SparkSession, sfDir: String): DataFrame =
+    balance(spark, eventsRaw(spark, sfDir))
 
   /** Register every table as a temp view so the ad-hoc `spark.sql`
     * surface (reference's Glue/Athena step, README.md:64-78) works

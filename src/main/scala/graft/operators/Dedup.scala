@@ -106,9 +106,10 @@ object Dedup {
     * inverted index before the pair self-join. A shingle in d docs
     * contributes d(d−1)/2 candidate pairs, so one hot shingle ("of the
     * and") goes quadratic in its posting list at web scale; capping DF
-    * is standard inverted-index practice. Because candidates are then
-    * verified EXACTLY against the full shingle arrays, the cap affects
-    * only recall, never a reported jaccard value — and a qualifying
+    * is standard inverted-index practice. Because each hot shingle's
+    * exact per-pair contribution is re-added from per-doc hot-shingle
+    * sets (see [[ngramJaccardCapped]]), the cap affects only recall,
+    * never a reported jaccard value — and a qualifying
     * pair (jaccard ≥ 0.8) is missed only if EVERY shingle it shares is
     * hot, which for near-dup docs means both are built almost entirely
     * of ubiquitous shingles. 64 is far above any legitimate per-pair
@@ -128,11 +129,14 @@ object Dedup {
     docSh.select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("s"))
 
-  /** Shingles with DF > maxDf. Small by construction — it's the
-    * ubiquitous-boilerplate tail, 8 bytes per entry — computed with a
-    * map-side partial count (tiny shuffle) and removed from the index
-    * via broadcast anti-join, so the full index is never re-shuffled
-    * or sorted for the cap. */
+  /** Shingles with DF > maxDf — the ubiquitous-boilerplate tail,
+    * 8 bytes per entry. Computed with a map-side partial count (tiny
+    * shuffle); the joins against it are left UNHINTED: when the hot
+    * set is small AQE broadcasts it at runtime (no index re-shuffle),
+    * and when it is genuinely large (the Zipf head of a web corpus
+    * can be 1e7+ shingles) a forced broadcast would OOM the driver
+    * where AQE's shuffle join — on the same `s` key the pair
+    * self-join needs anyway — just works. */
   private def hotShingles(sh: DataFrame, maxDf: Long): DataFrame =
     sh.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("s")
@@ -141,7 +145,7 @@ object Dedup {
     * [[ngramJaccardCapped]] inlines the same shape). */
   private[graft] def ngramCandidates(docSh: DataFrame, maxDf: Long): DataFrame = {
     val sh = hashedIndex(docSh).persist()
-    val cold = sh.join(broadcast(hotShingles(sh, maxDf)), Seq("s"), "left_anti")
+    val cold = sh.join(hotShingles(sh, maxDf), Seq("s"), "left_anti")
     cold.as("a")
       .join(cold.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
@@ -165,14 +169,14 @@ object Dedup {
     val sh = hashedIndex(docSh).persist()
     val hot = hotShingles(sh, maxDf)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val cold = sh.join(broadcast(hot), Seq("s"), "left_anti")
+    val cold = sh.join(hot, Seq("s"), "left_anti")
     val coldInter = cold.as("a")
       .join(cold.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
       .agg(count(lit(1)).as("n_cold"))
     // per-doc hot sets: AQE broadcasts them when small/empty; at scale
     // (boilerplate in most docs) they stay a plain shuffle join
-    val hotSets = sh.join(broadcast(hot), Seq("s"))
+    val hotSets = sh.join(hot, Seq("s"))
       .groupBy("doc_id").agg(collect_set(col("s")).as("hs"))
     coldInter
       .join(hotSets.select(col("doc_id").as("doc_i"), col("hs").as("hs_i")), Seq("doc_i"), "left")
@@ -377,34 +381,65 @@ object Dedup {
   // near-dup PAIRS into connected components and keep one doc per
   // component. Distributed min-label propagation (labels converge to
   // the component's minimum doc_id in O(diameter) rounds; lineage is
-  // truncated per round — see `truncate` — so plans don't grow).
+  // truncated per round — see [[Truncator]] — so plans don't grow).
   // Near-dup clusters are tiny in practice, so few rounds suffice —
   // the round cap is a safety net, and the exact recursive-CTE
   // oracle would flag any non-convergence as a mismatch.
   // ---------------------------------------------------------------------
-  /** Lineage truncation for the propagation loop: RELIABLE checkpoint
-    * when the session has a checkpoint dir configured (survives
-    * executor loss — required on a real cluster), localCheckpoint
-    * otherwise (single-JVM dev/test, where executor loss == JVM loss
-    * and the reliable variant would only add a tmp-dir requirement). */
-  private def truncate(df: DataFrame, eager: Boolean): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager)
-    else df.localCheckpoint(eager)
+  /** Lineage truncation for the propagation loop.
+    *
+    * With a checkpoint dir configured (a real cluster), each round is
+    * written to one of two alternating parquet slots under it and read
+    * back: executor-loss-safe (the data is on durable storage, the
+    * read-back lineage is a plain scan), exactly ONE computation of
+    * the round (unlike `Dataset.checkpoint`, which recomputes the
+    * unpersisted plan a second time to write its files), and bounded
+    * on-disk footprint (two label-table copies, overwritten in place,
+    * vs `checkpoint`'s one abandoned copy per round — Spark only
+    * cleans those with reference-tracking enabled). The slot pair
+    * lives for the session since the returned frame scans the final
+    * slot; it is removed with the app's checkpoint dir.
+    *
+    * Without a checkpoint dir (single-JVM dev/test, where executor
+    * loss == JVM loss) localCheckpoint keeps the data in block-store —
+    * no durability requirement to impose on callers. */
+  private final class Truncator(spark: SparkSession) {
+    private val reliableBase: Option[String] =
+      spark.sparkContext.getCheckpointDir.map(d =>
+        s"$d/graft-clusters-${java.util.UUID.randomUUID()}")
+    private var slot = 0
+
+    /** Materializes `df` (one action) and returns a lineage-free
+      * equivalent. `eager=false` defers the localCheckpoint action to
+      * the caller's next job on the local path; the reliable path is
+      * inherently eager (the write IS the action). */
+    def truncate(df: DataFrame, eager: Boolean): DataFrame = reliableBase match {
+      case Some(base) =>
+        val path = s"$base/slot$slot"
+        slot = (slot + 1) % 2
+        df.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+      case None => df.localCheckpoint(eager)
+    }
+  }
 
   def clusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = minhashLsh(spark, dir).select(col("doc_i"), col("doc_j"))
     val und = pairs.union(
         pairs.select(col("doc_j").as("doc_i"), col("doc_i").as("doc_j")))
       .persist()
-    var labels = truncate(Tables.load(spark, dir, "documents").select(col("doc_id"))
+    val trunc = new Truncator(spark)
+    var labels = trunc.truncate(Tables.load(spark, dir, "documents").select(col("doc_id"))
       .withColumn("cluster_id", col("doc_id")), eager = true)
     // Convergence is only CHECKED every checkEvery rounds, and on check
     // rounds the count() doubles as the action that materializes the
-    // (lazy) checkpoint — so every round runs exactly one driver
-    // action, vs two (eager checkpoint + count) when checking each
-    // round. Worst case wastes checkEvery−1 no-op rounds after
-    // convergence; near-dup clusters converge in a handful of rounds,
-    // so that beats 2× the actions on every productive round.
+    // (lazy) local checkpoint — so every round runs exactly one
+    // materializing action (plus a cheap count-scan of the written
+    // slot on reliable-path check rounds), vs two full computations
+    // (eager checkpoint + count) when checking each round. Worst case
+    // wastes checkEvery−1 no-op rounds after convergence; near-dup
+    // clusters converge in a handful of rounds, so that beats 2× the
+    // actions on every productive round.
     val checkEvery = 4
     val maxRounds = 32
     var converged = false
@@ -417,7 +452,7 @@ object Dedup {
       // near-dup components are usually pairs/triples (diameter ≤ 2),
       // so probe once early at round 2, then settle into the cadence
       val isCheck = round == 2 || round % checkEvery == 0 || round == maxRounds
-      val updated = truncate(labels
+      val updated = trunc.truncate(labels
         .join(nbrMin, labels("doc_id") === nbrMin("nbr_doc"), "left")
         .select(col("doc_id"), col("cluster_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))

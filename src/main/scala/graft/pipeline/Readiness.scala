@@ -72,38 +72,37 @@ object LogNotifier extends Notifier {
       s"[readiness] input files missing for $date: ${missing.toSeq.sorted.mkString(", ")}")
 }
 
-/** Durable alert channel: appends one JSON line per alert to a file
-  * on any Hadoop-visible filesystem (local, HDFS, s3a — the same
-  * reach as the readiness scan itself). A real transport (the SES
-  * email of AWS SES.py:31-51, PagerDuty, Slack) tails or subscribes
-  * to this path; the engine stays free of SDK dependencies. Alerts
-  * survive the JVM, unlike stderr. */
-final class FileNotifier(conf: Configuration, path: String) extends Notifier {
+/** Durable alert channel: writes each alert as its OWN single-line
+  * JSONL file under a directory on any Hadoop-visible filesystem
+  * (local, HDFS, s3a — the same reach as the readiness scan itself).
+  * One-file-per-alert keeps every write atomic-enough on every FS
+  * class: no append (object stores lack it) and no read-merge-rewrite
+  * of an ever-growing shared file (which loses alerts to a crash
+  * mid-rewrite or to two concurrent writers). `spark.read.json(dir)`
+  * — or any log shipper tailing the directory — sees the whole feed.
+  * A real transport (the SES email of AWS SES.py:31-51, PagerDuty,
+  * Slack) subscribes to this path; the engine stays free of SDK
+  * dependencies. Alerts survive the JVM, unlike stderr. */
+final class FileNotifier(conf: Configuration, dir: String) extends Notifier {
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    } + "\""
+
   def notifyMissing(date: LocalDate, missing: Set[String]): Unit = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf)
-    val line = s"""{"kind":"readiness_missing","date":"$date","missing":[${
-      missing.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]}""" + "\n"
-    // append when the FS supports it (HDFS/local), else read-merge-
-    // rewrite — object stores like S3 have no append
-    val out =
-      if (fs.exists(p) && fs.hasPathCapability(p, "fs.capability.paths.append"))
-        fs.append(p)
-      else {
-        val prior =
-          if (!fs.exists(p)) Array.empty[Byte]
-          else {
-            val in = fs.open(p)
-            try {
-              val buf = new java.io.ByteArrayOutputStream()
-              org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
-              buf.toByteArray
-            } finally in.close()
-          }
-        val o = fs.create(p, true)
-        o.write(prior)
-        o
-      }
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf)
+    fs.mkdirs(d)
+    val line = s"""{"kind":"readiness_missing","date":${jsonStr(date.toString)},"missing":[${
+      missing.toSeq.sorted.map(jsonStr).mkString(",")}]}""" + "\n"
+    val p = new Path(d, s"alert-$date-${java.util.UUID.randomUUID()}.jsonl")
+    // create(overwrite=false): a UUID collision must fail loudly, not
+    // clobber another alert
+    val out = fs.create(p, false)
     try out.write(line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }

@@ -86,6 +86,27 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("clusters reliable-checkpoint path matches the local path") {
+    val local = Dedup.clusters(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val reliable = Dedup.clusters(spark, SF).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(reliable === local)
+      // the alternating-slot layout keeps exactly one pair of slots
+      val slots = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => p.getFileName.toString.startsWith("slot")).count()
+      assert(slots === 2, s"expected 2 alternating slots, saw $slots")
+    } finally {
+      // SparkContext has no unset; point it at a throwaway so later
+      // suites keep exercising the local path semantics they assert
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft_ckpt_unused").toString)
+    }
+  }
+
   test("exact dedup keeps one keeper per distinct text") {
     val docs = Tables.load(spark, SF, "documents").count()
     val dedup = Dedup.exact(spark, SF)

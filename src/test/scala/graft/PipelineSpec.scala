@@ -181,19 +181,23 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(back.filter("date = '2024-01-09'").count() === 5, "rerun replaced its own day")
   }
 
-  test("file notifier appends durable JSONL alerts") {
+  test("file notifier writes durable one-file-per-alert JSONL") {
     import graft.pipeline.FileNotifier
-    val path = Files.createTempDirectory("graft_alerts").toString + "/alerts.jsonl"
-    val n = new FileNotifier(new org.apache.hadoop.conf.Configuration(), path)
+    val dir = Files.createTempDirectory("graft_alerts").toString + "/alerts"
+    val n = new FileNotifier(new org.apache.hadoop.conf.Configuration(), dir)
     n.notifyMissing(LocalDate.parse("2024-01-08"), Set("sales", "calendar"))
-    n.notifyMissing(LocalDate.parse("2024-01-09"), Set("store"))
-    val lines = Files.readAllLines(Paths.get(path))
-    assert(lines.size() === 2, "one JSON line per alert, appended")
-    assert(lines.get(0).contains("\"2024-01-08\"") && lines.get(0).contains("\"calendar\",\"sales\""))
-    assert(lines.get(1).contains("\"store\""))
-    // machine-readable: each line parses as JSON via Spark's reader
-    val parsed = spark.read.json(path)
-    assert(parsed.count() === 2 && parsed.columns.toSet === Set("kind", "date", "missing"))
+    // names with JSON metacharacters must be escaped, not emitted raw
+    n.notifyMissing(LocalDate.parse("2024-01-09"), Set("store\"x\\y"))
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".jsonl"))
+    assert(files.length === 2, "one file per alert (atomic on any FS, incl. no-append stores)")
+    // machine-readable: the whole directory parses as a JSON feed
+    val parsed = spark.read.json(dir)
+    assert(parsed.columns.toSet === Set("kind", "date", "missing"))
+    assert(parsed.filter("date = '2024-01-08'").selectExpr("missing[0]", "missing[1]")
+      .head().toSeq === Seq("calendar", "sales"))
+    assert(parsed.filter("date = '2024-01-09'").selectExpr("missing[0]")
+      .head().getString(0) === "store\"x\\y", "escaped round-trip")
+    assert(!parsed.columns.contains("_corrupt_record"), "no malformed lines")
   }
 
   test("catalog fact table: queryable by name, reruns keep earlier dates") {

@@ -48,6 +48,9 @@ class RelationalSpec extends AnyFunSuite with SparkSuite {
   test("q08 branch joins are co-partitioned on the grain (no join re-shuffle)") {
     // Pin the static planner: AQE would broadcast these tiny test-scale
     // branches and hide the partitioning contract this asserts.
+    // Restore the PRIOR values, not defaults — the session is shared.
+    val prior = Seq("spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -58,9 +61,9 @@ class RelationalSpec extends AnyFunSuite with SparkSuite {
       assert(hashEx === 3, s"expected exactly one shuffle per branch, got $hashEx:\n$plan")
       assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
         s"grain joins should be shuffle-side joins on the branch partitioning:\n$plan")
-    } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
     }
   }
 
