@@ -7,15 +7,24 @@ import graft.Tables
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, and a decode/feature-extract stage.
   *
-  * The Spark-side plumbing is real — schema, per-partition batch
-  * iteration, typed output — but the actual byte decoding is STUBBED
-  * with a deterministic fake (this container ships no image/audio
-  * codecs): see [[decodePartition]], the single function a real
-  * deployment swaps for a JNI/codec call. This mirrors how a Python
-  * pipeline would run decode under `mapInPandas`: Spark streams each
-  * partition through a narrow, no-shuffle map stage, so at 100 TB the
-  * stage scales with input splits and never materializes more than a
-  * partition of media bytes at once.
+  * Two decode paths, both through the same narrow mapPartitions seam:
+  *
+  *  - [[decodeReal]] / `mm_decode` — REAL codecs for the formats the
+  *    JVM ships in pure Java: PNG (javax.imageio) and WAV PCM
+  *    (javax.sound.sampled). Payloads are genuinely encoded media and
+  *    the stage genuinely parses them; the DuckDB oracle checks the
+  *    decoded dimensions/amplitudes in closed form.
+  *  - [[decode]] / `mm_decode_stub` — the documented deterministic
+  *    stub standing in for formats with no pure-JDK codec (video —
+  *    and any external-library format a deployment would add):
+  *    [[decodePartition]] is the single function to swap for the
+  *    JNI/codec call.
+  *
+  * This mirrors how a Python pipeline would run decode under
+  * `mapInPandas`: Spark streams each partition through a narrow,
+  * no-shuffle map stage, so at 100 TB the stage scales with input
+  * splits and never materializes more than a partition of media bytes
+  * at once.
   */
 object Multimodal {
 
@@ -135,11 +144,140 @@ object Multimodal {
   def frameSampleQuery(spark: SparkSession, dir: String): DataFrame =
     frameSample(decode(mediaTable(spark, dir))).toDF().orderBy("doc_id", "frame_idx")
 
+  // ---------------------------------------------------------------------
+  // mm_decode — REAL codec round-trip for the formats the JVM ships
+  // pure-Java codecs for: PNG via javax.imageio, WAV PCM via
+  // javax.sound.sampled. The payloads are genuinely ENCODED media
+  // bytes (content generated deterministically from doc_id) and the
+  // decode stage genuinely parses those bytes back — so the decoded
+  // properties are closed-form functions of doc_id and the query is
+  // fully DuckDB-oracle-checkable. Video keeps the documented stub in
+  // [[decodePartition]] (no pure-JDK video codec exists); a real
+  // deployment swaps that one seam for its JNI/codec call exactly as
+  // an image/audio deployment would swap in its own formats here.
+  // ---------------------------------------------------------------------
+
+  /** Decoded REAL media: image → dimensions + mean red channel;
+    * audio → PCM frame count + peak amplitude. */
+  case class RealDecoded(doc_id: Long, media_type: String, width: Int,
+      height: Int, n_frames: Int, feature: Long)
+
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def wavBytes(nSamples: Int, value: Short): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      pcm(2 * i) = (value & 0xff).toByte
+      pcm(2 * i + 1) = ((value >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Real encoded media (PNG / WAV bytes), deterministic per doc_id:
+    * even thirds are w×h solid-gray PNGs, odd thirds are constant-
+    * amplitude 8 kHz PCM16 WAVs. Encoding runs in the same narrow
+    * mapPartitions seam decode does. */
+  def realMediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .filter((id: Long) => id % 3 < 2)
+      .mapPartitions { ids =>
+        // ImageIO's default scratch cache is DISK-backed — 32 tasks
+        // contending on tmp files for in-memory byte arrays
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map { id =>
+          if (id % 3 == 0) {
+            val w = 8 + (id % 16).toInt
+            val h = 8 + (id % 8).toInt
+            val r = (id % 256).toInt
+            MediaRow(id, "image", pngBytes(w, h, (r << 16) | (r << 8) | r))
+          } else {
+            val n = 800 + (id % 160).toInt
+            val a = ((id % 1000) - 500).toShort
+            MediaRow(id, "audio", wavBytes(n, a))
+          }
+        }
+      }
+  }
+
+  /** REAL decode: parses the PNG/WAV container + content back out of
+    * the payload bytes. Anything else falls through to the documented
+    * stub semantics of [[decodePartition]]. */
+  private def decodeRealPartition(rows: Iterator[MediaRow]): Iterator[RealDecoded] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    rows.map { m =>
+      m.media_type match {
+        case "image" =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L
+          var y = 0
+          while (y < h) { var x = 0; while (x < w) { sum += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }; y += 1 }
+          RealDecoded(m.doc_id, "image", w, h, 1, sum / (w.toLong * h))
+        case "audio" =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.payload))
+          val frames = ais.getFrameLength.toInt
+          val bytes = ais.readAllBytes()
+          var peak = 0L
+          var i = 0
+          while (i + 1 < bytes.length) {
+            val s = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort
+            if (math.abs(s.toLong) > peak) peak = math.abs(s.toLong)
+            i += 2
+          }
+          RealDecoded(m.doc_id, "audio", 0, 0, frames, peak)
+        case other =>
+          val d = decodePartition(Iterator(m)).next()
+          RealDecoded(d.doc_id, other, d.width, d.height, d.n_frames, d.checksum)
+      }
+    }
+  }
+
+  def decodeReal(media: Dataset[MediaRow]): Dataset[RealDecoded] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(decodeRealPartition _)
+  }
+
+  def realDecodeQuery(spark: SparkSession, dir: String): DataFrame =
+    decodeReal(realMediaTable(spark, dir)).toDF().orderBy("doc_id")
+
+  /** Every decoded property is a closed-form function of doc_id — the
+    * oracle recomputes what the codec round-trip must return. */
+  val realDecodeSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+      |  CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 16 ELSE 0 END AS INT) AS width,
+      |  CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 8 ELSE 0 END AS INT) AS height,
+      |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 800 + doc_id % 160 END AS INT) AS n_frames,
+      |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 256
+      |       ELSE abs((doc_id % 1000) - 500) END AS BIGINT) AS feature
+      |FROM documents WHERE doc_id % 3 < 2 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta"  -> (binaryMeta _),
     "mm_decode_stub"  -> (decodeStub _),
+    "mm_decode"       -> (realDecodeQuery _),
     "mm_frame_sample" -> (frameSampleQuery _))
 
   val oracles: Map[String, String] = Map(
-    "mm_binary_meta" -> binaryMetaSql)
+    "mm_binary_meta" -> binaryMetaSql,
+    "mm_decode"      -> realDecodeSql)
 }

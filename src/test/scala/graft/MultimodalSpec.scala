@@ -20,6 +20,39 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(!plan.contains("Exchange"), s"decode must not shuffle:\n$plan")
   }
 
+  test("real codec round-trip: PNG and WAV decode to their encoded content") {
+    val decoded = Multimodal.decodeReal(Multimodal.realMediaTable(spark, SF))
+      .collect().map(d => d.doc_id -> d).toMap
+    assert(decoded.nonEmpty)
+    decoded.values.foreach { d =>
+      if (d.doc_id % 3 == 0) {
+        assert(d.media_type === "image")
+        assert(d.width === 8 + (d.doc_id % 16).toInt, s"doc ${d.doc_id} width")
+        assert(d.height === 8 + (d.doc_id % 8).toInt, s"doc ${d.doc_id} height")
+        assert(d.feature === d.doc_id % 256, s"doc ${d.doc_id} mean red channel")
+      } else {
+        assert(d.media_type === "audio")
+        assert(d.n_frames === 800 + (d.doc_id % 160).toInt, s"doc ${d.doc_id} PCM frames")
+        assert(d.feature === math.abs((d.doc_id % 1000) - 500), s"doc ${d.doc_id} peak")
+      }
+    }
+    // payloads really are the containers they claim to be
+    val rows = Multimodal.realMediaTable(spark, SF).take(20)
+    rows.foreach { m =>
+      val magic = m.payload.take(4).map(_ & 0xff)
+      if (m.media_type == "image")
+        assert(magic.sameElements(Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt)),
+          s"doc ${m.doc_id} payload is not a PNG")
+      else
+        assert(new String(m.payload.take(4), "US-ASCII") === "RIFF",
+          s"doc ${m.doc_id} payload is not a WAV/RIFF container")
+    }
+    // still the same narrow no-shuffle stage as the stub path
+    val plan = Multimodal.decodeReal(Multimodal.realMediaTable(spark, SF))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"real decode must not shuffle:\n$plan")
+  }
+
   test("media payloads round-trip byte-exactly (digest parity)") {
     val df = Multimodal.binaryMeta(spark, SF)
     assert(df.filter("length(digest) <> 64").count() === 0)
