@@ -29,25 +29,30 @@ object Tables {
     * shuffle would otherwise run on ONE task; a real lake table has
     * plenty of splits and passes through untouched. Use for operators
     * with heavy per-row compute (hashing, sketching, vector math). */
-  /** Scan-split estimate from driver-side file metadata: parquet is
-    * split by byte range, so splits ≈ Σ ceil(size / maxPartitionBytes).
-    * Metadata-only (the listing is already cached by the read) — no
-    * full RDD conversion per query build the way df.rdd.getNumPartitions
-    * would force, and unlike a raw file COUNT it does not misjudge one
-    * big splittable file as one split (which would add a full exchange
-    * to exactly the inputs big enough for it to hurt). */
+  /** Scan-split estimate from driver-side file metadata, replicating
+    * Spark's own FilePartition sizing: maxSplitBytes =
+    * min(maxPartitionBytes, max(openCostInBytes, totalBytes/cores)) —
+    * the bytesPerCore term matters, because a mid-size file (say 1 GiB
+    * at 32 cores) is already split into ~cores partitions by the
+    * native scan and must NOT be force-repartitioned. Metadata-only
+    * (the listing is already cached by the read) — no full RDD
+    * conversion per query build the way df.rdd.getNumPartitions would
+    * force. */
   private def balance(spark: SparkSession, df: DataFrame): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
     val files = df.inputFiles
     if (files.length >= target) df
     else {
       val hconf = spark.sparkContext.hadoopConfiguration
-      val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes.max(1L)
-      val splits = files.map { f =>
+      val sqlConf = spark.sessionState.conf
+      val openCost = sqlConf.filesOpenCostInBytes.max(1L)
+      val sizes = files.map { f =>
         val p = new org.apache.hadoop.fs.Path(f)
-        val len = p.getFileSystem(hconf).getFileStatus(p).getLen
-        ((len + maxBytes - 1) / maxBytes).max(1L)
-      }.sum
+        p.getFileSystem(hconf).getFileStatus(p).getLen
+      }
+      val bytesPerCore = (sizes.sum + files.length * openCost) / target.max(1)
+      val maxSplit = sqlConf.filesMaxPartitionBytes.min(openCost.max(bytesPerCore)).max(1L)
+      val splits = sizes.map(len => ((len + maxSplit - 1) / maxSplit).max(1L)).sum
       if (splits < target) df.repartition(target) else df
     }
   }

@@ -118,7 +118,19 @@ object Dedup {
   private[graft] val defaultMaxShingleDf = 64L
 
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    ngramJaccardCapped(docShingles(spark, dir), defaultMaxShingleDf)
+    ngramJaccard(spark, dir, defaultMaxShingleDf)
+
+  /** Caller-facing cap knob. The recall trade is the caller's to make:
+    * a templated corpus (boilerplate docs differing only in a few
+    * tokens) can hold qualifying pairs whose EVERY shared shingle
+    * exceeds the cap — those pairs are silently dropped. Raise maxDf
+    * (or pass Long.MaxValue to disable) for such corpora; the
+    * per-shingle pair cost is maxDf·(maxDf−1)/2. At the shipped test
+    * scales the cap provably never fires (max shingle DF at sf0.1 is
+    * ≤ 64, measured), so the oracle checks the exact semantics and the
+    * DF-cap spec covers the capped path with a planted hot shingle. */
+  def ngramJaccard(spark: SparkSession, dir: String, maxDf: Long): DataFrame =
+    ngramJaccardCapped(docShingles(spark, dir), maxDf)
 
   /** Hashed inverted index: one row per (doc, shingle). Carries an
     * 8-byte shingle hash, not the ~30-byte string: the self-join

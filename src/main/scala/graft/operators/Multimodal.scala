@@ -195,8 +195,11 @@ object Multimodal {
     * mapPartitions seam decode does. */
   def realMediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    Tables.load(spark, dir, "documents").select(col("doc_id")).as[Long]
-      .filter((id: Long) => id % 3 < 2)
+    // Column-expression filter (not a typed lambda): stays codegen'd
+    // and the predicate reaches the parquet scan
+    Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 3 < 2)
+      .select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         // ImageIO's default scratch cache is DISK-backed — 32 tasks
         // contending on tmp files for in-memory byte arrays
@@ -219,30 +222,47 @@ object Multimodal {
   /** REAL decode: parses the PNG/WAV container + content back out of
     * the payload bytes. Anything else falls through to the documented
     * stub semantics of [[decodePartition]]. */
+  /** Sentinel row for null/corrupt payloads: one bad record must
+    * degrade to a filterable marker, not poison a 100 TB decode stage
+    * with task-killing NPEs (the invariant the stub path documents). */
+  private def undecodable(m: MediaRow): RealDecoded =
+    RealDecoded(m.doc_id, m.media_type, 0, 0, 0, -1L)
+
   private def decodeRealPartition(rows: Iterator[MediaRow]): Iterator[RealDecoded] = {
     javax.imageio.ImageIO.setUseCache(false)
     rows.map { m =>
-      m.media_type match {
+      if (m.payload == null || m.payload.isEmpty) undecodable(m)
+      else m.media_type match {
         case "image" =>
+          // ImageIO.read returns null (not an exception) for bytes no
+          // registered reader accepts
           val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
-          val (w, h) = (img.getWidth, img.getHeight)
-          var sum = 0L
-          var y = 0
-          while (y < h) { var x = 0; while (x < w) { sum += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }; y += 1 }
-          RealDecoded(m.doc_id, "image", w, h, 1, sum / (w.toLong * h))
-        case "audio" =>
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(m.payload))
-          val frames = ais.getFrameLength.toInt
-          val bytes = ais.readAllBytes()
-          var peak = 0L
-          var i = 0
-          while (i + 1 < bytes.length) {
-            val s = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort
-            if (math.abs(s.toLong) > peak) peak = math.abs(s.toLong)
-            i += 2
+          if (img == null) undecodable(m)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sum = 0L
+            var y = 0
+            while (y < h) { var x = 0; while (x < w) { sum += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }; y += 1 }
+            RealDecoded(m.doc_id, "image", w, h, 1, sum / (w.toLong * h))
           }
-          RealDecoded(m.doc_id, "audio", 0, 0, frames, peak)
+        case "audio" =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(m.payload))
+            val frames = ais.getFrameLength.toInt
+            val bytes = ais.readAllBytes()
+            var peak = 0L
+            var i = 0
+            while (i + 1 < bytes.length) {
+              val s = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort
+              if (math.abs(s.toLong) > peak) peak = math.abs(s.toLong)
+              i += 2
+            }
+            RealDecoded(m.doc_id, "audio", 0, 0, frames, peak)
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException
+                 | _: java.io.IOException => undecodable(m)
+          }
         case other =>
           val d = decodePartition(Iterator(m)).next()
           RealDecoded(d.doc_id, other, d.width, d.height, d.n_frames, d.checksum)

@@ -100,10 +100,11 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
         .filter(p => p.getFileName.toString.startsWith("slot")).count()
       assert(slots === 2, s"expected 2 alternating slots, saw $slots")
     } finally {
-      // SparkContext has no unset; point it at a throwaway so later
-      // suites keep exercising the local path semantics they assert
-      spark.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft_ckpt_unused").toString)
+      // Option(null) → None inside setCheckpointDir: genuinely clears
+      // the dir so later clusters() calls exercise the local path again
+      spark.sparkContext.setCheckpointDir(null)
+      assert(spark.sparkContext.getCheckpointDir.isEmpty,
+        "checkpoint dir must be cleared for later suites")
     }
   }
 
