@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** As-of (temporal) join — for each probe row, the latest build row of
+  * the same key with `build.time <= probe.time`. Spark has no native
+  * as-of operator; the naive composition (equi-join on key + range
+  * filter + max_by) explodes each key into |probe|×|build| rows
+  * before filtering. This is the scalable formulation instead:
+  *
+  *   union(build, probe) → ONE shuffle on key → ONE sort on
+  *   (time, side) → running `last(..., ignoreNulls)` window
+  *
+  * so the cost is that of a single sort-merge pass regardless of how
+  * many build rows precede each probe row — the standard distributed
+  * as-of shape (the same plan a point-in-time feature lookup or a
+  * slowly-changing-dimension resolve wants at 100 TB). Build rows
+  * order BEFORE probe rows at equal timestamps, giving `<=` semantics.
+  *
+  * Determinism contract: the caller supplies a build side with at most
+  * one row per (key, time) — de-duplicate first (as the catalog query
+  * does with max_by) — otherwise "the" latest row at a tied timestamp
+  * is not well-defined in any engine.
+  */
+object AsofJoin {
+
+  /** @param probe     left side; every column is preserved
+    * @param build     right side; must contain `key` and `time`
+    * @param key       equi-join column present on both sides
+    * @param time      event-time column present on both sides
+    * @param buildCols build payload columns to attach to probe rows
+    * @return probe rows that have a matching as-of build row (inner
+    *         semantics), each with `buildCols` attached
+    */
+  def latestPerKey(probe: DataFrame, build: DataFrame, key: String,
+      time: String, buildCols: Seq[String]): DataFrame = {
+    val side = "__asof_build"
+    val b = build.select((key +: time +: buildCols).map(col): _*)
+      .withColumn(side, lit(1))
+    val p = probe.withColumn(side, lit(0))
+    val u = p.unionByName(b, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(time).asc, col(side).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val attached: Seq[Column] =
+      buildCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c))
+    u.select((probe.columns.map(col) :+ col(side)) ++ attached: _*)
+      .filter(col(side) === 0 && col(buildCols.head).isNotNull)
+      .drop(side)
+  }
+
+  // ---------------------------------------------------------------------
+  // events_asof_order — each event annotated with the customer's most
+  // recent order at event time (the point-in-time feature-lookup
+  // pattern). Build side deduped to one row per (customer, order-day)
+  // keeping the max order key, so the as-of row is well-defined and
+  // the DuckDB ASOF JOIN oracle must agree exactly.
+  // ---------------------------------------------------------------------
+  def eventsAsofOrder(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, dir)
+      .select(col("event_id"), col("user_id"), col("sec"))
+    val ord = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey").as("user_id"),
+        col("o_orderdate").cast("timestamp").cast("long").as("o_sec"),
+        col("o_orderkey"))
+      .groupBy("user_id", "o_sec")
+      .agg(max(col("o_orderkey")).as("last_orderkey"))
+      .withColumn("sec", col("o_sec"))
+    latestPerKey(ev, ord, key = "user_id", time = "sec",
+        buildCols = Seq("last_orderkey", "o_sec"))
+      .withColumnRenamed("o_sec", "last_order_sec")
+      .orderBy("event_id")
+  }
+
+  val eventsAsofOrderSql: String =
+    """WITH ord AS (
+      |  SELECT o_custkey AS user_id,
+      |    CAST(epoch(o_orderdate) AS BIGINT) AS o_sec,
+      |    max(o_orderkey) AS last_orderkey
+      |  FROM orders GROUP BY 1, 2),
+      |ev AS (
+      |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |  FROM events)
+      |SELECT ev.event_id, ev.user_id, ev.sec,
+      |  ord.last_orderkey, ord.o_sec AS last_order_sec
+      |FROM ev ASOF JOIN ord
+      |  ON ev.user_id = ord.user_id AND ord.o_sec <= ev.sec
+      |ORDER BY ev.event_id""".stripMargin
+
+  val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
+    Map("events_asof_order" -> (eventsAsofOrder _))
+
+  val oracles: Map[String, String] =
+    Map("events_asof_order" -> eventsAsofOrderSql)
+}
