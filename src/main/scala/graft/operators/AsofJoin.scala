@@ -5,11 +5,14 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** As-of (temporal) join — for each probe row, the latest build row of
-  * the same key with `build.time <= probe.time`. Spark has no native
-  * as-of operator; the naive composition (equi-join on key + range
-  * filter + max_by) explodes each key into |probe|×|build| rows
-  * before filtering. This is the scalable formulation instead:
+/** Temporal joins Spark has no native operator for: as-of and banded
+  * range join.
+  *
+  * As-of — for each probe row, the latest build row of
+  * the same key with `build.time <= probe.time`. The naive composition
+  * (equi-join on key + range filter + max_by) explodes each key into
+  * |probe|×|build| rows before filtering. This is the scalable
+  * formulation instead:
   *
   *   union(build, probe) → ONE shuffle on key → ONE sort on
   *   (time, side) → running `last(..., ignoreNulls)` window
@@ -90,9 +93,76 @@ object AsofJoin {
       |  ON ev.user_id = ord.user_id AND ord.o_sec <= ev.sec
       |ORDER BY ev.event_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Banded range join — pairs within a time band |probe.t − build.t| ≤ W
+  // on the same key. The naive formulation joins on the key alone and
+  // filters the band afterwards: |probe|×|build| intermediate rows per
+  // key. The banded form buckets both sides by floor(t/W) and explodes
+  // the PROBE side to its 3 adjacent buckets (any row within ±W lies
+  // in bucket b−1, b, or b+1), so the join is a plain equi-join on
+  // (key, bucket) with a bounded ×3 fanout — then the exact band
+  // predicate prunes the corners. One shuffle per side, intermediate
+  // size ≤ 3·|probe| + matches, at any scale.
+  // ---------------------------------------------------------------------
+
+  /** @param probe/build both need `key` and `time`
+    * @param bandSec     half-width W of the band, in `time` units */
+  /** floor(t / W) as a long (pmod keeps it floor, not truncate-toward-
+    * zero, for pre-epoch times; Column./ alone would go double). */
+  private def bucketOf(t: Column, w: Long): Column =
+    ((t - pmod(t, lit(w))) / lit(w)).cast("long")
+
+  def bandedRangeJoin(probe: DataFrame, build: DataFrame, key: String,
+      time: String, bandSec: Long): DataFrame = {
+    val pb = probe
+      .withColumn("__off", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("__b", bucketOf(col(time), bandSec) + col("__off"))
+      .drop("__off")
+    val bb = build
+      .withColumnRenamed(time, s"${time}_b")
+      .withColumn("__b", bucketOf(col(s"${time}_b"), bandSec))
+    pb.join(bb, Seq(key, "__b"))
+      .filter(abs(col(time) - col(s"${time}_b")) <= bandSec)
+      .drop("__b")
+  }
+
+  /** events_range_join — for each click, the views of the same user
+    * within ±15 min (the session-stitching / attribution shape). */
+  def eventsRangeJoin(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("sec"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("sec"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("sec"))
+    bandedRangeJoin(clicks, views, key = "user_id", time = "sec", bandSec = 900L)
+      .groupBy(col("click_id"))
+      .agg(count(lit(1)).as("n_views"),
+        min(col("sec_b")).as("first_view_sec"),
+        max(col("view_id")).as("max_view_id"))
+      .orderBy("click_id")
+  }
+
+  val eventsRangeJoinSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |  FROM events)
+      |SELECT c.event_id AS click_id,
+      |  count(*) AS n_views,
+      |  min(v.sec) AS first_view_sec,
+      |  max(v.event_id) AS max_view_id
+      |FROM ev c JOIN ev v
+      |  ON c.user_id = v.user_id
+      |  AND c.event_type = 'click' AND v.event_type = 'view'
+      |  AND abs(c.sec - v.sec) <= 900
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
-    Map("events_asof_order" -> (eventsAsofOrder _))
+    Map("events_asof_order" -> (eventsAsofOrder _),
+        "events_range_join" -> (eventsRangeJoin _))
 
   val oracles: Map[String, String] =
-    Map("events_asof_order" -> eventsAsofOrderSql)
+    Map("events_asof_order" -> eventsAsofOrderSql,
+        "events_range_join" -> eventsRangeJoinSql)
 }

@@ -26,6 +26,22 @@ class AsofJoinSpec extends AnyFunSuite with SparkSuite {
     ))
   }
 
+  test("banded range join: inclusive band edges, bounded bucket fanout") {
+    import spark.implicits._
+    val probe = Seq((1L, 1000L, "a"), (2L, 5000L, "b")).toDF("k", "sec", "tag")
+    val build = Seq(
+      (1L, 100L, 10L),   // 900 before 'a'  -> inside (edge, inclusive)
+      (1L, 1900L, 11L),  // 900 after 'a'   -> inside (edge, inclusive)
+      (1L, 99L, 12L),    // 901 before      -> outside
+      (1L, 1901L, 13L),  // 901 after       -> outside
+      (2L, 5000L, 20L),  // same second     -> inside
+      (3L, 1000L, 30L))  // other key       -> never
+      .toDF("k", "sec", "v")
+    val out = AsofJoin.bandedRangeJoin(probe, build, "k", "sec", 900L)
+      .select("tag", "v").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out === Set(("a", 10L), ("a", 11L), ("b", 20L)))
+  }
+
   test("as-of is one shuffle on the key, not a range-fanout join") {
     val df = AsofJoin.eventsAsofOrder(spark, SF)
     val plan = df.queryExecution.executedPlan.toString
