@@ -41,18 +41,25 @@ object AsofJoin {
   def latestPerKey(probe: DataFrame, build: DataFrame, key: String,
       time: String, buildCols: Seq[String]): DataFrame = {
     val side = "__asof_build"
-    val b = build.select((key +: time +: buildCols).map(col): _*)
-      .withColumn(side, lit(1))
+    val pay = "__asof_pay"
+    // One struct per build row, attached through a SINGLE running
+    // last(ignoreNulls) window: the probe row receives the whole as-of
+    // build row atomically. Per-column windows would stitch a probe row
+    // from DIFFERENT build rows whenever a payload column is null (a
+    // chimera row); the struct is non-null for every build row even
+    // when its fields are null, so nullable payloads are safe too.
+    val b = build.select(col(key), col(time),
+      struct(buildCols.map(col): _*).as(pay)).withColumn(side, lit(1))
     val p = probe.withColumn(side, lit(0))
     val u = p.unionByName(b, allowMissingColumns = true)
     val w = Window.partitionBy(col(key))
       .orderBy(col(time).asc, col(side).desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val attached: Seq[Column] =
-      buildCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c))
-    u.select((probe.columns.map(col) :+ col(side)) ++ attached: _*)
-      .filter(col(side) === 0 && col(buildCols.head).isNotNull)
-      .drop(side)
+    val attached: Column = last(col(pay), ignoreNulls = true).over(w).as(pay)
+    u.select((probe.columns.map(col) :+ col(side)) :+ attached: _*)
+      .filter(col(side) === 0 && col(pay).isNotNull)
+      .select(probe.columns.map(col) ++
+        buildCols.map(c => col(s"$pay.$c").as(c)): _*)
   }
 
   // ---------------------------------------------------------------------

@@ -234,16 +234,21 @@ object Multimodal {
       if (m.payload == null || m.payload.isEmpty) undecodable(m)
       else m.media_type match {
         case "image" =>
-          // ImageIO.read returns null (not an exception) for bytes no
-          // registered reader accepts
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
-          if (img == null) undecodable(m)
-          else {
-            val (w, h) = (img.getWidth, img.getHeight)
-            var sum = 0L
-            var y = 0
-            while (y < h) { var x = 0; while (x < w) { sum += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }; y += 1 }
-            RealDecoded(m.doc_id, "image", w, h, 1, sum / (w.toLong * h))
+          // ImageIO.read returns null for bytes no registered reader
+          // accepts, but throws IIOException/IOException when a reader
+          // accepts the header and then fails mid-parse (truncated PNG)
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+            if (img == null) undecodable(m)
+            else {
+              val (w, h) = (img.getWidth, img.getHeight)
+              var sum = 0L
+              var y = 0
+              while (y < h) { var x = 0; while (x < w) { sum += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }; y += 1 }
+              RealDecoded(m.doc_id, "image", w, h, 1, sum / (w.toLong * h))
+            }
+          } catch {
+            case _: java.io.IOException => undecodable(m)
           }
         case "audio" =>
           try {
