@@ -350,14 +350,54 @@ object Dedup {
 
   // ---------------------------------------------------------------------
   // dedup_embedding_cosine — near-dup pairs by cosine over the embedding
-  // column. Brute-force pair scan here (the certified-exact baseline);
-  // the LSH-bucketed scale path lives in Similarity.annLsh.
+  // column, EXACT at threshold 0.45 via a blocked equi-join pair scan.
+  //
+  // Why not LSH banding here: the threshold sits in the BULK of this
+  // corpus's pair-cosine distribution (dim-64 near-uniform vectors →
+  // pair cosine ≈ N(0, 1/64); qualifying pairs are its ~3.6σ tail,
+  // with pairs right at the boundary — measured 0.4494 vs 0.4516 at
+  // sf0.01). Random-hyperplane banding separates by per-plane
+  // agreement p(c) = 1 − acos(c)/π, and p(0.45) = 0.649 vs p(0) = 0.5
+  // — too close: for per-pair miss ≤ 1e-4 at the threshold one needs
+  // b ≈ 9.2/p^r bands, which puts b·2^-r ≈ 9.2·(0.771)^r expected
+  // colliding bands on a RANDOM pair; 10× candidate reduction then
+  // requires r ≥ 18 rows/band and b ≈ 16k bands ≈ 3·10⁵ plane-bits
+  // per vector — the signature pass alone out-costs the brute-force
+  // dot scan for any corpus below ~3·10⁵ vectors and still leaves 10%
+  // of all pairs as candidates. Exactness at a bulk threshold is
+  // inherently Θ(n²); no blocking scheme is both complete and useful
+  // on this data. (The sub-quadratic path for REAL near-dup
+  // thresholds, where blocking is sound, is [[embeddingLsh]] below.)
+  //
+  // So the fix for the old plan (a.vec_id < b.vec_id BroadcastNestedLoop
+  // — driver-broadcast of a whole side, OOM past ~10⁶ vectors) is the
+  // scalable EXACT formulation: a blocked self-join. Each vector lands
+  // in one of G hash blocks and is replicated to the G unordered
+  // block-pairs it belongs to; the join is then a plain shuffle
+  // equi-join on the block-pair id, with G(G+1)/2 keys spreading the
+  // n²/2 dot products evenly across the cluster and per-task state
+  // bounded by one block-pair bucket (~2n/G vectors) — the G knob
+  // trades replication (shuffle n·G rows) against bucket memory. Every
+  // unordered pair meets in EXACTLY one bucket: cross-block pairs only
+  // share their canonical {blk_a, blk_b} key, and same-block pairs
+  // (which share all G keys) are kept only at the diagonal key by the
+  // canonical-key filter.
   // ---------------------------------------------------------------------
   private[graft] val normSql =
     "sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b))"
 
-  def embeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+  /** G(G+1)/2 = 36 buckets at the default — ≥ local[32]'s cores; a
+    * 1000-executor deployment would pick G ≈ 64..1024 (2k..500k
+    * buckets) to match its parallelism and memory budget. */
+  private[graft] val defaultPairBlocks = 8
+
+  def embeddingCosine(spark: SparkSession, dir: String): DataFrame =
+    embeddingCosineAllPairs(spark, dir, threshold = 0.45)
+
+  private[graft] def embeddingCosineAllPairs(spark: SparkSession, dir: String,
+      threshold: Double, nBlocks: Int = defaultPairBlocks): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    val g = nBlocks
     // vec_dot/vec_norm are native codegen'd expressions
     // (graft.functions.DotProductFloat) — same ascending-index IEEE
     // summation as the zip_with/aggregate composition and the oracle's
@@ -365,11 +405,21 @@ object Dedup {
     // the whole cost of an all-pairs scan.
     val e = Tables.loadBalanced(spark, dir, "embeddings")
       .withColumn("norm", expr("vec_norm(embedding)"))
-      .select("vec_id", "embedding", "norm")
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("blk", pmod(xxhash64(col("vec_id")), lit(g)).cast("int"))
+      .select("vec_id", "embedding", "norm", "blk")
+    val rep = e.withColumn("other", explode(expr(s"sequence(0, ${g - 1})")))
+      .withColumn("bp",
+        least(col("blk"), col("other")) * g + greatest(col("blk"), col("other")))
+      .drop("other")
+    val canonical =
+      least(col("a.blk"), col("b.blk")) * g + greatest(col("a.blk"), col("b.blk"))
+    rep.as("a").join(rep.as("b"),
+        col("a.bp") === col("b.bp")
+          && col("a.vec_id") < col("b.vec_id")
+          && col("a.bp") === canonical)
       .withColumn("dot", expr("vec_dot(a.embedding, b.embedding)"))
       .withColumn("cosine", round(col("dot") / (col("a.norm") * col("b.norm")), 6))
-      .filter(col("cosine") >= 0.45)
+      .filter(col("cosine") >= threshold)
       .select(col("a.vec_id").as("vec_i"), col("b.vec_id").as("vec_j"), col("cosine"))
       .orderBy("vec_i", "vec_j")
   }

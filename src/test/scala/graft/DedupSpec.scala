@@ -120,4 +120,17 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(df.filter("vec_i >= vec_j").count() === 0)
     assert(df.filter("cosine < 0.45").count() === 0)
   }
+
+  test("embedding pair scan is a blocked equi-join, not a nested-loop product") {
+    val plan = Dedup.embeddingCosine(spark, SF).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"exact pair scan must not plan a nested-loop/cartesian product:\n$plan")
+    // blocked generation covers each unordered pair exactly once: the
+    // pair count must equal the all-pairs count at a vacuous threshold
+    import org.apache.spark.sql.functions._
+    val n = Tables.load(spark, SF, "embeddings").count()
+    val block = Dedup.embeddingCosineAllPairs(spark, SF, threshold = -1.0).count()
+    assert(block === n * (n - 1) / 2,
+      s"blocked join generated $block pairs for n=$n (want ${n * (n - 1) / 2})")
+  }
 }
