@@ -149,7 +149,9 @@ object GraftFunctions {
     ("simhash60", classOf[SimHash60], (c: Seq[Expression]) => SimHash60(c.head)),
     ("shingles3", classOf[Shingles3], (c: Seq[Expression]) => Shingles3(c.head)),
     ("minhash_sig64", classOf[MinHashSig64],
-      (c: Seq[Expression]) => MinHashSig64(c.head)))
+      (c: Seq[Expression]) => MinHashSig64(c.head)),
+    ("vec_sig128", classOf[HyperplaneSig128],
+      (c: Seq[Expression]) => HyperplaneSig128(c.head)))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

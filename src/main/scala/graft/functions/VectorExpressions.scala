@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expressions for the embedding-similarity hot path.
   *
@@ -94,5 +94,85 @@ case class NormFloat(child: Expression)
     })
 
   override protected def withNewChildInternal(newChild: Expression): NormFloat =
+    copy(child = newChild)
+}
+
+/** 128 random-hyperplane sign bits packed into two longs — the
+  * signature behind LSH-banded embedding dedup ([[graft.operators.Dedup
+  * .embeddingLsh]]). Planes are iid standard Gaussians from a fixed
+  * splitmix64-seeded stream (Box–Muller), so directions are uniform on
+  * the sphere and the per-plane agreement probability for a pair at
+  * cosine c is exactly p(c) = 1 − acos(c)/π — the quantity every
+  * banding miss bound is computed from. Deterministic across JVMs,
+  * executors, and runs (no java.util.Random); the plane matrix is
+  * built once per (dim) and cached, so the per-row cost is 128 dim-
+  * length dot products in a primitive loop. */
+object HyperplaneSig {
+  val NBits = 128
+  private val Seed = 0x67A5F1DE2026L
+
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** (0,1] uniform from the top 53 bits (never 0 — safe for log). */
+  private def unit(z: Long): Double = ((mix(z) >>> 11) + 1).toDouble / (1L << 53).toDouble
+
+  @volatile private var cache: (Int, Array[Array[Double]]) = _
+
+  def planes(dim: Int): Array[Array[Double]] = {
+    val c = cache
+    if (c != null && c._1 == dim) return c._2
+    val p = Array.tabulate(NBits) { j =>
+      Array.tabulate(dim) { i =>
+        val base = Seed + j.toLong * 2097169L + i.toLong * 2L
+        math.sqrt(-2.0 * math.log(unit(base))) * math.cos(2.0 * math.Pi * unit(base + 1))
+      }
+    }
+    cache = (dim, p)
+    p
+  }
+
+  /** Packed signature: bits 0–63 in element 0, 64–127 in element 1. */
+  def compute(arr: ArrayData): ArrayData = {
+    val dim = arr.numElements()
+    val pl = planes(dim)
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) { v(i) = arr.getFloat(i).toDouble; i += 1 }
+    var lo = 0L
+    var hi = 0L
+    var j = 0
+    while (j < NBits) {
+      val w = pl(j)
+      var s = 0.0
+      var k = 0
+      while (k < dim) { s += v(k) * w(k); k += 1 }
+      if (s > 0.0) {
+        if (j < 64) lo |= 1L << j else hi |= 1L << (j - 64)
+      }
+      j += 1
+    }
+    new GenericArrayData(Array(lo, hi))
+  }
+}
+
+/** `vec_sig128(array<float>) -> array<bigint>` (two packed longs). */
+case class HyperplaneSig128(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "vec_sig128"
+
+  override protected def nullSafeEval(a: Any): Any =
+    HyperplaneSig.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.HyperplaneSig.compute($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig128 =
     copy(child = newChild)
 }

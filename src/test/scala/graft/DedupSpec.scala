@@ -121,6 +121,24 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(df.filter("cosine < 0.45").count() === 0)
   }
 
+  test("LSH embedding dedup finds every planted near-dup through equi-join banding") {
+    val df = Dedup.embeddingLsh(spark, SF)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"LSH dedup must be equi-join banding, not a pair product:\n$plan")
+    val pairs = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every planted copy (vec_id % 20 == 0 → vec_id + 1e6) must pair
+    // with its original at high cosine
+    val n = Tables.load(spark, SF, "embeddings").count()
+    val planted = (0L until n by Dedup.lshPlantStride)
+      .map(v => (v, v + Dedup.lshPlantOffset)).toSet
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    assert(planted.subsetOf(found),
+      s"banding missed planted pairs: ${planted.diff(found)}")
+    assert(pairs.forall(_._3 >= 0.9))
+    spark.catalog.clearCache()
+  }
+
   test("embedding pair scan is a blocked equi-join, not a nested-loop product") {
     val plan = Dedup.embeddingCosine(spark, SF).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
