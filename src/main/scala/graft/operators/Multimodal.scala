@@ -141,8 +141,51 @@ object Multimodal {
       .select("doc_id", "media_type", "width", "height", "out_w", "out_h")
   }
 
+  /** Frame sampling over REAL decodes: the same strided sampling as
+    * [[frameSample]], but n_frames and the per-frame feature come from
+    * [[decodeReal]]'s genuinely parsed PNG/WAV content, so every output
+    * cell is a closed-form function of doc_id and the query carries a
+    * DuckDB oracle. ts_ms uses the audio PCM sample clock (8 kHz →
+    * sample·1000/8000 ms, floor); an image's single frame sits at 0 on
+    * any clock. Still a narrow flatMap — no shuffle, output scales
+    * with docs × maxFrames. */
+  def frameSampleReal(decoded: Dataset[RealDecoded], maxFrames: Int = 4): Dataset[FrameRef] = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    decoded.flatMap { d =>
+      val take = math.min(maxFrames, d.n_frames)
+      val stride = math.max(1, d.n_frames / math.max(take, 1))
+      (0 until take).map { i =>
+        val idx = i * stride
+        FrameRef(d.doc_id, idx, idx * 1000L / 8000L,
+          (d.feature * 31 + idx) % 1000000007L)
+      }
+    }
+  }
+
   def frameSampleQuery(spark: SparkSession, dir: String): DataFrame =
-    frameSample(decode(mediaTable(spark, dir))).toDF().orderBy("doc_id", "frame_idx")
+    frameSampleReal(decodeReal(realMediaTable(spark, dir)))
+      .toDF().orderBy("doc_id", "frame_idx")
+
+  /** Every sampled frame is a closed-form function of doc_id: images
+    * (doc_id % 3 = 0) decode to one frame; WAVs to 800 + doc_id % 160
+    * PCM frames sampled 4× strided. */
+  val frameSampleSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 800 + doc_id % 160 END AS n_frames,
+      |    CASE WHEN doc_id % 3 = 0 THEN doc_id % 256
+      |         ELSE abs((doc_id % 1000) - 500) END AS feat
+      |  FROM documents WHERE doc_id % 3 < 2),
+      |f AS (
+      |  SELECT doc_id, feat,
+      |    unnest(range(0, least(n_frames, 4))) *
+      |      greatest(n_frames // least(n_frames, 4), 1) AS idx
+      |  FROM m)
+      |SELECT doc_id, CAST(idx AS INT) AS frame_idx,
+      |  CAST(idx * 1000 // 8000 AS BIGINT) AS ts_ms,
+      |  CAST((feat * 31 + idx) % 1000000007 AS BIGINT) AS feature
+      |FROM f ORDER BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------------
   // mm_decode — REAL codec round-trip for the formats the JVM ships
@@ -303,6 +346,7 @@ object Multimodal {
     "mm_frame_sample" -> (frameSampleQuery _))
 
   val oracles: Map[String, String] = Map(
-    "mm_binary_meta" -> binaryMetaSql,
-    "mm_decode"      -> realDecodeSql)
+    "mm_binary_meta"  -> binaryMetaSql,
+    "mm_decode"       -> realDecodeSql,
+    "mm_frame_sample" -> frameSampleSql)
 }

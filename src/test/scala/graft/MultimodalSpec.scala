@@ -71,6 +71,26 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(!plan.contains("Exchange"), s"frame sampling must not shuffle:\n$plan")
   }
 
+  test("real frame sampling: strided frames of the decoded PCM/pixels, no shuffle") {
+    val frames = Multimodal.frameSampleReal(
+      Multimodal.decodeReal(Multimodal.realMediaTable(spark, SF)))
+    val rows = frames.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.doc_id).foreach { case (id, fs) =>
+      if (id % 3 == 0) {
+        // images decode to exactly one frame at ts 0
+        assert(fs.length === 1 && fs.head.frame_idx === 0 && fs.head.ts_ms === 0L)
+      } else {
+        // audio: 4 strided samples of the real PCM frame count
+        val n = 800 + (id % 160).toInt
+        assert(fs.map(_.frame_idx).sorted.toSeq === (0 until 4).map(_ * (n / 4)))
+        fs.foreach(f => assert(f.ts_ms === f.frame_idx * 1000L / 8000L))
+      }
+    }
+    val plan = frames.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"frame sampling must not shuffle:\n$plan")
+  }
+
   test("resize plan clamps into the box preserving aspect ratio") {
     val decoded = Multimodal.decode(Multimodal.mediaTable(spark, SF))
     val planned = Multimodal.resizePlan(decoded, maxW = 128, maxH = 96).collect()
