@@ -269,13 +269,15 @@ object Dedup {
   private val simhashSpark =
     s"simhash60(transform(toks, x -> $tokHashSpark))"
 
-  private val simhashSql =
-    """CAST(list_sum(list_transform(range(0, 60), k ->
-      |  CASE WHEN list_sum(list_transform(
-      |         list_transform(toks, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)),
-      |         h -> CASE WHEN ((h >> k) & 1) = 1 THEN 1 ELSE -1 END)) > 0
-      |       THEN (CAST(1 AS BIGINT) << k) ELSE 0 END))
-      |AS BIGINT)""".stripMargin
+  private def simhashSqlOver(tokHash: String): String =
+    s"""CAST(list_sum(list_transform(range(0, 60), k ->
+       |  CASE WHEN list_sum(list_transform(
+       |         list_transform(toks, x -> $tokHash),
+       |         h -> CASE WHEN ((h >> k) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+       |       THEN (CAST(1 AS BIGINT) << k) ELSE 0 END))
+       |AS BIGINT)""".stripMargin
+
+  private val simhashSql = simhashSqlOver(tokHash60Sql("x"))
 
   private def simhashes(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
@@ -346,6 +348,78 @@ object Dedup {
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
        |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // dedup_simhash_wide — the documented wider-signature fix for the
+  // 60-bit version's ~10⁸-doc ceiling: a 120-bit simhash (two
+  // INDEPENDENT 60-bit halves over disjoint md5 digit ranges of the
+  // same token — no new kernel, the majority vote runs twice), banded
+  // 4 × 30 bits. Pigeonhole: hamming ≤ 3 over 4 disjoint bands forces
+  // ≥ 1 identical band — still EXACT at radius 3 — but each band now
+  // has 2³⁰ buckets, so expected in-bucket occupancy stays sub-
+  // quadratic out past 10⁹ docs (expected candidate pairs ≈
+  // 4·n²/2³¹). Radius-vs-bucket-count inside a FIXED width is zero-
+  // sum ([[simhashPairs]] scaladoc); widening the signature is the
+  // move that relaxes both at once.
+  // ---------------------------------------------------------------------
+  private[graft] def tokHash60HiSpark(v: String): String =
+    s"CAST(conv(substring(md5(cast($v AS binary)), 17, 15), 16, 10) AS bigint)"
+  private[graft] def tokHash60HiSql(v: String): String =
+    s"CAST('0x' || substr(md5($v), 17, 15) AS BIGINT)"
+
+  private[graft] def simhashesWide(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.loadBalanced(spark, dir, "documents")
+      .withColumn("toks", expr(toksSpark))
+      .filter(size(col("toks")) > 0)
+      .withColumn("sim_lo",
+        expr(s"simhash60(transform(toks, x -> ${tokHash60Spark("x")}))"))
+      .withColumn("sim_hi",
+        expr(s"simhash60(transform(toks, x -> ${tokHash60HiSpark("x")}))"))
+      .select("doc_id", "sim_lo", "sim_hi")
+  }
+
+  private val simhashesWideSqlCte =
+    s"""toks_t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sims AS (SELECT doc_id,
+       |  ${simhashSqlOver(tokHash60Sql("x"))} AS sim_lo,
+       |  ${simhashSqlOver(tokHash60HiSql("x"))} AS sim_hi
+       |FROM toks_t WHERE len(toks) > 0)""".stripMargin
+
+  def simhashWidePairs(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: both self-join sides; two md5-per-token majority
+    // votes are the expensive part (callers release via clearCache)
+    val sims = simhashesWide(spark, dir).persist()
+    val banded = sims.select(col("doc_id"), col("sim_lo"), col("sim_hi"),
+        explode(expr(
+          """transform(sequence(0, 3), b -> named_struct(
+            |  'band_idx', b,
+            |  'band_val', shiftright(IF(b < 2, sim_lo, sim_hi), (b % 2) * 30) & 1073741823))"""
+            .stripMargin)).as("band"))
+      .select(col("doc_id"), col("sim_lo"), col("sim_hi"),
+        col("band.band_idx"), col("band.band_val"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx")
+          && col("a.band_val") === col("b.band_val")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
+        (bit_count(col("a.sim_lo").bitwiseXOR(col("b.sim_lo")))
+          + bit_count(col("a.sim_hi").bitwiseXOR(col("b.sim_hi")))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_i", "doc_j")
+  }
+
+  val simhashWidePairsSql: String =
+    s"""WITH $simhashesWideSqlCte
+       |SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+       |  CAST(bit_count(xor(a.sim_lo, b.sim_lo))
+       |     + bit_count(xor(a.sim_hi, b.sim_hi)) AS INT) AS hamming
+       |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sim_lo, b.sim_lo))
+       |    + bit_count(xor(a.sim_hi, b.sim_hi)) <= 3
        |ORDER BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -662,6 +736,7 @@ object Dedup {
     "dedup_minhash_lsh"      -> (minhashLsh _),
     "text_simhash"           -> (simhashValues _),
     "dedup_simhash"          -> (simhashPairs _),
+    "dedup_simhash_wide"     -> (simhashWidePairs _),
     "dedup_embedding_cosine" -> (embeddingCosine _),
     "dedup_embedding_lsh"    -> (embeddingLsh _),
     "dedup_clusters"         -> (clusters _))
@@ -674,6 +749,7 @@ object Dedup {
     "dedup_minhash_lsh"      -> jaccardPairsSql(0.8),
     "text_simhash"           -> simhashValuesSql,
     "dedup_simhash"          -> simhashPairsSql,
+    "dedup_simhash_wide"     -> simhashWidePairsSql,
     "dedup_embedding_cosine" -> embeddingCosineSql,
     // 16×8-bit banding misses a cosine-0.97 pair with p ≈ 7e-6 and the
     // derived corpus's qualifying pairs are all ≥ 0.97 (no pair in the

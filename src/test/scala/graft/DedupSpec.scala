@@ -86,6 +86,26 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("wide simhash banding finds exactly the brute-force hamming<=3 pairs") {
+    import org.apache.spark.sql.functions._
+    val banded = Dedup.simhashWidePairs(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force all-pairs over the same 120-bit signatures (fine at
+    // spec scale; the nested-loop here is the point of comparison)
+    val sims = Dedup.simhashesWide(spark, SF)
+    val brute = sims.as("a").join(sims.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        (bit_count(col("a.sim_lo").bitwiseXOR(col("b.sim_lo")))
+          + bit_count(col("a.sim_hi").bitwiseXOR(col("b.sim_hi")))).as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "test data must contain wide-simhash near-dups")
+    // 4 disjoint 30-bit bands are exact for hamming <= 3 by pigeonhole
+    assert(banded === brute,
+      s"banding missed ${brute.diff(banded)} / fabricated ${banded.diff(brute)}")
+    spark.catalog.clearCache()
+  }
+
   test("clusters reliable-checkpoint path matches the local path") {
     val local = Dedup.clusters(spark, SF).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
