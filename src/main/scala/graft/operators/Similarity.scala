@@ -40,10 +40,15 @@ object Similarity {
   // sim_cosine_topk — exact brute-force top-10 for query vectors
   // (vec_id % 50 == 0) against the full corpus.
   // ---------------------------------------------------------------------
-  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val e = Tables.loadBalanced(spark, dir, "embeddings")
-      .withColumn("norm", expr("vec_norm(embedding)"))
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame =
+    cosineTopKOver(Tables.loadBalanced(spark, dir, "embeddings"))
+
+  /** Corpus-parameterized form (vec_id, embedding); queries are the
+    * vec_id % 50 == 0 rows. Shared by the catalog query and the
+    * planted-cluster recall fixture in SimilaritySpec. */
+  private[graft] def cosineTopKOver(corpus: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val e = corpus.withColumn("norm", expr("vec_norm(embedding)"))
     val q = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
     val scored = e.join(broadcast(q), col("query_id") =!= col("vec_id"))
@@ -96,10 +101,12 @@ object Similarity {
       when(expr(s"vec_dot(embedding, __planes[$j])") > 0d, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val e = Tables.loadBalanced(spark, dir, "embeddings")
-      .withColumn("norm", expr("vec_norm(embedding)"))
+  def annLsh(spark: SparkSession, dir: String): DataFrame =
+    annLshOver(Tables.loadBalanced(spark, dir, "embeddings"))
+
+  private[graft] def annLshOver(input: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(input.sparkSession)
+    val e = input.withColumn("norm", expr("vec_norm(embedding)"))
       .withColumn("__planes", org.apache.spark.sql.functions.typedlit(planes))
       .withColumn("bucket", bucketCol)
       .drop("__planes")
@@ -164,10 +171,12 @@ object Similarity {
       .drop("score", "rk", "centroid")
   }
 
-  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val e = Tables.loadBalanced(spark, dir, "embeddings")
-      .withColumn("norm", expr("vec_norm(embedding)"))
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfTopKOver(Tables.loadBalanced(spark, dir, "embeddings"))
+
+  private[graft] def ivfTopKOver(corpus: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val e = corpus.withColumn("norm", expr("vec_norm(embedding)"))
       .select("vec_id", "embedding", "norm")
 
     // Deterministic pseudo-random seeds at any corpus size (hash-order
