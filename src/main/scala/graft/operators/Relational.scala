@@ -422,6 +422,42 @@ object Relational {
       |  MAX(l_quantity) AS max_qty
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q13 — the bucketed-source fact-fact join: both sides written
+  // bucketed by the join key (graft.sources.Bucketing), so the join
+  // reads co-located bucket files and plans WITHOUT an exchange on
+  // either side — the pay-the-shuffle-once trade for a 100 TB fact
+  // joined more often than it is rewritten. The write runs inside the
+  // query so the catalog entry is self-contained; a deployment does it
+  // once at ingest. Results are physical-layout-independent, hence the
+  // plain-SQL oracle; BucketingSpec asserts the exchange-free plan.
+  // ---------------------------------------------------------------------
+  private[graft] val liBucketTable = "graft_q13_lineitem_bkt"
+  private[graft] val ordBucketTable = "graft_q13_orders_bkt"
+
+  def q13(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.loadBalanced(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"))
+    graft.sources.Bucketing.rewriteBucketed(li, liBucketTable, 8, Seq("l_orderkey"))
+    graft.sources.Bucketing.rewriteBucketed(o, ordBucketTable, 8, Seq("l_orderkey"))
+    graft.sources.Bucketing
+      .coLocatedJoin(spark, liBucketTable, ordBucketTable, Seq("l_orderkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(revenue(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("o_year")
+  }
+
+  val q13Sql: String =
+    s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       |  CAST(SUM($revenueSql) AS DOUBLE) AS revenue,
+       |  COUNT(*) AS n_rows
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> (q01 _),
     "q02_filter_project"    -> (q02 _),
@@ -434,7 +470,8 @@ object Relational {
     "q09_derived_flag"      -> (q09 _),
     "q10_top_revenue"       -> (q10 _),
     "q11_rollup"            -> (q11 _),
-    "q12_quantiles"         -> (q12 _))
+    "q12_quantiles"         -> (q12 _),
+    "q13_bucketed_join"     -> (q13 _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary"   -> q01Sql,
@@ -448,5 +485,6 @@ object Relational {
     "q09_derived_flag"      -> q09Sql,
     "q10_top_revenue"       -> q10Sql,
     "q11_rollup"            -> q11Sql,
-    "q12_quantiles"         -> q12Sql)
+    "q12_quantiles"         -> q12Sql,
+    "q13_bucketed_join"     -> q13Sql)
 }

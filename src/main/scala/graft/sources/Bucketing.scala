@@ -36,4 +36,21 @@ object Bucketing {
   def coLocatedJoin(spark: SparkSession, leftTable: String, rightTable: String,
       keys: Seq[String]): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), keys)
+
+  /** Drop any stale version of `table` — catalog entry AND warehouse
+    * directory (an in-memory catalog forgets its tables across JVMs
+    * but the directories persist, and saveAsTable(Overwrite) refuses a
+    * dir it has no catalog entry for) — then write fresh. */
+  def rewriteBucketed(df: DataFrame, table: String, buckets: Int,
+      keys: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
+    writeBucketed(df, table, buckets, keys)
+  }
 }

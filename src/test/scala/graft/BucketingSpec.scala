@@ -50,4 +50,22 @@ class BucketingSpec extends AnyFunSuite with SparkSuite {
       assert(!aggPlan.contains("Exchange"), s"bucketed agg must not shuffle:\n$aggPlan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
+
+  test("catalog q13 runs off bucketed sources with an exchange-free join") {
+    import graft.operators.Relational
+    // run the catalog query (writes the bucketed tables, then joins)
+    val result = Relational.q13(spark, SF).collect()
+    assert(result.nonEmpty)
+    // the join the query planned: co-located bucket reads, no Exchange
+    // on either side (disable broadcast so small sf tables can't
+    // sidestep the bucketed path)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.coLocatedJoin(spark,
+        Relational.liBucketTable, Relational.ordBucketTable, Seq("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"q13 join must not shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
 }
