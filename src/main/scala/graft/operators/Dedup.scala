@@ -370,13 +370,19 @@ object Dedup {
 
   private[graft] def simhashesWide(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    // ONE md5 per token: both 15-hex-digit halves come from the same
+    // 32-char digest, materialized once — the digest pass dominates
+    // this query, and CollapseProject keeps a non-cheap multi-consumer
+    // alias like md5s un-inlined, so the two conv scans below really do
+    // share it rather than re-hashing
     Tables.loadBalanced(spark, dir, "documents")
       .withColumn("toks", expr(toksSpark))
       .filter(size(col("toks")) > 0)
+      .withColumn("md5s", expr("transform(toks, x -> md5(cast(x AS binary)))"))
       .withColumn("sim_lo",
-        expr(s"simhash60(transform(toks, x -> ${tokHash60Spark("x")}))"))
+        expr("simhash60(transform(md5s, h -> CAST(conv(substring(h, 1, 15), 16, 10) AS bigint)))"))
       .withColumn("sim_hi",
-        expr(s"simhash60(transform(toks, x -> ${tokHash60HiSpark("x")}))"))
+        expr("simhash60(transform(md5s, h -> CAST(conv(substring(h, 17, 15), 16, 10) AS bigint)))"))
       .select("doc_id", "sim_lo", "sim_hi")
   }
 

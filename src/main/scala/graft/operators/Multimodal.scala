@@ -108,18 +108,25 @@ object Multimodal {
     * output rows scale with docs × maxFrames, never with payload size,
     * and no shuffle is introduced. The frame "feature" is the stubbed
     * decode seam (real deployments put the codec + model call there). */
+  /** The one strided-sampling rule both decode paths share: up to
+    * `maxFrames` evenly-strided frames; `tsOf` maps a frame index onto
+    * the media's clock; `seed` feeds the per-frame feature. */
+  private def stridedFrames(docId: Long, nFrames: Int, seed: Long,
+      maxFrames: Int, tsOf: Int => Long): Seq[FrameRef] = {
+    val take = math.min(maxFrames, nFrames)
+    val stride = math.max(1, nFrames / math.max(take, 1))
+    (0 until take).map { i =>
+      val idx = i * stride
+      FrameRef(docId, idx, tsOf(idx), (seed * 31 + idx) % 1000000007L)
+    }
+  }
+
   def frameSample(decoded: Dataset[DecodedMedia], maxFrames: Int = 4): Dataset[FrameRef] = {
     val spark = decoded.sparkSession
     import spark.implicits._
-    decoded.flatMap { d =>
-      val take = math.min(maxFrames, d.n_frames)
-      val stride = math.max(1, d.n_frames / math.max(take, 1))
-      (0 until take).map { i =>
-        val idx = i * stride
-        FrameRef(d.doc_id, idx, idx * 40L, // 25fps → 40ms/frame
-          (d.checksum * 31 + idx) % 1000000007L)
-      }
-    }
+    // 25fps stub clock → 40ms/frame
+    decoded.flatMap(d =>
+      stridedFrames(d.doc_id, d.n_frames, d.checksum, maxFrames, idx => idx * 40L))
   }
 
   /** Resize planning: clamp each media item into a target box
@@ -152,15 +159,9 @@ object Multimodal {
   def frameSampleReal(decoded: Dataset[RealDecoded], maxFrames: Int = 4): Dataset[FrameRef] = {
     val spark = decoded.sparkSession
     import spark.implicits._
-    decoded.flatMap { d =>
-      val take = math.min(maxFrames, d.n_frames)
-      val stride = math.max(1, d.n_frames / math.max(take, 1))
-      (0 until take).map { i =>
-        val idx = i * stride
-        FrameRef(d.doc_id, idx, idx * 1000L / 8000L,
-          (d.feature * 31 + idx) % 1000000007L)
-      }
-    }
+    // 8 kHz PCM sample clock; an image's single frame sits at ts 0
+    decoded.flatMap(d =>
+      stridedFrames(d.doc_id, d.n_frames, d.feature, maxFrames, idx => idx * 1000L / 8000L))
   }
 
   def frameSampleQuery(spark: SparkSession, dir: String): DataFrame =
@@ -278,8 +279,11 @@ object Multimodal {
       else m.media_type match {
         case "image" =>
           // ImageIO.read returns null for bytes no registered reader
-          // accepts, but throws IIOException/IOException when a reader
-          // accepts the header and then fails mid-parse (truncated PNG)
+          // accepts, throws IIOException/IOException when a reader
+          // accepts the header then fails mid-parse (truncated PNG),
+          // and throws RuntimeExceptions (IllegalArgument, CMM, OOB)
+          // on malformed headers — NonFatal covers all three without
+          // swallowing OOM/fatal errors
           try {
             val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
             if (img == null) undecodable(m)
@@ -291,7 +295,7 @@ object Multimodal {
               RealDecoded(m.doc_id, "image", w, h, 1, sum / (w.toLong * h))
             }
           } catch {
-            case _: java.io.IOException => undecodable(m)
+            case scala.util.control.NonFatal(_) => undecodable(m)
           }
         case "audio" =>
           try {
@@ -308,8 +312,9 @@ object Multimodal {
             }
             RealDecoded(m.doc_id, "audio", 0, 0, frames, peak)
           } catch {
-            case _: javax.sound.sampled.UnsupportedAudioFileException
-                 | _: java.io.IOException => undecodable(m)
+            // same NonFatal rationale as the image branch: the JDK
+            // audio stack throws RuntimeExceptions on garbage chunks
+            case scala.util.control.NonFatal(_) => undecodable(m)
           }
         case other =>
           val d = decodePartition(Iterator(m)).next()

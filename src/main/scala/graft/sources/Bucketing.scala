@@ -40,17 +40,19 @@ object Bucketing {
   /** Drop any stale version of `table` — catalog entry AND warehouse
     * directory (an in-memory catalog forgets its tables across JVMs
     * but the directories persist, and saveAsTable(Overwrite) refuses a
-    * dir it has no catalog entry for) — then write fresh. */
+    * dir it has no catalog entry for) — then write fresh. The location
+    * comes from the catalog's own path resolution (not warehouse-dir
+    * string munging), so non-default databases, URI-escaped paths, and
+    * non-local warehouses all clean correctly. */
   def rewriteBucketed(df: DataFrame, table: String, buckets: Int,
       keys: Seq[String]): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new java.io.File(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
-    if (loc.exists()) {
-      import scala.reflect.io.Directory
-      new Directory(loc).deleteRecursively()
-    }
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     writeBucketed(df, table, buckets, keys)
   }
 }

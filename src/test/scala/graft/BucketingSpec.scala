@@ -16,19 +16,11 @@ class BucketingSpec extends AnyFunSuite with SparkSuite {
     val ord = Tables.load(spark, SF, "orders")
       .select("o_orderkey", "o_totalprice")
       .withColumnRenamed("o_orderkey", "l_orderkey")
-    // the in-memory catalog forgets tables across JVMs but their
-    // warehouse directories persist — clear both before writing
-    Seq("li_bkt", "ord_bkt").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
-        .stripPrefix("file:"), t)
-      if (loc.exists()) {
-        import scala.reflect.io.Directory
-        new Directory(loc).deleteRecursively()
-      }
-    }
-    Bucketing.writeBucketed(li, "li_bkt", buckets = 8, keys = Seq("l_orderkey"))
-    Bucketing.writeBucketed(ord, "ord_bkt", buckets = 8, keys = Seq("l_orderkey"))
+    // rewriteBucketed clears stale catalog entries AND their orphaned
+    // warehouse dirs (the in-memory catalog forgets tables across JVMs
+    // but the directories persist)
+    Bucketing.rewriteBucketed(li, "li_bkt", buckets = 8, keys = Seq("l_orderkey"))
+    Bucketing.rewriteBucketed(ord, "ord_bkt", buckets = 8, keys = Seq("l_orderkey"))
 
     // sf0.001 tables are broadcast-sized, which would sidestep the
     // bucketed path entirely — force the big-big join shape this
