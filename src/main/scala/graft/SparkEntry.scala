@@ -23,10 +23,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ RetailPipeline.queries ++ Dedup.queries ++
       TextAnalysis.queries ++ Similarity.queries ++ Events.queries ++
-      Multimodal.queries ++ AsofJoin.queries
+      Multimodal.queries ++ AsofJoin.queries ++ Sampling.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ RetailPipeline.oracles ++ Dedup.oracles ++
       TextAnalysis.oracles ++ Similarity.oracles ++ Events.oracles ++
-      Multimodal.oracles ++ AsofJoin.oracles
+      Multimodal.oracles ++ AsofJoin.oracles ++ Sampling.oracles
 }
