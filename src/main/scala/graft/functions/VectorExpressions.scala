@@ -121,20 +121,20 @@ object HyperplaneSig {
   /** (0,1] uniform from the top 53 bits (never 0 — safe for log). */
   private def unit(z: Long): Double = ((mix(z) >>> 11) + 1).toDouble / (1L << 53).toDouble
 
-  @volatile private var cache: (Int, Array[Array[Double]]) = _
+  // Keyed map, not a single slot: two datasets with different embedding
+  // dims in one JVM would thrash a last-value cache and rebuild the
+  // 128×dim Gaussian matrix per row. Dims in practice number a handful,
+  // so the map stays tiny.
+  private val cache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
 
-  def planes(dim: Int): Array[Array[Double]] = {
-    val c = cache
-    if (c != null && c._1 == dim) return c._2
-    val p = Array.tabulate(NBits) { j =>
-      Array.tabulate(dim) { i =>
-        val base = Seed + j.toLong * 2097169L + i.toLong * 2L
-        math.sqrt(-2.0 * math.log(unit(base))) * math.cos(2.0 * math.Pi * unit(base + 1))
-      }
-    }
-    cache = (dim, p)
-    p
-  }
+  def planes(dim: Int): Array[Array[Double]] =
+    cache.computeIfAbsent(dim, d =>
+      Array.tabulate(NBits) { j =>
+        Array.tabulate(d) { i =>
+          val base = Seed + j.toLong * 2097169L + i.toLong * 2L
+          math.sqrt(-2.0 * math.log(unit(base))) * math.cos(2.0 * math.Pi * unit(base + 1))
+        }
+      })
 
   /** Packed signature: bits 0–63 in element 0, 64–127 in element 1. */
   def compute(arr: ArrayData): ArrayData = {

@@ -556,6 +556,14 @@ object Dedup {
   private def lshCorpus(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.loadBalanced(spark, dir, "embeddings")
       .select("vec_id", "embedding")
+    // The planted-id space (vec_id + offset) must not overlap real ids,
+    // or the derived corpus silently corrupts — identically in both
+    // engines, so the oracle could never catch it. Parquet column stats
+    // make this max() a metadata-cheap scan.
+    val maxId = base.agg(max(col("vec_id")).cast("long")).head.getLong(0)
+    require(maxId < lshPlantOffset,
+      s"embeddings.vec_id max $maxId >= lshPlantOffset $lshPlantOffset: " +
+        "planted ids would collide with real ids; raise lshPlantOffset")
     val planted = base.filter(col("vec_id") % lshPlantStride === 0)
       .select((col("vec_id") + lshPlantOffset).as("vec_id"),
         expr("transform(embedding, (x, i) -> " +

@@ -431,6 +431,11 @@ object Relational {
   // query so the catalog entry is self-contained; a deployment does it
   // once at ingest. Results are physical-layout-independent, hence the
   // plain-SQL oracle; BucketingSpec asserts the exchange-free plan.
+  // CONSTRAINT: the bucket table names are fixed globals, so two
+  // concurrent q13 runs in one session would race (one drops the
+  // warehouse dir while the other reads it). The bench/verify harness
+  // is strictly serial; suffix the names per invocation before ever
+  // running this concurrently.
   // ---------------------------------------------------------------------
   private[graft] val liBucketTable = "graft_q13_lineitem_bkt"
   private[graft] val ordBucketTable = "graft_q13_orders_bkt"
