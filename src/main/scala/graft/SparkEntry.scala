@@ -23,10 +23,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ RetailPipeline.queries ++ Dedup.queries ++
       TextAnalysis.queries ++ Similarity.queries ++ Events.queries ++
-      Multimodal.queries ++ AsofJoin.queries ++ Sampling.queries
+      Multimodal.queries ++ AsofJoin.queries ++ Sampling.queries ++
+      Curation.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ RetailPipeline.oracles ++ Dedup.oracles ++
       TextAnalysis.oracles ++ Similarity.oracles ++ Events.oracles ++
-      Multimodal.oracles ++ AsofJoin.oracles ++ Sampling.oracles
+      Multimodal.oracles ++ AsofJoin.oracles ++ Sampling.oracles ++
+      Curation.oracles
 }

@@ -1,0 +1,238 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-curation operators — the second tier of a training-data
+  * pipeline, after [[Dedup]]/[[TextAnalysis]] have cleaned the corpus:
+  * benchmark decontamination, per-group quota sampling, clustering
+  * assignment, and corpus-level n-gram statistics. All four carry
+  * exact DuckDB oracles; the token/shingle/vector machinery is shared
+  * with [[Dedup]] (md5-derived hashes, native vec_dot/vec_norm
+  * kernels) so both engines compute bit-identical values.
+  *
+  * Scale design per operator is documented at each definition; the
+  * common thread is that every one is a standard shuffle shape
+  * (equi-join, single window, partial-aggregated groupBy) with no
+  * driver-side data movement and no RNG state — assignments and
+  * samples are pure functions of content, so reruns and backfills
+  * reproduce them exactly.
+  */
+object Curation {
+
+  // ---------------------------------------------------------------------
+  // text_decontaminate — flag corpus documents that overlap an eval
+  // (benchmark) document set by hashed word-3-gram overlap. This is the
+  // standard guard against test-set leakage into training data: any
+  // doc sharing a meaningful fraction of its shingles with the eval
+  // set is quarantined.
+  //
+  // The eval set here is derived deterministically (doc_id % 50 == 0)
+  // so the oracle can re-derive it; production passes a real benchmark
+  // corpus. Shingles travel as 60-bit md5 hashes, not strings — the
+  // join shuffles 8-byte keys (the same trick as ngram-jaccard's
+  // inverted index). Scale shape: eval n-gram sets are tiny next to
+  // the corpus (benchmarks are MBs, corpora are TBs), so AQE broadcasts
+  // the distinct eval-hash side and the corpus side never shuffles;
+  // expressed as a plain equi-join so either regime plans correctly.
+  // ---------------------------------------------------------------------
+  private[graft] val evalStride = 50L
+  private[graft] val contamThreshold = 0.2
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docsSh = Tables.loadBalanced(spark, dir, "documents")
+      .select(col("doc_id"), expr(s"shingles3(${Dedup.toksSpark})").as("sh"))
+      .filter(size(col("sh")) > 0)
+    val evalHashes = docsSh.filter(col("doc_id") % evalStride === 0)
+      .select(explode(col("sh")).as("s"))
+      .select(expr(Dedup.tokHash60Spark("s")).as("h"))
+      .distinct()
+    val corpus = docsSh.filter(col("doc_id") % evalStride =!= 0)
+    val hits = corpus
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), expr(Dedup.tokHash60Spark("s")).as("h"))
+      .join(evalHashes, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit"))
+    corpus.select(col("doc_id"), size(col("sh")).as("n_ngrams"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("hit_ratio", col("n_hit").cast("double") / col("n_ngrams"))
+      .withColumn("contaminated", col("hit_ratio") >= contamThreshold)
+      .orderBy("doc_id")
+  }
+
+  val decontaminateSql: String =
+    s"""WITH toks_t AS (SELECT doc_id, ${Dedup.toksSql} AS toks FROM documents),
+       |sh_t AS (SELECT doc_id, ${Dedup.shinglesSql} AS sh FROM toks_t),
+       |d AS (SELECT doc_id, sh FROM sh_t WHERE len(sh) > 0),
+       |ev AS (SELECT DISTINCT ${Dedup.tokHash60Sql("s")} AS h
+       |       FROM (SELECT unnest(sh) AS s FROM d WHERE doc_id % $evalStride = 0)),
+       |corp AS (SELECT doc_id, CAST(len(sh) AS INT) AS n_ngrams, sh
+       |         FROM d WHERE doc_id % $evalStride <> 0),
+       |expl AS (SELECT doc_id, ${Dedup.tokHash60Sql("s")} AS h
+       |         FROM (SELECT doc_id, unnest(sh) AS s FROM corp)),
+       |hits AS (SELECT doc_id, count(*) AS n_hit
+       |         FROM expl JOIN ev USING (h) GROUP BY 1)
+       |SELECT c.doc_id, c.n_ngrams,
+       |  COALESCE(h.n_hit, 0) AS n_hit,
+       |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / c.n_ngrams AS hit_ratio,
+       |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / c.n_ngrams >= $contamThreshold AS contaminated
+       |FROM corp c LEFT JOIN hits h ON c.doc_id = h.doc_id
+       |ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // quota_sample — deterministic per-group quota sampling: within each
+  // language, keep the Q documents with the smallest md5-derived rank
+  // hash. Content-addressed like doc_split_assign: the sample is a pure
+  // function of doc identity (no RNG, no partition-order dependence),
+  // uniform within each group, and stable across reruns — and because
+  // the hash is engine-independent, an auditor can re-derive exactly
+  // which docs were kept. Scale shape: one shuffle on the group key +
+  // a per-group sort; a skewed group sorts in parallel across its
+  // partitions (Spark's window sort is a range-partitioned external
+  // sort, not a single-task sort). For Q ≪ group size a two-phase
+  // refinement (per-partition top-Q, then global top-Q over the
+  // Q·numPartitions survivors) cuts the sort to the candidate set —
+  // the plain window form is kept here because it is the exact
+  // semantics the two-phase form must reproduce.
+  // ---------------------------------------------------------------------
+  private[graft] val quotaPerGroup = 50
+
+  private val rankHashSpark =
+    "CAST(conv(substring(md5(cast(cast(doc_id AS string) AS binary)), 1, 15), 16, 10) AS bigint)"
+  private val rankHashSql =
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+
+  def quotaSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(col("rank_hash").asc, col("doc_id").asc)
+    Tables.loadBalanced(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), expr(rankHashSpark).as("rank_hash"))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= quotaPerGroup)
+      .orderBy("lang", "sample_rank")
+  }
+
+  val quotaSampleSql: String =
+    s"""WITH h AS (SELECT doc_id, lang, $rankHashSql AS rank_hash FROM documents),
+       |r AS (SELECT doc_id, lang, rank_hash,
+       |        CAST(row_number() OVER (PARTITION BY lang ORDER BY rank_hash, doc_id) AS INT)
+       |          AS sample_rank
+       |      FROM h)
+       |SELECT doc_id, lang, rank_hash, sample_rank FROM r
+       |WHERE sample_rank <= $quotaPerGroup
+       |ORDER BY lang, sample_rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // cluster_kmeans_assign — the assignment step of k-means over the
+  // embedding corpus: K deterministic seed centroids (smallest K
+  // vec_ids on a modular comb, so the seed set is stable across scale
+  // factors), every vector assigned to its max-cosine centroid.
+  //
+  // Plan shape: the K-row centroid side is broadcast and the corpus
+  // makes ONE streaming pass computing K native vec_dot products per
+  // row — no shuffle until the final sort. That is exactly how the
+  // assignment step runs at 100 TB (centroids always fit in a
+  // broadcast; Lloyd's update step is then a groupBy(cluster) average
+  // — a second standard shuffle — but an iterated update's float-sum
+  // reduction order is engine-dependent, so the oracle-checked query
+  // is the deterministic assignment pass; [[Similarity.ivfTopKOver]]
+  // already exercises the update-style centroid build). Ties break to
+  // the smallest centroid id via the window order.
+  // ---------------------------------------------------------------------
+  private[graft] val kmeansSeedComb = 59L
+  private[graft] val kmeansK = 8
+
+  def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.loadBalanced(spark, dir, "embeddings")
+      .select("vec_id", "embedding")
+    val cents = e.filter(col("vec_id") % kmeansSeedComb === 3)
+      .orderBy("vec_id").limit(kmeansK)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+      .withColumn("c_norm", expr("vec_norm(c_emb)"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("centroid_id").asc)
+    e.withColumn("norm", expr("vec_norm(embedding)"))
+      .crossJoin(broadcast(cents))
+      .withColumn("sim",
+        expr("vec_dot(embedding, c_emb)") / (col("norm") * col("c_norm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"),
+        round(col("sim"), 6).as("cos_sim"))
+      .orderBy("vec_id")
+  }
+
+  val kmeansAssignSql: String =
+    s"""WITH cent AS (
+       |  SELECT vec_id AS centroid_id, embedding AS c_emb, ${Dedup.normSql} AS c_norm
+       |  FROM embeddings WHERE vec_id % $kmeansSeedComb = 3
+       |  ORDER BY vec_id LIMIT $kmeansK),
+       |e AS (SELECT vec_id, embedding, ${Dedup.normSql} AS norm FROM embeddings),
+       |p AS (SELECT e.vec_id, cent.centroid_id,
+       |        list_reduce(list_transform(range(1, len(e.embedding) + 1),
+       |          i -> e.embedding[i]::DOUBLE * cent.c_emb[i]::DOUBLE), (a, b) -> a + b)
+       |        / (e.norm * cent.c_norm) AS sim
+       |      FROM e CROSS JOIN cent),
+       |r AS (SELECT vec_id, centroid_id, sim,
+       |        row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+       |      FROM p)
+       |SELECT vec_id, centroid_id,
+       |  CAST(round(CAST(CAST(sim AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS cos_sim
+       |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // corpus_ngram_topk — global top-100 word bigrams by occurrence (the
+  // corpus-level LM statistic behind vocabulary builds and boilerplate
+  // detection). Scale shape: the explode feeds a hash aggregate whose
+  // map-side partial combine collapses each partition's counts before
+  // the shuffle — the shuffle carries (distinct-bigram, count) pairs,
+  // not occurrences — and the global top-k is a TakeOrderedAndProject
+  // (per-partition heap + driver merge of 100-row heaps), never a full
+  // sort. Deterministic via the (count DESC, ngram ASC) tiebreak.
+  // ---------------------------------------------------------------------
+  private[graft] val ngramTopK = 100
+
+  def ngramTopk(spark: SparkSession, dir: String): DataFrame =
+    Tables.loadBalanced(spark, dir, "documents")
+      .withColumn("toks", expr(Dedup.toksSpark))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+            |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
+            .stripMargin)).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("ngram").asc)
+      .limit(ngramTopK)
+
+  val ngramTopkSql: String =
+    s"""WITH t AS (SELECT doc_id, ${Dedup.toksSql} AS toks FROM documents),
+       |b AS (SELECT doc_id,
+       |        unnest(list_transform(range(1, len(toks)),
+       |          i -> toks[i] || ' ' || toks[i + 1])) AS ngram
+       |      FROM t WHERE len(toks) >= 2)
+       |SELECT ngram, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+       |FROM b GROUP BY 1
+       |ORDER BY n_occurrences DESC, ngram
+       |LIMIT $ngramTopK""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_decontaminate"   -> (decontaminate _),
+    "quota_sample"         -> (quotaSample _),
+    "cluster_kmeans_assign" -> (kmeansAssign _),
+    "corpus_ngram_topk"    -> (ngramTopk _))
+
+  val oracles: Map[String, String] = Map(
+    "text_decontaminate"   -> decontaminateSql,
+    "quota_sample"         -> quotaSampleSql,
+    "cluster_kmeans_assign" -> kmeansAssignSql,
+    "corpus_ngram_topk"    -> ngramTopkSql)
+}
