@@ -224,15 +224,138 @@ object Curation {
        |ORDER BY n_occurrences DESC, ngram
        |LIMIT $ngramTopK""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // text_scrub — PII redaction: emails and phone numbers replaced with
+  // typed placeholders, with per-doc redaction counts. The synthetic
+  // corpus contains no PII (verified: zero digits), so the query runs
+  // over a DERIVED corpus that plants deterministic PII — an email on
+  // every doc_id % 7 == 0, a phone on every doc_id % 11 == 0 — the same
+  // plant-then-verify trick as dedup_embedding_lsh: both engines derive
+  // the planted text bit-identically, so the oracle checks the real
+  // regex scrub path end to end (including the no-PII docs passing
+  // through untouched). Scale shape: pure map-side regex over the scan,
+  // fully codegen'd, no shuffle before the final sort.
+  // ---------------------------------------------------------------------
+  private val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val phonePat = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+  def scrub(spark: SparkSession, dir: String): DataFrame =
+    Tables.loadBalanced(spark, dir, "documents")
+      .withColumn("planted", concat(
+        col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" today"))).otherwise(lit(""))))
+      .withColumn("n_emails", size(regexp_extract_all(col("planted"), lit(emailPat), lit(0))))
+      .withColumn("n_phones", size(regexp_extract_all(col("planted"), lit(phonePat), lit(0))))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(col("planted"), emailPat, "[EMAIL]"),
+          phonePat, "[PHONE]"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        expr("md5(cast(scrubbed AS binary))").as("scrub_md5"),
+        length(col("scrubbed")).as("scrub_len"))
+      .orderBy("doc_id")
+
+  val scrubSql: String =
+    s"""WITH planted_t AS (
+       |  SELECT doc_id, text
+       |    || CASE WHEN doc_id % 7 = 0
+       |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+       |         ELSE '' END
+       |    || CASE WHEN doc_id % 11 = 0
+       |         THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+       |         ELSE '' END AS planted
+       |  FROM documents),
+       |s AS (SELECT doc_id,
+       |        CAST(len(regexp_extract_all(planted, '$emailPat')) AS INT) AS n_emails,
+       |        CAST(len(regexp_extract_all(planted, '$phonePat')) AS INT) AS n_phones,
+       |        regexp_replace(regexp_replace(planted, '$emailPat', '[EMAIL]', 'g'),
+       |          '$phonePat', '[PHONE]', 'g') AS scrubbed
+       |      FROM planted_t)
+       |SELECT doc_id, n_emails, n_phones, md5(scrubbed) AS scrub_md5,
+       |  CAST(len(scrubbed) AS INT) AS scrub_len
+       |FROM s ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // text_repetition — Gopher-style within-document repetition signals:
+  // the duplicate-bigram fraction and the most-frequent-token dominance,
+  // with a composite "repetitive" flag. The phrase-pool corpus is
+  // legitimately repetitive, so the values discriminate. Scale shape:
+  // the per-doc bigram stats are map-side array expressions; the token
+  // mode needs one (doc_id, token) partial-aggregated groupBy and a
+  // co-partitioned join back on doc_id — the standard two-level
+  // aggregate, never a per-doc sort.
+  // ---------------------------------------------------------------------
+  private[graft] val dupBigramThreshold = 0.5
+  private[graft] val topTokThreshold = 0.25
+
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.loadBalanced(spark, dir, "documents")
+      .withColumn("toks", expr(Dedup.toksSpark))
+      .filter(size(col("toks")) >= 2)
+      .withColumn("bigrams", expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
+          .stripMargin))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).as("n_tokens"),
+        size(col("bigrams")).as("n_bigrams"),
+        size(array_distinct(col("bigrams"))).as("n_distinct_bigrams"))
+    val topTok = base.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id").agg(max(col("n")).as("top_tok_count"))
+    base.join(topTok, Seq("doc_id"))
+      .withColumn("dup_bigram_frac",
+        lit(1.0) - col("n_distinct_bigrams").cast("double") / col("n_bigrams"))
+      .withColumn("top_tok_frac",
+        col("top_tok_count").cast("double") / col("n_tokens"))
+      .withColumn("repetitive",
+        col("dup_bigram_frac") >= dupBigramThreshold
+          || col("top_tok_frac") >= topTokThreshold)
+      .select("doc_id", "n_tokens", "n_bigrams", "n_distinct_bigrams",
+        "dup_bigram_frac", "top_tok_count", "top_tok_frac", "repetitive")
+      .orderBy("doc_id")
+  }
+
+  val repetitionSql: String =
+    s"""WITH t AS (SELECT doc_id, ${Dedup.toksSql} AS toks FROM documents),
+       |b AS (SELECT doc_id, toks,
+       |        list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+       |      FROM t WHERE len(toks) >= 2),
+       |base AS (SELECT doc_id, toks,
+       |           CAST(len(toks) AS INT) AS n_tokens,
+       |           CAST(len(bigrams) AS INT) AS n_bigrams,
+       |           CAST(len(list_distinct(bigrams)) AS INT) AS n_distinct_bigrams
+       |         FROM b),
+       |tok_counts AS (SELECT doc_id, tok, count(*) AS n
+       |               FROM (SELECT doc_id, unnest(toks) AS tok FROM b) GROUP BY 1, 2),
+       |top_tok AS (SELECT doc_id, max(n) AS top_tok_count FROM tok_counts GROUP BY 1)
+       |SELECT base.doc_id, n_tokens, n_bigrams, n_distinct_bigrams,
+       |  1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams AS dup_bigram_frac,
+       |  top_tok_count,
+       |  CAST(top_tok_count AS DOUBLE) / n_tokens AS top_tok_frac,
+       |  (1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams) >= $dupBigramThreshold
+       |    OR (CAST(top_tok_count AS DOUBLE) / n_tokens) >= $topTokThreshold AS repetitive
+       |FROM base JOIN top_tok ON base.doc_id = top_tok.doc_id
+       |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_decontaminate"   -> (decontaminate _),
-    "quota_sample"         -> (quotaSample _),
+    "text_decontaminate"    -> (decontaminate _),
+    "quota_sample"          -> (quotaSample _),
     "cluster_kmeans_assign" -> (kmeansAssign _),
-    "corpus_ngram_topk"    -> (ngramTopk _))
+    "corpus_ngram_topk"     -> (ngramTopk _),
+    "text_scrub"            -> (scrub _),
+    "text_repetition"       -> (repetition _))
 
   val oracles: Map[String, String] = Map(
-    "text_decontaminate"   -> decontaminateSql,
-    "quota_sample"         -> quotaSampleSql,
+    "text_decontaminate"    -> decontaminateSql,
+    "quota_sample"          -> quotaSampleSql,
     "cluster_kmeans_assign" -> kmeansAssignSql,
-    "corpus_ngram_topk"    -> ngramTopkSql)
+    "corpus_ngram_topk"     -> ngramTopkSql,
+    "text_scrub"            -> scrubSql,
+    "text_repetition"       -> repetitionSql)
 }

@@ -64,6 +64,52 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(!plan.contains("SortMergeJoin"), s"assignment must not sort-merge join:\n$plan")
   }
 
+  test("scrub counts planted PII exactly and redacts it from the text") {
+    val docs = Tables.load(spark, SF, "documents")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("orig_md5"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Curation.scrub(spark, SF).collect()
+    assert(rows.length === docs.size)
+    rows.foreach { r =>
+      val (docId, nEmails, nPhones, scrubMd5) =
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))
+      // the corpus itself holds no PII (zero digits, verified), so the
+      // counts are exactly the plants
+      assert(nEmails === (if (docId % 7 == 0) 1 else 0), s"doc $docId emails")
+      assert(nPhones === (if (docId % 11 == 0) 1 else 0), s"doc $docId phones")
+      val planted = docId % 7 == 0 || docId % 11 == 0
+      assert((scrubMd5 != docs(docId)) === planted,
+        s"doc $docId: scrubbed text must differ from original iff PII was planted")
+    }
+  }
+
+  test("repetition stats are internally consistent and hand-checkable") {
+    val rows = Curation.repetition(spark, SF).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTok, nBi, nDist) = (r.getInt(1), r.getInt(2), r.getInt(3))
+      val (dupFrac, topCount, topFrac, rep) =
+        (r.getDouble(4), r.getLong(5), r.getDouble(6), r.getBoolean(7))
+      assert(nBi === nTok - 1)
+      assert(nDist >= 1 && nDist <= nBi)
+      assert(dupFrac >= 0.0 && dupFrac <= 1.0)
+      assert(topCount >= 1 && topCount <= nTok)
+      assert(math.abs(dupFrac - (1.0 - nDist.toDouble / nBi)) < 1e-12)
+      assert(math.abs(topFrac - topCount.toDouble / nTok) < 1e-12)
+      assert(rep === (dupFrac >= Curation.dupBigramThreshold
+        || topFrac >= Curation.topTokThreshold))
+    }
+    // hand recompute for one doc
+    val doc0 = Tables.load(spark, SF, "documents")
+      .filter(col("doc_id") === rows.head.getLong(0))
+      .select("text").collect().head.getString(0)
+    val toks = doc0.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val bigrams = toks.sliding(2).map(_.mkString(" ")).toSeq
+    assert(rows.head.getInt(1) === toks.length)
+    assert(rows.head.getInt(3) === bigrams.distinct.length)
+    assert(rows.head.getLong(5) === toks.groupBy(identity).values.map(_.size).max.toLong)
+  }
+
   test("ngram top-k is rank-ordered with deterministic tiebreak") {
     val rows = Curation.ngramTopk(spark, SF).collect()
     assert(rows.nonEmpty && rows.length <= Curation.ngramTopK)
