@@ -102,10 +102,10 @@ object Curation {
   // ---------------------------------------------------------------------
   private[graft] val quotaPerGroup = 50
 
-  private val rankHashSpark =
-    "CAST(conv(substring(md5(cast(cast(doc_id AS string) AS binary)), 1, 15), 16, 10) AS bigint)"
-  private val rankHashSql =
-    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+  // The one 60-bit md5 hash idiom, routed through Dedup's helpers (the
+  // ANSI-exactness convention lives in exactly one place).
+  private[graft] val rankHashSpark = Dedup.tokHash60Spark("cast(doc_id AS string)")
+  private[graft] val rankHashSql = Dedup.tokHash60Sql("CAST(doc_id AS VARCHAR)")
 
   def quotaSample(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("lang")
@@ -134,15 +134,19 @@ object Curation {
   // factors), every vector assigned to its max-cosine centroid.
   //
   // Plan shape: the K-row centroid side is broadcast and the corpus
-  // makes ONE streaming pass computing K native vec_dot products per
-  // row — no shuffle until the final sort. That is exactly how the
-  // assignment step runs at 100 TB (centroids always fit in a
-  // broadcast; Lloyd's update step is then a groupBy(cluster) average
-  // — a second standard shuffle — but an iterated update's float-sum
+  // makes one streaming pass computing K native vec_dot products per
+  // row; the argmax is a groupBy(vec_id) max_by whose PARTIAL aggregate
+  // collapses the K rows of each vector map-side (they are co-located —
+  // the broadcast join preserves the corpus partitioning), so the one
+  // shuffle before the final sort carries a single row per vector, not
+  // K. (A window argmax here would instead shuffle the full N×K
+  // cross-join output.) That is how the assignment step runs at 100 TB:
+  // centroids always fit in a broadcast; Lloyd's update step is then a
+  // groupBy(cluster) average — but an iterated update's float-sum
   // reduction order is engine-dependent, so the oracle-checked query
-  // is the deterministic assignment pass; [[Similarity.ivfTopKOver]]
-  // already exercises the update-style centroid build). Ties break to
-  // the smallest centroid id via the window order.
+  // is the deterministic assignment pass; [[Similarity]]'s IVF build
+  // already exercises the update-style centroid computation. Ties break
+  // to the smallest centroid id via the max_by ordering struct.
   // ---------------------------------------------------------------------
   private[graft] val kmeansSeedComb = 59L
   private[graft] val kmeansK = 8
@@ -155,16 +159,16 @@ object Curation {
       .orderBy("vec_id").limit(kmeansK)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
       .withColumn("c_norm", expr("vec_norm(c_emb)"))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("sim").desc, col("centroid_id").asc)
     e.withColumn("norm", expr("vec_norm(embedding)"))
       .crossJoin(broadcast(cents))
       .withColumn("sim",
         expr("vec_dot(embedding, c_emb)") / (col("norm") * col("c_norm")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("centroid_id"),
-        round(col("sim"), 6).as("cos_sim"))
+      .groupBy("vec_id")
+      // max by (sim, -centroid_id): highest cosine, smallest id on ties
+      .agg(max_by(struct(col("centroid_id"), col("sim")),
+        struct(col("sim"), (-col("centroid_id")).as("neg_id"))).as("best"))
+      .select(col("vec_id"), col("best.centroid_id").as("centroid_id"),
+        round(col("best.sim"), 6).as("cos_sim"))
       .orderBy("vec_id")
   }
 
@@ -189,12 +193,17 @@ object Curation {
   // ---------------------------------------------------------------------
   // corpus_ngram_topk — global top-100 word bigrams by occurrence (the
   // corpus-level LM statistic behind vocabulary builds and boilerplate
-  // detection). Scale shape: the explode feeds a hash aggregate whose
-  // map-side partial combine collapses each partition's counts before
-  // the shuffle — the shuffle carries (distinct-bigram, count) pairs,
-  // not occurrences — and the global top-k is a TakeOrderedAndProject
-  // (per-partition heap + driver merge of 100-row heaps), never a full
-  // sort. Deterministic via the (count DESC, ngram ASC) tiebreak.
+  // detection). Scale shape: n_occurrences alone would shuffle only
+  // map-side-combined (bigram, count) pairs, but the EXACT n_docs
+  // column forces Spark's single-distinct aggregate plan, whose first
+  // shuffle carries distinct (bigram, doc_id) pairs — that volume is
+  // inherent to exact per-ngram document frequencies. At 100 TB you
+  // keep exact counts and switch n_docs to a mergeable sketch
+  // (approx_count_distinct — the same trade events_hll_distinct makes),
+  // restoring the counts-only shuffle. The global top-k is a
+  // TakeOrderedAndProject (per-partition heap + driver merge of 100-row
+  // heaps), never a full sort. Deterministic via the (count DESC,
+  // ngram ASC) tiebreak.
   // ---------------------------------------------------------------------
   private[graft] val ngramTopK = 100
 
@@ -285,30 +294,39 @@ object Curation {
   // the duplicate-bigram fraction and the most-frequent-token dominance,
   // with a composite "repetitive" flag. The phrase-pool corpus is
   // legitimately repetitive, so the values discriminate. Scale shape:
-  // the per-doc bigram stats are map-side array expressions; the token
-  // mode needs one (doc_id, token) partial-aggregated groupBy and a
-  // co-partitioned join back on doc_id — the standard two-level
-  // aggregate, never a per-doc sort.
+  // ONE scan — the map-side bigram stats ride along the token explode
+  // as constant-per-doc columns, then a (doc_id, token) partial
+  // aggregate collapses duplicate tokens before the first shuffle and a
+  // (doc_id) aggregate takes the mode. Two exchanges, no join, no
+  // per-doc sort, and the tokenization runs once (a join-back design
+  // would scan and tokenize the corpus twice and add a third exchange).
   // ---------------------------------------------------------------------
   private[graft] val dupBigramThreshold = 0.5
   private[graft] val topTokThreshold = 0.25
 
-  def repetition(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.loadBalanced(spark, dir, "documents")
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.loadBalanced(spark, dir, "documents")
       .withColumn("toks", expr(Dedup.toksSpark))
       .filter(size(col("toks")) >= 2)
       .withColumn("bigrams", expr(
         """transform(sequence(1, size(toks) - 1),
           |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
           .stripMargin))
-      .select(col("doc_id"), col("toks"),
+      .select(col("doc_id"),
         size(col("toks")).as("n_tokens"),
         size(col("bigrams")).as("n_bigrams"),
-        size(array_distinct(col("bigrams"))).as("n_distinct_bigrams"))
-    val topTok = base.select(col("doc_id"), explode(col("toks")).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
-      .groupBy("doc_id").agg(max(col("n")).as("top_tok_count"))
-    base.join(topTok, Seq("doc_id"))
+        size(array_distinct(col("bigrams"))).as("n_distinct_bigrams"),
+        explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("n"),
+        first(col("n_tokens")).as("n_tokens"),
+        first(col("n_bigrams")).as("n_bigrams"),
+        first(col("n_distinct_bigrams")).as("n_distinct_bigrams"))
+      .groupBy("doc_id")
+      .agg(max(col("n")).as("top_tok_count"),
+        first(col("n_tokens")).as("n_tokens"),
+        first(col("n_bigrams")).as("n_bigrams"),
+        first(col("n_distinct_bigrams")).as("n_distinct_bigrams"))
       .withColumn("dup_bigram_frac",
         lit(1.0) - col("n_distinct_bigrams").cast("double") / col("n_bigrams"))
       .withColumn("top_tok_frac",
@@ -319,7 +337,6 @@ object Curation {
       .select("doc_id", "n_tokens", "n_bigrams", "n_distinct_bigrams",
         "dup_bigram_frac", "top_tok_count", "top_tok_frac", "repetitive")
       .orderBy("doc_id")
-  }
 
   val repetitionSql: String =
     s"""WITH t AS (SELECT doc_id, ${Dedup.toksSql} AS toks FROM documents),

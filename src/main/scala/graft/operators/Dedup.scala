@@ -554,16 +554,21 @@ object Dedup {
     * the ≤ 0.52 bulk. Zeroing one float is bit-exact in both engines,
     * so the DuckDB oracle reproduces the corpus byte-for-byte. */
   private def lshCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.loadBalanced(spark, dir, "embeddings")
-      .select("vec_id", "embedding")
     // The planted-id space (vec_id + offset) must not overlap real ids,
     // or the derived corpus silently corrupts — identically in both
-    // engines, so the oracle could never catch it. Parquet column stats
-    // make this max() a metadata-cheap scan.
-    val maxId = base.agg(max(col("vec_id")).cast("long")).head.getLong(0)
-    require(maxId < lshPlantOffset,
-      s"embeddings.vec_id max $maxId >= lshPlantOffset $lshPlantOffset: " +
-        "planted ids would collide with real ids; raise lshPlantOffset")
+    // engines, so the oracle could never catch it. The guard rides the
+    // plan itself (raise_error branch on every consumed row) rather
+    // than running an eager max() job per query construction: zero
+    // extra jobs, and any real vec_id >= the offset fails the query
+    // loudly instead of corrupting it.
+    val base = Tables.loadBalanced(spark, dir, "embeddings")
+      .select(
+        when(col("vec_id") < lshPlantOffset, col("vec_id"))
+          .otherwise(raise_error(concat(
+            lit(s"embeddings.vec_id >= lshPlantOffset $lshPlantOffset "),
+            lit("would collide with planted ids; raise lshPlantOffset"))))
+          .as("vec_id"),
+        col("embedding"))
     val planted = base.filter(col("vec_id") % lshPlantStride === 0)
       .select((col("vec_id") + lshPlantOffset).as("vec_id"),
         expr("transform(embedding, (x, i) -> " +

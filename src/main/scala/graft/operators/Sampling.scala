@@ -24,17 +24,15 @@ import graft.Tables
 object Sampling {
 
   /** 60-bit md5 bucket hash of the doc id, mod 1000. Rendering the id
-    * through VARCHAR keeps both engines hashing identical bytes. The
-    * conv() result (a STRING) is cast to BIGINT explicitly before the
-    * modulo: with ANSI off, Spark would coerce the string operand to
-    * DOUBLE and the 60-bit value loses low bits — ~96% of docs would
-    * silently land in a different bucket than the oracle. The explicit
-    * cast keeps the arithmetic exact in either ANSI mode (same
-    * convention as Dedup's token hashes). */
+    * through VARCHAR keeps both engines hashing identical bytes; the
+    * hash itself is [[Dedup.tokHash60Spark]], whose explicit BIGINT
+    * cast keeps the modulo exact in either ANSI mode (with ANSI off, a
+    * bare conv() string would coerce to DOUBLE and ~96% of docs would
+    * silently land in a different bucket than the oracle). */
   private val bucketSpark =
-    "CAST(CAST(conv(substring(md5(cast(cast(doc_id AS string) AS binary)), 1, 15), 16, 10) AS BIGINT) % 1000 AS int)"
+    s"CAST(${Dedup.tokHash60Spark("cast(doc_id AS string)")} % 1000 AS int)"
   private val bucketSql =
-    "CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000 AS INT)"
+    s"CAST(${Dedup.tokHash60Sql("CAST(doc_id AS VARCHAR)")} % 1000 AS INT)"
 
   /** 80/10/10 train/val/test + a deterministic 10% sample flag. */
   def splitAssign(spark: SparkSession, dir: String): DataFrame =

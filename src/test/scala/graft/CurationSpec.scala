@@ -33,8 +33,7 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     }
     // kept docs per group are exactly the Q smallest hashes of that group
     val all = Tables.load(spark, SF, "documents")
-      .select(col("doc_id"), col("lang"),
-        expr("CAST(conv(substring(md5(cast(cast(doc_id AS string) AS binary)), 1, 15), 16, 10) AS bigint)").as("h"))
+      .select(col("doc_id"), col("lang"), expr(Curation.rankHashSpark).as("h"))
       .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(0)))
     perGroup.foreach { case (lang, rs) =>
       val expected = all.filter(_._1 == lang).map(t => (t._2, t._3)).sorted
@@ -56,12 +55,18 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
       assert(math.abs(self.getDouble(2) - 1.0) < 1e-6)
     }
     rows.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
-    // the K-row centroid side must broadcast: the corpus-side pass is
-    // shuffle-free (a BroadcastNestedLoopJoin over 8 rows, never a SMJ)
+    // the K-row centroid side must broadcast, and the argmax must be
+    // the partial-aggregated max_by (one post-agg row per vector enters
+    // the shuffle) — never a window over the N×K cross-join output,
+    // which would shuffle K× the corpus
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       s"centroids must broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"assignment must not sort-merge join:\n$plan")
+    assert(!plan.contains("Window"), s"argmax must be aggregated, not windowed:\n$plan")
+    assert(plan.contains("partial_max_by") || plan.contains("partial_maxby")
+        || plan.toLowerCase.contains("max_by"),
+      s"argmax must be a max_by aggregate:\n$plan")
   }
 
   test("scrub counts planted PII exactly and redacts it from the text") {
