@@ -360,13 +360,72 @@ object Curation {
        |FROM base JOIN top_tok ON base.doc_id = top_tok.doc_id
        |ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // doc_pack_stream — deterministic sequence packing: documents are
+  // concatenated in doc_id order into fixed-capacity token windows
+  // (the layout step before LLM training); each doc reports the pack
+  // it STARTS in and its token offset there. The core is a global
+  // running token sum — the classic distributed prefix-sum problem. A
+  // naive `Window.orderBy(doc_id)` with no partition key funnels the
+  // whole corpus through ONE task; instead the cumsum runs two-level:
+  // (1) buckets derived from doc_id (content-addressed, so the result
+  // is partition-layout-independent) get parallel local cumsums, (2)
+  // per-bucket totals — corpus/B rows, trivially small — get the
+  // single-task treatment, (3) a broadcast join adds each bucket's
+  // offset to its local cumsums. Same two-pass scan pattern as
+  // GPU/MPI prefix sums. The oracle is the semantically-identical
+  // naive global window, which DuckDB can afford at oracle scale.
+  // ---------------------------------------------------------------------
+  private[graft] val packCapacity = 2048L
+  private[graft] val packIdsPerBucket = 1000L
+
+  def packStream(spark: SparkSession, dir: String): DataFrame = {
+    val wLocal = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wBuckets = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = Tables.loadBalanced(spark, dir, "documents")
+      .withColumn("toks", expr(Dedup.toksSpark))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        expr(s"doc_id div $packIdsPerBucket").as("bucket"))
+      .withColumn("local_before",
+        coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+    val offsets = base.groupBy("bucket")
+      .agg(sum(col("n_tokens")).as("bucket_total"))
+      .withColumn("bucket_offset",
+        coalesce(sum(col("bucket_total")).over(wBuckets), lit(0L)))
+      .select("bucket", "bucket_offset")
+    base.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum_before", col("bucket_offset") + col("local_before"))
+      .select(col("doc_id"), col("n_tokens"), col("cum_before"),
+        expr(s"cum_before div $packCapacity").as("pack_id"),
+        (col("cum_before") % packCapacity).as("offset_in_pack"))
+      .orderBy("doc_id")
+  }
+
+  val packStreamSql: String =
+    s"""WITH t AS (SELECT doc_id, ${Dedup.toksSql} AS toks FROM documents),
+       |n AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens
+       |      FROM t WHERE len(toks) > 0),
+       |c AS (SELECT doc_id, n_tokens,
+       |        CAST(COALESCE(SUM(n_tokens) OVER
+       |          (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |          0) AS BIGINT) AS cum_before
+       |      FROM n)
+       |SELECT doc_id, n_tokens, cum_before,
+       |  cum_before // $packCapacity AS pack_id,
+       |  cum_before % $packCapacity AS offset_in_pack
+       |FROM c ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_decontaminate"    -> (decontaminate _),
     "quota_sample"          -> (quotaSample _),
     "cluster_kmeans_assign" -> (kmeansAssign _),
     "corpus_ngram_topk"     -> (ngramTopk _),
     "text_scrub"            -> (scrub _),
-    "text_repetition"       -> (repetition _))
+    "text_repetition"       -> (repetition _),
+    "doc_pack_stream"       -> (packStream _))
 
   val oracles: Map[String, String] = Map(
     "text_decontaminate"    -> decontaminateSql,
@@ -374,5 +433,6 @@ object Curation {
     "cluster_kmeans_assign" -> kmeansAssignSql,
     "corpus_ngram_topk"     -> ngramTopkSql,
     "text_scrub"            -> scrubSql,
-    "text_repetition"       -> repetitionSql)
+    "text_repetition"       -> repetitionSql,
+    "doc_pack_stream"       -> packStreamSql)
 }

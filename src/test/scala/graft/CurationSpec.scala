@@ -115,6 +115,27 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(rows.head.getLong(5) === toks.groupBy(identity).values.map(_.size).max.toLong)
   }
 
+  test("pack stream equals the scalar prefix sum and partitions its big window") {
+    val df = Curation.packStream(spark, SF)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // scalar recompute of the global prefix sum in doc_id order
+    var cum = 0L
+    rows.sortBy(_.getLong(0)).foreach { r =>
+      assert(r.getLong(2) === cum, s"doc ${r.getLong(0)} cum_before")
+      assert(r.getLong(3) === cum / Curation.packCapacity)
+      assert(r.getLong(4) === cum % Curation.packCapacity)
+      cum += r.getInt(1)
+    }
+    // the corpus-sized window must be partitioned by the id-derived
+    // bucket — a global unpartitioned window over the full corpus would
+    // funnel everything through one task; only the tiny bucket-offset
+    // window (corpus/B rows) may be global
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(bucket"),
+      s"big cumsum window must partition by bucket:\n$plan")
+  }
+
   test("ngram top-k is rank-ordered with deterministic tiebreak") {
     val rows = Curation.ngramTopk(spark, SF).collect()
     assert(rows.nonEmpty && rows.length <= Curation.ngramTopK)
