@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit tool: prints the formatted physical plan of named
+  * catalog queries (all of them if none named). Usage:
+  *   tools/verify.sh <sfDir> ignored graft.Explain   (all plans)
+  *   java -cp ... graft.Explain <sfDir> q03_star_join_revenue ...
+  * Reviewing `.explain("formatted")` output per operator — pushed
+  * filters, exchange placement, codegen spans — is part of the
+  * engineering loop, not an afterthought; this makes it one command.
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = args.drop(1).toSet
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (names.isEmpty || names(name)) {
+        println(s"\n========== $name ==========")
+        try fn(spark, sfDir).explain("formatted")
+        catch { case e: Throwable => println(s"[explain] $name failed: $e") }
+      }
+    }
+    spark.stop()
+  }
+}
