@@ -3,7 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Plan-audit tool: prints the formatted physical plan of named
-  * catalog queries (all of them if none named). Usage:
+  * catalog queries (all of them if no KNOWN name is given — unknown
+  * args are warned about and ignored, so `tools/verify.sh <sf> out
+  * graft.Explain`, which passes its outDir positionally, still prints
+  * everything). Usage:
   *   tools/verify.sh <sfDir> ignored graft.Explain   (all plans)
   *   java -cp ... graft.Explain <sfDir> q03_star_join_revenue ...
   * Reviewing `.explain("formatted")` output per operator — pushed
@@ -13,7 +16,8 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = args.drop(1).toSet
+    val (names, unknown) = args.drop(1).toSet.partition(SparkEntry.queries.contains)
+    unknown.foreach(a => System.err.println(s"[explain] ignoring unknown query name: $a"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -98,4 +98,45 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** At-least-once variant of [[eventsSource]]: every event_id % 10 == 0
+    * is delivered twice (deterministic plant — the events table itself
+    * is unique on event_id, spec-verified), so a downstream dedup is
+    * exercised against real duplicates rather than vacuously passing on
+    * an already-unique feed. The watermark attached by [[eventsSource]]
+    * survives the projection (the event-time column is untouched). */
+  private def dupedEventsSource(spark: SparkSession, dir: String): DataFrame =
+    eventsSource(spark, dir)
+      .withColumn("copy", explode(
+        when(col("event_id") % 10 === 0, array(lit(0), lit(1)))
+          .otherwise(array(lit(0)))))
+      .drop("copy")
+
+  /** Exactly-once per-type counts over the duplicated feed:
+    * [[dedupStream]]'s repair composed with an aggregate, proving the
+    * planted duplicates are dropped before they can inflate a
+    * downstream metric. Dedup state expires with the event-time
+    * watermark — bounded by the watermark window's arrival volume, not
+    * stream lifetime; a duplicate arriving later than the delay is the
+    * standard documented miss window. `DedupStreamSpec` asserts the
+    * streamed counts equal the batch distinct counts. */
+  def dedupCounts(spark: SparkSession, dir: String, queryName: String): StreamingQuery =
+    dupedEventsSource(spark, dir)
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Batch frame with [[dedupCounts]]'s shape: counts over distinct
+    * event ids. */
+  def dedupBatchEquivalent(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.loadEvents(spark, dir)
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
 }

@@ -131,8 +131,12 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     // bucket — a global unpartitioned window over the full corpus would
     // funnel everything through one task; only the tiny bucket-offset
     // window (corpus/B rows) may be global
+    // match the PARTITION spec form "windowspecdefinition(bucket#N, doc_id#..."
+    // specifically: the tiny global offsets window stringifies as
+    // "windowspecdefinition(bucket#N ASC ..." (ORDER spec, no comma) and
+    // must not satisfy this assert
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("windowspecdefinition(bucket"),
+    assert("""windowspecdefinition\(bucket#\d+L?, doc_id#""".r.findFirstIn(plan).isDefined,
       s"big cumsum window must partition by bucket:\n$plan")
   }
 

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.streaming.DedupStream
+import graft.streaming.EventsStream
 
 class DedupStreamSpec extends AnyFunSuite with SparkSuite {
 
@@ -13,12 +13,12 @@ class DedupStreamSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("streaming dedup restores exactly-once counts over the duplicated feed") {
-    val q = DedupStream.dedupCounts(spark, SF, "dedup_stream_out")
+    val q = EventsStream.dedupCounts(spark, SF, "dedup_stream_out")
     q.processAllAvailable()
     q.stop()
     val streamed = spark.table("dedup_stream_out")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val batch = DedupStream.batchEquivalent(spark, SF)
+    val batch = EventsStream.dedupBatchEquivalent(spark, SF)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(streamed === batch,
       "streamed per-type counts must equal batch distinct counts")
