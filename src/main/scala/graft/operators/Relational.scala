@@ -463,6 +463,38 @@ object Relational {
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q14 — pivot: per-source document counts spread across the (closed)
+  // language domain. The values list is EXPLICIT, which matters twice:
+  // it makes the output schema deterministic for the oracle, and it
+  // lets Catalyst rewrite the pivot into ONE conditional-aggregation
+  // pass — `pivot("lang")` without values first runs a separate
+  // distinct job over the corpus to discover columns, an extra full
+  // scan nobody should pay at 100 TB. Cells with no rows surface as
+  // null from the pivot and are coalesced to 0 to match SQL's
+  // conditional counts.
+  // ---------------------------------------------------------------------
+  private val langDomain = Seq("de", "en", "es", "fr", "zh")
+
+  def q14(spark: SparkSession, dir: String): DataFrame = {
+    val pivoted = Tables.loadBalanced(spark, dir, "documents")
+      .groupBy(col("source"))
+      .pivot("lang", langDomain)
+      .agg(count(lit(1)))
+    pivoted.select(col("source") +:
+        langDomain.map(l => coalesce(col(l), lit(0L)).as(s"n_$l")): _*)
+      .orderBy("source")
+  }
+
+  val q14Sql: String = {
+    val cells = langDomain
+      .map(l => s"CAST(count(*) FILTER (WHERE lang = '$l') AS BIGINT) AS n_$l")
+      .mkString(",\n  ")
+    s"""SELECT source,
+       |  $cells
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> (q01 _),
     "q02_filter_project"    -> (q02 _),
@@ -476,7 +508,8 @@ object Relational {
     "q10_top_revenue"       -> (q10 _),
     "q11_rollup"            -> (q11 _),
     "q12_quantiles"         -> (q12 _),
-    "q13_bucketed_join"     -> (q13 _))
+    "q13_bucketed_join"     -> (q13 _),
+    "q14_pivot_counts"      -> (q14 _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary"   -> q01Sql,
@@ -491,5 +524,6 @@ object Relational {
     "q10_top_revenue"       -> q10Sql,
     "q11_rollup"            -> q11Sql,
     "q12_quantiles"         -> q12Sql,
-    "q13_bucketed_join"     -> q13Sql)
+    "q13_bucketed_join"     -> q13Sql,
+    "q14_pivot_counts"      -> q14Sql)
 }

@@ -94,4 +94,21 @@ class RelationalSpec extends AnyFunSuite with SparkSuite {
       assert(mn <= p50 && p50 <= p90 && p90 <= p99 && p99 <= mx)
     }
   }
+
+  test("q14 pivot is total, zero-filled, and single-pass") {
+    val df = Relational.q14(spark, SF)
+    val rows = df.collect()
+    // every document lands in exactly one cell
+    val total = Tables.load(spark, SF, "documents").count()
+    assert(rows.map(r => (1 to 5).map(r.getLong).sum).sum === total)
+    rows.foreach(r => (1 to 5).foreach(i => assert(r.getLong(i) >= 0)))
+    // explicit pivot values → ONE conditional-aggregation pass: a single
+    // documents scan, no values-discovery distinct job (after execution
+    // the AQE plan string repeats the tree as Final + Initial sections —
+    // count scans in the final section only)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(plan).size === 1,
+      s"pivot must scan documents exactly once:\n$plan")
+  }
 }
