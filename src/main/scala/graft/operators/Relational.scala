@@ -495,6 +495,50 @@ object Relational {
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q15 — semi/anti joins: per-nation customer counts split by whether
+  // the customer has any URGENT order. LeftSemi/LeftAnti are the
+  // existence-test join types a SQL EXISTS / NOT EXISTS plans to —
+  // they shuffle only the join key + payload actually needed, never
+  // materialize the probe side's matches, and short-circuit per key.
+  // The urgent-order filter pushes to the orders scan before either
+  // join (PushedFilters-visible), so the build side is the filtered
+  // key set, not the fact table. At scale Spark additionally injects a
+  // runtime bloom filter on the semi-join key (InjectRuntimeFilter),
+  // cutting the probe scan — semantics unchanged, which is why the
+  // plain EXISTS oracle stays valid.
+  // ---------------------------------------------------------------------
+  def q15(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.loadBalanced(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val urgent = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val withUrgent = c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_with_urgent"))
+    val noUrgent = c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_anti")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_no_urgent"))
+    c.groupBy("c_nationkey").agg(count(lit(1)).as("n_customers"))
+      .join(withUrgent, Seq("c_nationkey"), "left")
+      .join(noUrgent, Seq("c_nationkey"), "left")
+      .select(col("c_nationkey"), col("n_customers"),
+        coalesce(col("n_with_urgent"), lit(0L)).as("n_with_urgent"),
+        coalesce(col("n_no_urgent"), lit(0L)).as("n_no_urgent"))
+      .orderBy("c_nationkey")
+  }
+
+  val q15Sql: String =
+    """SELECT c_nationkey, count(*) AS n_customers,
+      |  CAST(count(*) FILTER (WHERE EXISTS (
+      |    SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'))
+      |    AS BIGINT) AS n_with_urgent,
+      |  CAST(count(*) FILTER (WHERE NOT EXISTS (
+      |    SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'))
+      |    AS BIGINT) AS n_no_urgent
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> (q01 _),
     "q02_filter_project"    -> (q02 _),
@@ -509,7 +553,8 @@ object Relational {
     "q11_rollup"            -> (q11 _),
     "q12_quantiles"         -> (q12 _),
     "q13_bucketed_join"     -> (q13 _),
-    "q14_pivot_counts"      -> (q14 _))
+    "q14_pivot_counts"      -> (q14 _),
+    "q15_semi_anti"         -> (q15 _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary"   -> q01Sql,
@@ -525,5 +570,6 @@ object Relational {
     "q11_rollup"            -> q11Sql,
     "q12_quantiles"         -> q12Sql,
     "q13_bucketed_join"     -> q13Sql,
-    "q14_pivot_counts"      -> q14Sql)
+    "q14_pivot_counts"      -> q14Sql,
+    "q15_semi_anti"         -> q15Sql)
 }

@@ -111,4 +111,21 @@ class RelationalSpec extends AnyFunSuite with SparkSuite {
     assert("Scan parquet".r.findAllIn(plan).size === 1,
       s"pivot must scan documents exactly once:\n$plan")
   }
+
+  test("q15 splits every customer across semi/anti and plans both join types") {
+    val df = Relational.q15(spark, SF)
+    val rows = df.collect()
+    // the semi and anti sides partition each nation's customers exactly
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2) + r.getLong(3),
+        s"nation ${r.get(0)}: semi + anti must partition the customers")
+    }
+    val total = Tables.load(spark, SF, "customer").count()
+    assert(rows.map(_.getLong(1)).sum === total)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"semi join must plan as LeftSemi:\n$plan")
+    assert(plan.contains("LeftAnti"), s"anti join must plan as LeftAnti:\n$plan")
+    // the urgent filter reaches the orders scan, not the join
+    assert(plan.contains("1-URGENT"), s"priority filter must push down:\n$plan")
+  }
 }
