@@ -539,6 +539,39 @@ object Relational {
       |    AS BIGINT) AS n_no_urgent
       |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q16 — salted fact-fact join under the oracle gate: the same
+  // revenue-by-priority join a plain equi-join would compute, executed
+  // through SkewJoin.saltedBy (deterministic line-number salt, factor
+  // 4: lineitem rows spread across 4 sub-keys per order, orders
+  // replicated ×4). Salting is the manual hot-key defense when AQE's
+  // runtime skew split can't help; the salt never reaches the output,
+  // so the result multiset — and hence this oracle — is exactly the
+  // unsalted join's. Money sums are decimal-exact before the final
+  // double cast, so aggregation order cannot perturb the hash.
+  // ---------------------------------------------------------------------
+  def q16(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.loadBalanced(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_discount"))
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    SkewJoin.saltedBy(li, o, Seq("l_orderkey"), factor = 4,
+        saltSource = col("l_linenumber"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(revenue(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q16Sql: String =
+    s"""SELECT o_orderpriority,
+       |  CAST(SUM($revenueSql) AS DOUBLE) AS revenue,
+       |  COUNT(*) AS n_rows
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> (q01 _),
     "q02_filter_project"    -> (q02 _),
@@ -554,7 +587,8 @@ object Relational {
     "q12_quantiles"         -> (q12 _),
     "q13_bucketed_join"     -> (q13 _),
     "q14_pivot_counts"      -> (q14 _),
-    "q15_semi_anti"         -> (q15 _))
+    "q15_semi_anti"         -> (q15 _),
+    "q16_salted_join"       -> (q16 _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary"   -> q01Sql,
@@ -571,5 +605,6 @@ object Relational {
     "q12_quantiles"         -> q12Sql,
     "q13_bucketed_join"     -> q13Sql,
     "q14_pivot_counts"      -> q14Sql,
-    "q15_semi_anti"         -> q15Sql)
+    "q15_semi_anti"         -> q15Sql,
+    "q16_salted_join"       -> q16Sql)
 }
