@@ -25,13 +25,23 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // NonFatal only: an OOM/StackOverflow must crash the tool, and a
+    // scripted plan audit must see a nonzero exit for any broken query
+    var failed = false
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (names.isEmpty || names(name)) {
         println(s"\n========== $name ==========")
         try fn(spark, sfDir).explain("formatted")
-        catch { case e: Throwable => println(s"[explain] $name failed: $e") }
+        catch { case scala.util.control.NonFatal(e) =>
+          failed = true
+          println(s"[explain] $name failed: $e")
+        }
+        // catalog convention (SparkEntry): queries may persist() shared
+        // sub-frames; every entry point clears the cache between queries
+        spark.catalog.clearCache()
       }
     }
     spark.stop()
+    if (failed) sys.exit(1)
   }
 }

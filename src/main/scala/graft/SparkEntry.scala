@@ -13,6 +13,14 @@ import graft.operators._
   * windows). `oracleSql` carries a DuckDB-equivalent query for every
   * entry that ANSI SQL can express; the rest get rows-only checks and
   * ScalaTest specs.
+  *
+  * Cache convention: a catalog query may `persist()` a sub-frame that
+  * several of its branches share (Dedup's pair indexes, Curation's
+  * tokenized projections). Ownership of the teardown sits with the
+  * ENTRY POINT, not the query: Verify, Bench, and Explain each call
+  * `spark.catalog.clearCache()` after every query, and any other
+  * caller (notebook, long-lived service) must do the same — a query
+  * cannot unpersist its own result before the caller materializes it.
   */
 object SparkEntry {
 

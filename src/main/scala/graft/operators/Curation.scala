@@ -43,9 +43,16 @@ object Curation {
 
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    // persist the (doc_id, sh) projection: the eval-hash side, the
+    // corpus-explode side, and the final n_ngrams projection all branch
+    // from it, and without reuse the expensive part — regex tokenization
+    // + shingling of every document — executes twice in one query.
+    // Freed by the catalog-wide convention (SparkEntry: every entry
+    // point clears the session cache between queries).
     val docsSh = Tables.loadBalanced(spark, dir, "documents")
       .select(col("doc_id"), expr(s"shingles3(${Dedup.toksSpark})").as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist()
     val evalHashes = docsSh.filter(col("doc_id") % evalStride === 0)
       .select(explode(col("sh")).as("s"))
       .select(expr(Dedup.tokHash60Spark("s")).as("h"))
@@ -388,8 +395,8 @@ object Curation {
     // prefix-sum passes need it, and without reuse the expensive part —
     // regex tokenization of every document — would run twice (the
     // two-pass pattern only needs two passes over the SIZES, not the
-    // raw text); the bench harness clears session caches between
-    // queries, same convention as Dedup's persisted indexes
+    // raw text). Freed by the catalog-wide convention (SparkEntry:
+    // every entry point clears the session cache between queries)
     val sized = Tables.loadBalanced(spark, dir, "documents")
       .withColumn("toks", expr(Dedup.toksSpark))
       .filter(size(col("toks")) > 0)

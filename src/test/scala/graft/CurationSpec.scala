@@ -47,13 +47,23 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     val rows = df.collect()
     val nVec = Tables.load(spark, SF, "embeddings").count()
     assert(rows.length.toLong === nVec, "every vector must receive an assignment")
-    // seed vectors must assign to themselves at cosine 1
-    val seeds = rows.map(_.getLong(1)).toSet
-    seeds.foreach { s =>
+    // recompute the seed set from its DEFINITION (not from the output's
+    // centroid column — a seed that never wins any vector would silently
+    // escape a definition-free check): smallest K ids on the modular comb
+    val expectedSeeds = Tables.load(spark, SF, "embeddings")
+      .filter(col("vec_id") % Curation.kmeansSeedComb === 3)
+      .orderBy("vec_id").limit(Curation.kmeansK)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(expectedSeeds.nonEmpty)
+    // every seed must assign to itself at cosine 1, and no non-seed id
+    // may appear as a centroid
+    expectedSeeds.foreach { s =>
       val self = rows.find(_.getLong(0) == s).get
       assert(self.getLong(1) === s, s"seed $s not assigned to itself")
       assert(math.abs(self.getDouble(2) - 1.0) < 1e-6)
     }
+    assert(rows.map(_.getLong(1)).toSet.subsetOf(expectedSeeds),
+      "output assigns to a centroid outside the seed set")
     rows.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
     // the K-row centroid side must broadcast, and the argmax must be
     // the partial-aggregated max_by (one post-agg row per vector enters

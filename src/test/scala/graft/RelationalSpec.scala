@@ -125,7 +125,11 @@ class RelationalSpec extends AnyFunSuite with SparkSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("LeftSemi"), s"semi join must plan as LeftSemi:\n$plan")
     assert(plan.contains("LeftAnti"), s"anti join must plan as LeftAnti:\n$plan")
-    // the urgent filter reaches the orders scan, not the join
-    assert(plan.contains("1-URGENT"), s"priority filter must push down:\n$plan")
+    // the urgent filter reaches the orders SCAN (PushedFilters on the
+    // parquet scan node) — a whole-plan substring would pass equally
+    // with the predicate stuck in a post-join Filter
+    assert("""PushedFilters: \[[^\]]*EqualTo\(o_orderpriority,1-URGENT\)""".r
+        .findFirstIn(plan).isDefined,
+      s"priority filter must reach the orders scan's PushedFilters:\n$plan")
   }
 }
