@@ -432,6 +432,105 @@ object Curation {
        |  cum_before % $packCapacity AS offset_in_pack
        |FROM c ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // text_boilerplate — per-document boilerplate score: the fraction of
+  // a doc's bigrams drawn from the corpus-wide top-K bigram list (docs
+  // dominated by globally-common phrases are navigation chrome,
+  // licenses, templates — the standard pre-LLM-training strip). Scale
+  // shape: the exploded (doc_id, bigram) projection is built ONCE and
+  // persisted — the top-K pass and the per-doc hit counts both read it;
+  // the top-K list (K rows) broadcasts, so the per-doc side never
+  // shuffles for the membership test, and the only exchanges are the
+  // two map-side-combined aggregates. The top-K itself is a
+  // TakeOrderedAndProject with a total (count DESC, ngram) order, so
+  // the cut is deterministic even at a tied boundary.
+  // ---------------------------------------------------------------------
+  private[graft] val boilerplateTopK = 100
+  private[graft] val boilerplateThreshold = 0.5
+
+  def boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: both aggregates below branch from it (SparkEntry cache
+    // convention — entry points clear the session cache per query)
+    val bi = Tables.loadBalanced(spark, dir, "documents")
+      .withColumn("toks", expr(Dedup.toksSpark))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+            |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
+            .stripMargin)).as("ngram"))
+      .persist()
+    val top = bi.groupBy("ngram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram").asc)
+      .limit(boilerplateTopK)
+      .select("ngram")
+    val totals = bi.groupBy("doc_id").agg(count(lit(1)).as("n_bigrams"))
+    val hits = bi.join(broadcast(top), Seq("ngram"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_top_hits"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .withColumn("n_top_hits", coalesce(col("n_top_hits"), lit(0L)))
+      .withColumn("boilerplate_frac",
+        col("n_top_hits").cast("double") / col("n_bigrams"))
+      .withColumn("boilerplate", col("boilerplate_frac") >= boilerplateThreshold)
+      .orderBy("doc_id")
+  }
+
+  val boilerplateSql: String =
+    s"""WITH t AS (SELECT doc_id, ${Dedup.toksSql} AS toks FROM documents),
+       |b AS (SELECT doc_id,
+       |        unnest(list_transform(range(1, len(toks)),
+       |          i -> toks[i] || ' ' || toks[i + 1])) AS ngram
+       |      FROM t WHERE len(toks) >= 2),
+       |top AS (SELECT ngram FROM (
+       |          SELECT ngram, count(*) AS n FROM b GROUP BY 1
+       |          ORDER BY n DESC, ngram LIMIT $boilerplateTopK)),
+       |tot AS (SELECT doc_id, count(*) AS n_bigrams FROM b GROUP BY 1),
+       |hits AS (SELECT doc_id, count(*) AS n_top_hits
+       |         FROM b JOIN top USING (ngram) GROUP BY 1)
+       |SELECT tot.doc_id, n_bigrams,
+       |  COALESCE(n_top_hits, 0) AS n_top_hits,
+       |  CAST(COALESCE(n_top_hits, 0) AS DOUBLE) / n_bigrams AS boilerplate_frac,
+       |  CAST(COALESCE(n_top_hits, 0) AS DOUBLE) / n_bigrams
+       |    >= $boilerplateThreshold AS boilerplate
+       |FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id
+       |ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // corpus_lang_hist — corpus composition report: per (language,
+  // token-count magnitude) doc counts and token totals — the at-a-glance
+  // histogram behind mixture decisions (how much short-doc noise per
+  // language, where the mass sits). The magnitude bucket is the DIGIT
+  // WIDTH of the token count (1 → 1-9 tokens, 2 → 10-99, ...): exact
+  // integer string length in both engines, deliberately NOT
+  // floor(log2(n)) whose float rounding at exact powers of two can
+  // disagree across engines. Scale shape: one map-side-combined
+  // aggregate over (lang, magnitude) — cardinality is langs × ~6, so
+  // the shuffle is trivially small regardless of corpus size.
+  // ---------------------------------------------------------------------
+  def langHist(spark: SparkSession, dir: String): DataFrame =
+    Tables.loadBalanced(spark, dir, "documents")
+      .withColumn("n_tokens", size(expr(Dedup.toksSpark)))
+      .filter(col("n_tokens") > 0)
+      .groupBy(col("lang"),
+        length(col("n_tokens").cast("string")).as("magnitude"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .orderBy("lang", "magnitude")
+
+  val langHistSql: String =
+    s"""WITH t AS (SELECT doc_id, lang,
+       |             CAST(len(${Dedup.toksSql}) AS INT) AS n_tokens
+       |           FROM documents)
+       |SELECT lang, CAST(length(CAST(n_tokens AS VARCHAR)) AS INT) AS magnitude,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  min(n_tokens) AS min_tokens,
+       |  max(n_tokens) AS max_tokens
+       |FROM t WHERE n_tokens > 0
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_decontaminate"    -> (decontaminate _),
     "quota_sample"          -> (quotaSample _),
@@ -439,7 +538,9 @@ object Curation {
     "corpus_ngram_topk"     -> (ngramTopk _),
     "text_scrub"            -> (scrub _),
     "text_repetition"       -> (repetition _),
-    "doc_pack_stream"       -> (packStream _))
+    "doc_pack_stream"       -> (packStream _),
+    "text_boilerplate"      -> (boilerplate _),
+    "corpus_lang_hist"      -> (langHist _))
 
   val oracles: Map[String, String] = Map(
     "text_decontaminate"    -> decontaminateSql,
@@ -448,5 +549,7 @@ object Curation {
     "corpus_ngram_topk"     -> ngramTopkSql,
     "text_scrub"            -> scrubSql,
     "text_repetition"       -> repetitionSql,
-    "doc_pack_stream"       -> packStreamSql)
+    "doc_pack_stream"       -> packStreamSql,
+    "text_boilerplate"      -> boilerplateSql,
+    "corpus_lang_hist"      -> langHistSql)
 }

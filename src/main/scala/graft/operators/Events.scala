@@ -142,14 +142,51 @@ object Events {
       .agg(countDistinct(col("user_id")).as("exact_users_wk"))
       .orderBy("bucket_wk", "event_type")
 
+  // ---------------------------------------------------------------------
+  // events_intervals — event-to-state interval build (the SCD-Type-2 /
+  // temporal-table transformation): each user's event stream becomes
+  // contiguous validity intervals [valid_from, valid_to), the last one
+  // open-ended (is_current). This is how a mutable-dimension history
+  // is reconstructed from a change-event log. Scale shape: ONE shuffle
+  // on user_id and one per-partition sort shared by the lead() window;
+  // the order key includes event_id so same-second events still form a
+  // total order (deterministic intervals under at-least-once feeds).
+  // ---------------------------------------------------------------------
+  def intervals(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+    Tables.loadEvents(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("sec"))
+      .withColumn("valid_to", lead(col("sec"), 1).over(w))
+      .withColumn("duration_sec", col("valid_to") - col("sec"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("sec").as("valid_from"), col("valid_to"), col("duration_sec"),
+        col("is_current"))
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
+  val intervalsSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |           FROM events),
+      |i AS (SELECT user_id, event_id, event_type, sec AS valid_from,
+      |        lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS valid_to
+      |      FROM e)
+      |SELECT user_id, event_id, event_type, valid_from, valid_to,
+      |  valid_to - valid_from AS duration_sec,
+      |  valid_to IS NULL AS is_current
+      |FROM i ORDER BY user_id, valid_from, event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_tumbling_agg" -> (tumblingAgg _),
     "events_sliding_agg"  -> (slidingAgg _),
     "events_sessionize"   -> (sessionize _),
-    "events_hll_distinct" -> (hllDistinct _))
+    "events_hll_distinct" -> (hllDistinct _),
+    "events_intervals"    -> (intervals _))
 
   val oracles: Map[String, String] = Map(
     "events_tumbling_agg" -> tumblingAggSql,
     "events_sliding_agg"  -> slidingAggSql,
-    "events_sessionize"   -> sessionizeSql)
+    "events_sessionize"   -> sessionizeSql,
+    "events_intervals"    -> intervalsSql)
 }

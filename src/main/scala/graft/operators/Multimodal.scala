@@ -344,14 +344,121 @@ object Multimodal {
       |       ELSE abs((doc_id % 1000) - 500) END AS BIGINT) AS feature
       |FROM documents WHERE doc_id % 3 < 2 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // mm_audio_features — REAL audio feature extraction: peak amplitude,
+  // energy (sum of squares), zero-crossing count, and RMS — the
+  // standard first-pass audio features — computed by genuinely parsing
+  // WAV containers and scanning their PCM16 samples. The corpus is the
+  // doc_id % 3 == 2 third (the slot the real-decode path leaves to the
+  // video stub): square waves with doc_id-derived amplitude and
+  // half-period, so every feature is a closed-form function of doc_id
+  // and the query carries an exact DuckDB oracle — a square wave of
+  // amplitude a has energy n·a², and its sign flips exactly at
+  // half-period multiples, so zero_crossings = ⌊(n−1)/p⌋. Same narrow
+  // mapPartitions codec seam as mm_decode: no shuffle, one partition
+  // of media bytes in memory at a time.
+  // ---------------------------------------------------------------------
+  case class AudioFeatures(doc_id: Long, n_samples: Int, peak: Long,
+      sum_sq: Long, zero_crossings: Int, rms: Double)
+
+  private def squareWavBytes(nSamples: Int, amp: Short, halfPeriod: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v: Short = if ((i / halfPeriod) % 2 == 0) amp else (-amp).toShort
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Square-wave WAVs, deterministic per doc_id: n = 800 + id%160
+    * samples, amplitude 100 + id%900, half-period 2 + id%7. */
+  def audioTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        MediaRow(id, "audio", squareWavBytes(
+          800 + (id % 160).toInt, (100 + id % 900).toShort, 2 + (id % 7).toInt))
+      })
+  }
+
+  private def audioFeaturesPartition(rows: Iterator[MediaRow]): Iterator[AudioFeatures] =
+    rows.map { m =>
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(m.payload))
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        var peak = 0L; var sumSq = 0L; var zc = 0; var prev = 0
+        var i = 0
+        while (i < n) {
+          val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+          val a = math.abs(s.toLong)
+          if (a > peak) peak = a
+          sumSq += s.toLong * s
+          // zero crossing = strict sign change between consecutive
+          // samples; a zero sample carries the previous sign forward
+          if (i > 0 && s * prev < 0) zc += 1
+          if (s != 0) prev = s
+          i += 1
+        }
+        val rms = if (n > 0) math.sqrt(sumSq.toDouble / n) else 0.0
+        AudioFeatures(m.doc_id, n, peak, sumSq, zc, rms)
+      } catch {
+        // same NonFatal seam as decodeRealPartition: one corrupt WAV
+        // degrades to a filterable sentinel, never a task kill
+        case scala.util.control.NonFatal(_) =>
+          AudioFeatures(m.doc_id, 0, -1L, -1L, -1, -1.0)
+      }
+    }
+
+  def audioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(audioFeaturesPartition _)
+  }
+
+  def audioFeaturesQuery(spark: SparkSession, dir: String): DataFrame =
+    audioFeatures(audioTable(spark, dir)).toDF().orderBy("doc_id")
+
+  /** Closed-form oracle: a square wave of amplitude a over n samples
+    * has peak a, energy n·a², ⌊(n−1)/p⌋ sign flips, and RMS exactly a
+    * (√(n·a²/n) — a² is integer-exact in a double, so IEEE sqrt
+    * returns a bit-exactly in both engines). */
+  val audioFeaturesSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(800 + doc_id % 160 AS BIGINT) AS n,
+      |    CAST(100 + doc_id % 900 AS BIGINT) AS amp,
+      |    CAST(2 + doc_id % 7 AS BIGINT) AS hp
+      |  FROM documents WHERE doc_id % 3 = 2)
+      |SELECT doc_id, CAST(n AS INT) AS n_samples,
+      |  amp AS peak,
+      |  n * amp * amp AS sum_sq,
+      |  CAST((n - 1) // hp AS INT) AS zero_crossings,
+      |  sqrt(CAST(n * amp * amp AS DOUBLE) / n) AS rms
+      |FROM m ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_binary_meta"  -> (binaryMeta _),
-    "mm_decode_stub"  -> (decodeStub _),
-    "mm_decode"       -> (realDecodeQuery _),
-    "mm_frame_sample" -> (frameSampleQuery _))
+    "mm_binary_meta"     -> (binaryMeta _),
+    "mm_decode_stub"     -> (decodeStub _),
+    "mm_decode"          -> (realDecodeQuery _),
+    "mm_frame_sample"    -> (frameSampleQuery _),
+    "mm_audio_features"  -> (audioFeaturesQuery _))
 
   val oracles: Map[String, String] = Map(
-    "mm_binary_meta"  -> binaryMetaSql,
-    "mm_decode"       -> realDecodeSql,
-    "mm_frame_sample" -> frameSampleSql)
+    "mm_binary_meta"     -> binaryMetaSql,
+    "mm_decode"          -> realDecodeSql,
+    "mm_frame_sample"    -> frameSampleSql,
+    "mm_audio_features"  -> audioFeaturesSql)
 }

@@ -572,6 +572,113 @@ object Relational {
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q17 — running window functions per key: the row_number / running-sum
+  // / lag / lead family over a partitioned, ordered frame (customer
+  // order history). The reference's only window is the snapshot top-1
+  // (W1/W2); this exercises the full running-frame surface. Scale
+  // shape: ONE shuffle on the partition key, then a per-partition sort
+  // shared by all four window functions (same spec → one Window node);
+  // the running sum stays in exact DECIMAL so partial ordering noise
+  // cannot perturb it. The order key includes o_orderkey so the frame
+  // is a total order (RANGE vs ROWS ambiguity cannot arise).
+  // ---------------------------------------------------------------------
+  def q17(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.loadBalanced(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("odate"),
+        dec2(col("o_totalprice")).as("price"))
+    val w = Window.partitionBy("o_custkey").orderBy(col("odate"), col("o_orderkey"))
+    o.withColumn("order_seq", row_number().over(w))
+      .withColumn("running_spend", sum(col("price")).over(w).cast("double"))
+      .withColumn("gap_days", datediff(col("odate"), lag(col("odate"), 1).over(w)))
+      .withColumn("next_price", lead(col("price"), 1).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("price").cast("double").as("price"),
+        col("order_seq"), col("running_spend"), col("gap_days"), col("next_price"))
+      .orderBy("o_custkey", "order_seq")
+  }
+
+  val q17Sql: String =
+    """WITH o AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS odate,
+      |  CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders)
+      |SELECT o_custkey, o_orderkey, CAST(price AS DOUBLE) AS price,
+      |  CAST(row_number() OVER w AS INT) AS order_seq,
+      |  CAST(sum(price) OVER w AS DOUBLE) AS running_spend,
+      |  CAST(datediff('day', lag(odate) OVER w, odate) AS INT) AS gap_days,
+      |  CAST(lead(price) OVER w AS DOUBLE) AS next_price
+      |FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY odate, o_orderkey)
+      |ORDER BY o_custkey, order_seq""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q18 — CUBE over (priority, order year): all four grouping levels in
+  // one pass, extending q11's ROLLUP to the full cross-marginal lattice.
+  // Spark plans cube as a single Expand + hash aggregate — each input
+  // row is replicated once per grouping set, partial-aggregated
+  // map-side, so the shuffle carries near-final group rows. At 100 TB
+  // the 4× Expand replication is the cost to watch; with low-cardinality
+  // grouping columns the map-side combine collapses it entirely.
+  // ---------------------------------------------------------------------
+  def q18(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.loadBalanced(spark, dir, "orders")
+      .select(col("o_orderpriority"),
+        year(to_date(col("o_orderdate"))).as("o_year"),
+        dec2(col("o_totalprice")).as("price"))
+    o.cube(col("o_orderpriority"), col("o_year"))
+      .agg(sum(col("price")).cast("double").as("sum_price"),
+        count(lit(1)).as("n_orders"),
+        grouping(col("o_orderpriority")).as("g_pri"),
+        grouping(col("o_year")).as("g_year"))
+      .orderBy(col("g_pri"), col("g_year"), col("o_orderpriority"), col("o_year"))
+  }
+
+  val q18Sql: String =
+    """SELECT o_orderpriority,
+      |  CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  COUNT(*) AS n_orders,
+      |  CAST(GROUPING(o_orderpriority) AS TINYINT) AS g_pri,
+      |  CAST(GROUPING(year(CAST(o_orderdate AS DATE))) AS TINYINT) AS g_year
+      |FROM orders
+      |GROUP BY CUBE (o_orderpriority, year(CAST(o_orderdate AS DATE)))
+      |ORDER BY g_pri, g_year, o_orderpriority NULLS FIRST, o_year NULLS FIRST"""
+      .stripMargin
+
+  // ---------------------------------------------------------------------
+  // q19 — set operations: customers segmented by order activity across
+  // two years via INTERSECT / EXCEPT (both = retained, one-sided =
+  // churned/acquired). Spark plans intersect/except as LeftSemi/
+  // LeftAnti joins over pre-aggregated distinct inputs; the two year
+  // slices are persisted because each feeds two set ops (the cache-
+  // teardown convention is SparkEntry's). Scale shape: the distinct
+  // pre-aggregation shrinks each side to unique keys before any join,
+  // and all three set ops shuffle on the same key so AQE coalesces
+  // them into one exchange layout.
+  // ---------------------------------------------------------------------
+  def q19(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.loadBalanced(spark, dir, "orders")
+      .select(col("o_custkey"), year(to_date(col("o_orderdate"))).as("yr"))
+    val c97 = o.filter(col("yr") === 1997).select("o_custkey").distinct().persist()
+    val c98 = o.filter(col("yr") === 1998).select("o_custkey").distinct().persist()
+    c97.intersect(c98).withColumn("segment", lit("both"))
+      .union(c97.except(c98).withColumn("segment", lit("1997_only")))
+      .union(c98.except(c97).withColumn("segment", lit("1998_only")))
+      .orderBy("segment", "o_custkey")
+  }
+
+  val q19Sql: String =
+    """WITH o AS (SELECT o_custkey, year(CAST(o_orderdate AS DATE)) AS yr FROM orders),
+      |c97 AS (SELECT DISTINCT o_custkey FROM o WHERE yr = 1997),
+      |c98 AS (SELECT DISTINCT o_custkey FROM o WHERE yr = 1998)
+      |SELECT o_custkey, 'both' AS segment
+      |  FROM (SELECT o_custkey FROM c97 INTERSECT SELECT o_custkey FROM c98)
+      |UNION ALL
+      |SELECT o_custkey, '1997_only' AS segment
+      |  FROM (SELECT o_custkey FROM c97 EXCEPT SELECT o_custkey FROM c98)
+      |UNION ALL
+      |SELECT o_custkey, '1998_only' AS segment
+      |  FROM (SELECT o_custkey FROM c98 EXCEPT SELECT o_custkey FROM c97)
+      |ORDER BY segment, o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> (q01 _),
     "q02_filter_project"    -> (q02 _),
@@ -588,7 +695,10 @@ object Relational {
     "q13_bucketed_join"     -> (q13 _),
     "q14_pivot_counts"      -> (q14 _),
     "q15_semi_anti"         -> (q15 _),
-    "q16_salted_join"       -> (q16 _))
+    "q16_salted_join"       -> (q16 _),
+    "q17_running_window"    -> (q17 _),
+    "q18_cube"              -> (q18 _),
+    "q19_set_ops"           -> (q19 _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary"   -> q01Sql,
@@ -606,5 +716,8 @@ object Relational {
     "q13_bucketed_join"     -> q13Sql,
     "q14_pivot_counts"      -> q14Sql,
     "q15_semi_anti"         -> q15Sql,
-    "q16_salted_join"       -> q16Sql)
+    "q16_salted_join"       -> q16Sql,
+    "q17_running_window"    -> q17Sql,
+    "q18_cube"              -> q18Sql,
+    "q19_set_ops"           -> q19Sql)
 }

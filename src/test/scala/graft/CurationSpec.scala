@@ -150,6 +150,43 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
       s"big cumsum window must partition by bucket:\n$plan")
   }
 
+  test("boilerplate fraction is bounded and the top list broadcasts") {
+    val df = Curation.boilerplate(spark, SF)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nBi, nHits, frac, flag) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))
+      assert(nBi >= 1 && nHits >= 0 && nHits <= nBi)
+      assert(math.abs(frac - nHits.toDouble / nBi) < 1e-12)
+      assert(flag === (frac >= Curation.boilerplateThreshold))
+    }
+    // the phrase-pool corpus must produce SOME top-bigram hits — an
+    // all-zero hit column would mean the membership join matched nothing
+    assert(rows.exists(_.getLong(2) > 0), "no doc hits the top-bigram list")
+    // the K-row top list must broadcast to the per-doc side
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      s"top-K list must broadcast:\n$plan")
+  }
+
+  test("lang histogram partitions the corpus and its buckets are consistent") {
+    val rows = Curation.langHist(spark, SF).collect()
+    assert(rows.nonEmpty)
+    val nDocs = Tables.load(spark, SF, "documents")
+      .filter(size(expr(graft.operators.Dedup.toksSpark)) > 0).count()
+    assert(rows.map(_.getLong(2)).sum === nDocs, "histogram must cover every doc once")
+    rows.foreach { r =>
+      val (mag, n, sum, mn, mx) =
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4), r.getInt(5))
+      assert(n >= 1 && mn >= 1 && mn <= mx)
+      // bucket bounds: digit width of the token count
+      assert(mn.toString.length === mag && mx.toString.length === mag,
+        s"bucket $mag holds counts outside its digit width")
+      assert(sum >= n * mn && sum <= n * mx)
+    }
+  }
+
   test("ngram top-k is rank-ordered with deterministic tiebreak") {
     val rows = Curation.ngramTopk(spark, SF).collect()
     assert(rows.nonEmpty && rows.length <= Curation.ngramTopK)

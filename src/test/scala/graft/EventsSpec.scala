@@ -84,4 +84,29 @@ class EventsSpec extends AnyFunSuite with SparkSuite {
       .collect().map(_.toSeq).toSet
     assert(streamed === batch)
   }
+
+  test("intervals chain per user: contiguous, total, one open end") {
+    val df = Events.intervals(spark, SF)
+    val rows = df.collect()
+    assert(rows.length === Tables.loadEvents(spark, SF).count(),
+      "every event opens exactly one interval")
+    rows.groupBy(_.getLong(0)).foreach { case (user, rs) =>
+      // ordered output: each interval's valid_to is the next valid_from
+      rs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(4) === b.getLong(3), s"user $user gap in interval chain")
+          assert(a.getLong(5) === a.getLong(4) - a.getLong(3))
+          assert(a.getLong(5) >= 0, s"user $user negative duration")
+        case _ =>
+      }
+      // exactly the last interval is open-ended
+      assert(rs.count(_.getBoolean(6)) === 1, s"user $user open intervals")
+      assert(rs.last.getBoolean(6) && rs.last.isNullAt(4))
+    }
+    // one shuffle + one sort for the lead window: exactly one Window
+    // node in the final plan
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("\\bWindow\\b".r.findAllIn(plan).size === 1, s"one lead window only:\n$plan")
+  }
 }

@@ -91,6 +91,24 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(!plan.contains("Exchange"), s"frame sampling must not shuffle:\n$plan")
   }
 
+  test("audio features match the square-wave closed form via a real WAV parse") {
+    val feats = Multimodal.audioFeatures(Multimodal.audioTable(spark, SF))
+    val rows = feats.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { f =>
+      val (n, a, p) = (800 + (f.doc_id % 160).toInt,
+        100 + f.doc_id % 900, 2 + (f.doc_id % 7).toInt)
+      assert(f.n_samples === n, s"doc ${f.doc_id} n_samples")
+      assert(f.peak === a, s"doc ${f.doc_id} peak")
+      assert(f.sum_sq === n.toLong * a * a, s"doc ${f.doc_id} energy")
+      assert(f.zero_crossings === (n - 1) / p, s"doc ${f.doc_id} zero crossings")
+      assert(math.abs(f.rms - a) < 1e-9, s"doc ${f.doc_id} rms")
+    }
+    // the feature scan is a narrow map over the synth — no shuffle
+    val plan = feats.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"audio feature extraction must not shuffle:\n$plan")
+  }
+
   test("resize plan clamps into the box preserving aspect ratio") {
     val decoded = Multimodal.decode(Multimodal.mediaTable(spark, SF))
     val planned = Multimodal.resizePlan(decoded, maxW = 128, maxH = 96).collect()

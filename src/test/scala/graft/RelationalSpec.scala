@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{col, to_date, year}
 import graft.operators.Relational
 
 /** Correctness smoke + physical-plan assertions: the plans must be the
@@ -131,5 +132,67 @@ class RelationalSpec extends AnyFunSuite with SparkSuite {
     assert("""PushedFilters: \[[^\]]*EqualTo\(o_orderpriority,1-URGENT\)""".r
         .findFirstIn(plan).isDefined,
       s"priority filter must reach the orders scan's PushedFilters:\n$plan")
+  }
+
+  test("q17 running windows share one Window node and recompute by hand") {
+    val df = Relational.q17(spark, SF)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // per customer: seq is 1..n, running_spend is the prefix sum of
+    // price, gap_days null exactly on the first order
+    rows.groupBy(_.getLong(0)).foreach { case (cust, rs) =>
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq === (1 to rs.length), s"cust $cust seq")
+      var run = BigDecimal(0)
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        run += BigDecimal(r.getDouble(2))
+        assert(math.abs(r.getDouble(4) - run.toDouble) < 1e-6, s"cust $cust running")
+        assert(r.isNullAt(5) === (i == 0), s"cust $cust gap_days null iff first")
+        assert(r.isNullAt(6) === (i == rs.length - 1), s"cust $cust next_price null iff last")
+      }
+    }
+    // all four window functions share ONE window spec → exactly one
+    // Window node (and its one sort) in the plan
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("\\bWindow\\b".r.findAllIn(plan).size === 1,
+      s"the four running functions must share one Window node:\n$plan")
+  }
+
+  test("q18 cube emits all four grouping levels consistently") {
+    val rows = Relational.q18(spark, SF).collect()
+    val byLevel = rows.groupBy(r => (r.getByte(4), r.getByte(5)))
+    assert(byLevel.keySet === Set((0.toByte, 0.toByte), (0.toByte, 1.toByte),
+      (1.toByte, 0.toByte), (1.toByte, 1.toByte)), "cube must emit all 4 levels")
+    // the grand total row's count equals the sum of each marginal level
+    val grand = byLevel((1.toByte, 1.toByte))
+    assert(grand.length === 1)
+    val total = grand.head.getLong(3)
+    Seq((0.toByte, 0.toByte), (0.toByte, 1.toByte), (1.toByte, 0.toByte)).foreach { lvl =>
+      assert(byLevel(lvl).map(_.getLong(3)).sum === total, s"level $lvl counts")
+    }
+    // null dims appear exactly on their grouping level
+    rows.foreach { r =>
+      assert(r.isNullAt(0) === (r.getByte(4) == 1), "priority null iff grouped out")
+      assert(r.isNullAt(1) === (r.getByte(5) == 1), "year null iff grouped out")
+    }
+  }
+
+  test("q19 set ops partition the two year-cohorts exactly") {
+    val df = Relational.q19(spark, SF)
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1)))
+    // no customer may land in two segments
+    assert(rows.map(_._1).distinct.length === rows.length, "segments must be disjoint")
+    val seg = rows.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    // recompute the cohorts directly
+    val o = Tables.load(spark, SF, "orders")
+      .select(col("o_custkey"), year(to_date(col("o_orderdate"))).as("yr"))
+    val c97 = o.filter(col("yr") === 1997).select("o_custkey").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val c98 = o.filter(col("yr") === 1998).select("o_custkey").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(seg.getOrElse("both", Set.empty) === (c97 & c98))
+    assert(seg.getOrElse("1997_only", Set.empty) === (c97 -- c98))
+    assert(seg.getOrElse("1998_only", Set.empty) === (c98 -- c97))
   }
 }
