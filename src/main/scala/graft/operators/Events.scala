@@ -177,7 +177,132 @@ object Events {
       |  valid_to IS NULL AS is_current
       |FROM i ORDER BY user_id, valid_from, event_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // events_json_props — the JSON scalar-function family (§2.8's one
+  // unexercised type): parse the semi-structured `props` payload with
+  // get_json_object, cast, and aggregate. JSON path extraction is
+  // codegen'd per row, so the parse rides the scan with no shuffle;
+  // the aggregate is the usual map-side-combined groupBy. avg_k is the
+  // single IEEE division of two exactly-agreed integers (the
+  // ratio-of-sums rule every oracle-matched average here follows).
+  // ---------------------------------------------------------------------
+  def jsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.loadEvents(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .filter(col("k").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .withColumn("avg_k", col("sum_k").cast("double") / col("n_events"))
+      .orderBy("event_type")
+
+  val jsonPropsSql: String =
+    """WITH e AS (SELECT event_type,
+      |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |           FROM events)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
+      |  CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k
+      |FROM e WHERE k IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // events_funnel — ordered-sequence funnel (view → click → purchase):
+  // per user, the earliest view, the earliest click AT-OR-AFTER that
+  // view, and the earliest purchase at-or-after that click; stage =
+  // how deep the user got. The dependent-minimum chain is three
+  // user-keyed aggregates with a join between steps — every join and
+  // aggregate shuffles on user_id alone, so AQE reuses one exchange
+  // layout end to end; nothing ever materializes a per-user event
+  // array (the collect_list formulation dies on power users at 100 TB).
+  // At-or-after (>=) keeps same-second steps countable — the funnel is
+  // about ordering, and equal seconds can't prove disorder.
+  // ---------------------------------------------------------------------
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, dir)
+      .select(col("user_id"), col("event_type"), col("sec"))
+    val users = ev.select("user_id").distinct()
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("sec")).as("t_view"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .join(views, Seq("user_id"))
+      .filter(col("sec") >= col("t_view"))
+      .groupBy("user_id").agg(min(col("sec")).as("t_click"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .join(clicks, Seq("user_id"))
+      .filter(col("sec") >= col("t_click"))
+      .groupBy("user_id").agg(min(col("sec")).as("t_purchase"))
+    users.join(views, Seq("user_id"), "left")
+      .join(clicks, Seq("user_id"), "left")
+      .join(purchases, Seq("user_id"), "left")
+      .withColumn("stage",
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .when(col("t_view").isNotNull, 1)
+          .otherwise(0))
+      .orderBy("user_id")
+  }
+
+  val funnelSql: String =
+    """WITH e AS (SELECT user_id, event_type,
+      |             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |           FROM events),
+      |u AS (SELECT DISTINCT user_id FROM e),
+      |v AS (SELECT user_id, MIN(sec) AS t_view FROM e
+      |      WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, MIN(sec) AS t_click
+      |      FROM e JOIN v ON e.user_id = v.user_id
+      |      WHERE event_type = 'click' AND sec >= t_view GROUP BY 1),
+      |p AS (SELECT e.user_id, MIN(sec) AS t_purchase
+      |      FROM e JOIN c ON e.user_id = c.user_id
+      |      WHERE event_type = 'purchase' AND sec >= t_click GROUP BY 1)
+      |SELECT u.user_id, t_view, t_click, t_purchase,
+      |  CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+      |       WHEN t_click IS NOT NULL THEN 2
+      |       WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS INT) AS stage
+      |FROM u LEFT JOIN v ON u.user_id = v.user_id
+      |  LEFT JOIN c ON u.user_id = c.user_id
+      |  LEFT JOIN p ON u.user_id = p.user_id
+      |ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // events_retention — cohort retention matrix: users grouped by their
+  // first-activity week, counted in every later week they return
+  // (week_offset 0 = the cohort week itself). The backbone of growth
+  // analytics. Scale shape: first-week per user is one user-keyed
+  // aggregate; distinct (user, week) pairs partial-aggregate before
+  // the join; the matrix aggregate's cardinality is weeks², tiny. The
+  // user-keyed join reuses the aggregate's partitioning (no extra
+  // exchange under AQE).
+  // ---------------------------------------------------------------------
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.loadEvents(spark, dir)
+      .select(col("user_id"),
+        expr("(sec - pmod(sec, 604800)) div 604800").as("wk"))
+      .distinct()
+    val cohorts = weekly.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+    weekly.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_wk", "week_offset")
+  }
+
+  val retentionSql: String =
+    """WITH w AS (SELECT DISTINCT user_id,
+      |             CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk
+      |           FROM events),
+      |c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM w GROUP BY 1)
+      |SELECT cohort_wk, wk - cohort_wk AS week_offset,
+      |  COUNT(DISTINCT w.user_id) AS n_users
+      |FROM w JOIN c ON w.user_id = c.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_json_props"   -> (jsonProps _),
+    "events_funnel"       -> (funnel _),
+    "events_retention"    -> (retention _),
     "events_tumbling_agg" -> (tumblingAgg _),
     "events_sliding_agg"  -> (slidingAgg _),
     "events_sessionize"   -> (sessionize _),
@@ -185,6 +310,9 @@ object Events {
     "events_intervals"    -> (intervals _))
 
   val oracles: Map[String, String] = Map(
+    "events_json_props"   -> jsonPropsSql,
+    "events_funnel"       -> funnelSql,
+    "events_retention"    -> retentionSql,
     "events_tumbling_agg" -> tumblingAggSql,
     "events_sliding_agg"  -> slidingAggSql,
     "events_sessionize"   -> sessionizeSql,
