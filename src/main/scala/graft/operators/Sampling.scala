@@ -53,9 +53,46 @@ object Sampling {
        |  $bucketSql % 10 = 0 AS in_10pct_sample
        |FROM documents ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // corpus_mixture — weighted source-mixture sampling: each source gets
+  // a stable inclusion rate (derived here by hashing the source name,
+  // so the oracle re-derives it; production supplies a rate table),
+  // and a document is kept iff its content-addressed bucket falls
+  // under its source's rate. This is how training mixtures are
+  // downweighted (oversampled web crud vs. rare high-quality sources)
+  // while keeping every property of [[splitAssign]]: rerun-stable,
+  // engine-independent, uniform within each source, and composable
+  // with the split buckets (the mixture gate and the split gate read
+  // the same per-doc bucket, so the sampled mixture keeps the 80/10/10
+  // proportions within every source). Scale shape: still a narrow
+  // codegen'd projection — the per-source rate is a hash of a column
+  // value, not a join against a rate table; with a real rate table it
+  // becomes one broadcast join.
+  // ---------------------------------------------------------------------
+  private val rateSpark =
+    s"CAST(100 + ${Dedup.tokHash60Spark("source")} % 900 AS int)"
+  private val rateSql =
+    s"CAST(100 + ${Dedup.tokHash60Sql("source")} % 900 AS INT)"
+
+  def mixture(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        expr(bucketSpark).as("bucket"),
+        expr(rateSpark).as("rate_permille"))
+      .withColumn("kept", col("bucket") < col("rate_permille"))
+      .orderBy("doc_id")
+
+  val mixtureSql: String =
+    s"""SELECT doc_id, source, $bucketSql AS bucket,
+       |  $rateSql AS rate_permille,
+       |  $bucketSql < $rateSql AS kept
+       |FROM documents ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("doc_split_assign" -> (splitAssign _))
+    Map("doc_split_assign" -> (splitAssign _),
+      "corpus_mixture" -> (mixture _))
 
   val oracles: Map[String, String] =
-    Map("doc_split_assign" -> splitAssignSql)
+    Map("doc_split_assign" -> splitAssignSql,
+      "corpus_mixture" -> mixtureSql)
 }

@@ -21,15 +21,18 @@ object EventsStream {
     * source for both window shapes. events.ts is nanosecond parquet →
     * read as long, rebuild a microsecond TimestampType for the
     * event-time window/watermark. */
-  private def eventsSource(spark: SparkSession, dir: String): DataFrame = {
+  /** Un-watermarked stream (for consumers that must place their own
+    * watermark, e.g. after a rename — Spark disallows redefining one). */
+  private def rawEventsSource(spark: SparkSession, dir: String): DataFrame =
     // explicit nanos-as-long schema (no session-wide legacy conf)
     spark.readStream
       .schema(graft.Tables.eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ts_utc", "2 hours")
-  }
+
+  private def eventsSource(spark: SparkSession, dir: String): DataFrame =
+    rawEventsSource(spark, dir).withWatermark("ts_utc", "2 hours")
 
   /** 1-hour tumbling aggregation as a stream over the events parquet.
     * Watermark bounds state for continuous runs; with AvailableNow +
@@ -139,4 +142,57 @@ object EventsStream {
       .dropDuplicates("event_id")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"))
+
+  /** Stream-stream interval join: each click paired with every view by
+    * the same user in the preceding 10 minutes — the attribution-join
+    * shape. Both sides carry event-time watermarks and the join
+    * condition bounds the time skew, so Spark can expire join state:
+    * a buffered view is droppable once the click-side watermark passes
+    * v_ts + 10 min, giving bounded state on an unbounded stream — the
+    * property that makes this runnable continuously, not just under
+    * AvailableNow. Append mode (stream-stream inner joins emit
+    * matches only once both sides' watermarks clear them). */
+  def clickViewJoin(spark: SparkSession, dir: String, queryName: String): StreamingQuery = {
+    val views = rawEventsSource(spark, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts_utc").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    val clicks = rawEventsSource(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts_utc").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    clicks.join(views,
+        expr("""c_user = v_user AND
+                v_ts <= c_ts AND c_ts <= v_ts + interval 10 minutes"""))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        unix_timestamp(col("c_ts")).as("click_sec"),
+        unix_timestamp(col("v_ts")).as("view_sec"))
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Batch twin of [[clickViewJoin]]: the same user-keyed interval
+    * join in one batch equi-join + band filter. The band arithmetic
+    * runs in the stream's MICROSECOND domain (ts div 1000) — flooring
+    * to seconds first would flip the comparison on sub-second edges. */
+  def clickViewBatchEquivalent(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.loadEvents(spark, dir)
+      .withColumn("us", expr("ts div 1000"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("us").as("v_us"), col("sec").as("view_sec"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("us").as("c_us"), col("sec").as("click_sec"))
+    clicks.join(views, Seq("user_id"))
+      .filter(col("v_us") <= col("c_us")
+        && col("c_us") <= col("v_us") + 600000000L)
+      .select("user_id", "click_id", "view_id", "click_sec", "view_sec")
+  }
 }

@@ -85,6 +85,21 @@ class EventsSpec extends AnyFunSuite with SparkSuite {
     assert(streamed === batch)
   }
 
+  test("stream-stream interval join equals the batch attribution join") {
+    val q = EventsStream.clickViewJoin(spark, SF, "stream_cvjoin_out")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("stream_cvjoin_out")
+      .select("user_id", "click_id", "view_id", "click_sec", "view_sec")
+      .collect().map(_.toSeq).toSet
+    val batch = EventsStream.clickViewBatchEquivalent(spark, SF)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    // a vacuously-empty join would "pass" — the mixed synthetic stream
+    // must produce real attributions
+    assert(streamed.nonEmpty, "no click-view pair matched within the band")
+  }
+
   test("json props extraction covers every event and averages consistently") {
     val rows = Events.jsonProps(spark, SF).collect()
     assert(rows.nonEmpty)

@@ -25,6 +25,27 @@ class SamplingSpec extends AnyFunSuite with SparkSuite {
       s"10% sample must cut across splits, got $sampledSplits")
   }
 
+  test("mixture keeps each source at its hash-derived rate, stable across reruns") {
+    val rows = Sampling.mixture(spark, SF).collect()
+    assert(rows.length.toLong === Tables.load(spark, SF, "documents").count())
+    rows.foreach { r =>
+      val (bucket, rate, kept) = (r.getInt(2), r.getInt(3), r.getBoolean(4))
+      assert(bucket >= 0 && bucket < 1000)
+      assert(rate >= 100 && rate < 1000, "rate must sit in the derived [100,1000) band")
+      assert(kept === (bucket < rate))
+    }
+    // every doc of one source shares that source's rate
+    rows.groupBy(_.getString(1)).foreach { case (src, rs) =>
+      assert(rs.map(_.getInt(3)).distinct.length === 1, s"$src has multiple rates")
+    }
+    // the mixture gate composes with the split gate: kept docs keep
+    // their split assignment (same bucket feeds both)
+    val splits = Sampling.splitAssign(spark, SF).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach(r => assert(splits(r.getLong(0)) === r.getInt(2),
+      "mixture and split must read the same content-addressed bucket"))
+  }
+
   test("split assignment is a narrow projection (no shuffle before the sort)") {
     // the only exchange in the plan is the final orderBy's range
     // partitioning; the assignment itself must never hash-shuffle
