@@ -41,6 +41,17 @@ object Curation {
   private[graft] val evalStride = 50L
   private[graft] val contamThreshold = 0.2
 
+  /** The one word-bigram construction, over a `toks` array column —
+    * shared by ngramTopk, repetition, and boilerplate on BOTH engine
+    * sides so a tokenization/delimiter change cannot desynchronize a
+    * query from its oracle. */
+  private[graft] val bigramsSpark =
+    """transform(sequence(1, size(toks) - 1),
+      |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
+      .stripMargin
+  private[graft] val bigramsSql =
+    "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])"
+
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     // persist the (doc_id, sh) projection: the eval-hash side, the
@@ -218,11 +229,7 @@ object Curation {
     Tables.loadBalanced(spark, dir, "documents")
       .withColumn("toks", expr(Dedup.toksSpark))
       .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"),
-        explode(expr(
-          """transform(sequence(1, size(toks) - 1),
-            |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
-            .stripMargin)).as("ngram"))
+      .select(col("doc_id"), explode(expr(bigramsSpark)).as("ngram"))
       .groupBy("ngram")
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct(col("doc_id")).as("n_docs"))
@@ -231,9 +238,7 @@ object Curation {
 
   val ngramTopkSql: String =
     s"""WITH t AS (SELECT doc_id, ${Dedup.toksSql} AS toks FROM documents),
-       |b AS (SELECT doc_id,
-       |        unnest(list_transform(range(1, len(toks)),
-       |          i -> toks[i] || ' ' || toks[i + 1])) AS ngram
+       |b AS (SELECT doc_id, unnest($bigramsSql) AS ngram
        |      FROM t WHERE len(toks) >= 2)
        |SELECT ngram, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
        |FROM b GROUP BY 1
@@ -315,10 +320,7 @@ object Curation {
     Tables.loadBalanced(spark, dir, "documents")
       .withColumn("toks", expr(Dedup.toksSpark))
       .filter(size(col("toks")) >= 2)
-      .withColumn("bigrams", expr(
-        """transform(sequence(1, size(toks) - 1),
-          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
-          .stripMargin))
+      .withColumn("bigrams", expr(bigramsSpark))
       .select(col("doc_id"),
         size(col("toks")).as("n_tokens"),
         size(col("bigrams")).as("n_bigrams"),
@@ -347,8 +349,7 @@ object Curation {
 
   val repetitionSql: String =
     s"""WITH t AS (SELECT doc_id, ${Dedup.toksSql} AS toks FROM documents),
-       |b AS (SELECT doc_id, toks,
-       |        list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+       |b AS (SELECT doc_id, toks, $bigramsSql AS bigrams
        |      FROM t WHERE len(toks) >= 2),
        |base AS (SELECT doc_id, toks,
        |           CAST(len(toks) AS INT) AS n_tokens,
@@ -454,11 +455,7 @@ object Curation {
     val bi = Tables.loadBalanced(spark, dir, "documents")
       .withColumn("toks", expr(Dedup.toksSpark))
       .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"),
-        explode(expr(
-          """transform(sequence(1, size(toks) - 1),
-            |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
-            .stripMargin)).as("ngram"))
+      .select(col("doc_id"), explode(expr(bigramsSpark)).as("ngram"))
       .persist()
     val top = bi.groupBy("ngram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("ngram").asc)
@@ -477,9 +474,7 @@ object Curation {
 
   val boilerplateSql: String =
     s"""WITH t AS (SELECT doc_id, ${Dedup.toksSql} AS toks FROM documents),
-       |b AS (SELECT doc_id,
-       |        unnest(list_transform(range(1, len(toks)),
-       |          i -> toks[i] || ' ' || toks[i + 1])) AS ngram
+       |b AS (SELECT doc_id, unnest($bigramsSql) AS ngram
        |      FROM t WHERE len(toks) >= 2),
        |top AS (SELECT ngram FROM (
        |          SELECT ngram, count(*) AS n FROM b GROUP BY 1

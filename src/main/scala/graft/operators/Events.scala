@@ -285,7 +285,13 @@ object Events {
     val cohorts = weekly.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
     weekly.join(cohorts, Seq("user_id"))
       .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
-      .agg(countDistinct(col("user_id")).as("n_users"))
+      // plain count, NOT countDistinct: (user_id, wk) is already
+      // distinct and each user has one cohort_wk, so every group's
+      // user_ids are unique by construction — a distinct aggregate
+      // here would shuffle the full (cohort, offset, user) volume
+      // instead of the weeks² matrix (the oracle keeps the naive
+      // COUNT(DISTINCT) form as the semantic definition)
+      .agg(count(lit(1)).as("n_users"))
       .orderBy("cohort_wk", "week_offset")
   }
 

@@ -61,31 +61,38 @@ object Sampling {
   // under its source's rate. This is how training mixtures are
   // downweighted (oversampled web crud vs. rare high-quality sources)
   // while keeping every property of [[splitAssign]]: rerun-stable,
-  // engine-independent, uniform within each source, and composable
-  // with the split buckets (the mixture gate and the split gate read
-  // the same per-doc bucket, so the sampled mixture keeps the 80/10/10
-  // proportions within every source). Scale shape: still a narrow
-  // codegen'd projection — the per-source rate is a hash of a column
-  // value, not a join against a rate table; with a real rate table it
-  // becomes one broadcast join.
+  // engine-independent, and uniform within each source. The mixture
+  // gate hashes a SALTED doc key — deliberately independent of the
+  // split bucket. Gating on the split bucket itself would maximally
+  // correlate the two decisions (a source with rate 500‰ would keep
+  // ONLY train docs and silently drop its entire val/test partitions);
+  // with an independent hash the kept set preserves the 80/10/10
+  // proportions within every source in expectation. Scale shape:
+  // still a narrow codegen'd projection — the per-source rate is a
+  // hash of a column value, not a join against a rate table; with a
+  // real rate table it becomes one broadcast join.
   // ---------------------------------------------------------------------
   private val rateSpark =
     s"CAST(100 + ${Dedup.tokHash60Spark("source")} % 900 AS int)"
   private val rateSql =
     s"CAST(100 + ${Dedup.tokHash60Sql("source")} % 900 AS INT)"
+  private val mixBucketSpark =
+    s"CAST(${Dedup.tokHash60Spark("concat('mix:', cast(doc_id AS string))")} % 1000 AS int)"
+  private val mixBucketSql =
+    s"CAST(${Dedup.tokHash60Sql("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000 AS INT)"
 
   def mixture(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
-        expr(bucketSpark).as("bucket"),
+        expr(mixBucketSpark).as("mix_bucket"),
         expr(rateSpark).as("rate_permille"))
-      .withColumn("kept", col("bucket") < col("rate_permille"))
+      .withColumn("kept", col("mix_bucket") < col("rate_permille"))
       .orderBy("doc_id")
 
   val mixtureSql: String =
-    s"""SELECT doc_id, source, $bucketSql AS bucket,
+    s"""SELECT doc_id, source, $mixBucketSql AS mix_bucket,
        |  $rateSql AS rate_permille,
-       |  $bucketSql < $rateSql AS kept
+       |  $mixBucketSql < $rateSql AS kept
        |FROM documents ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -17,12 +17,11 @@ import org.apache.spark.sql.types.DecimalType
   */
 object EventsStream {
 
-  /** Watermarked event-time stream over the events parquet — shared
-    * source for both window shapes. events.ts is nanosecond parquet →
-    * read as long, rebuild a microsecond TimestampType for the
-    * event-time window/watermark. */
-  /** Un-watermarked stream (for consumers that must place their own
-    * watermark, e.g. after a rename — Spark disallows redefining one). */
+  /** Un-watermarked event-time stream over the events parquet (for
+    * consumers that must place their own watermark, e.g. after a
+    * rename — Spark disallows redefining one). events.ts is nanosecond
+    * parquet → read as long, rebuild a microsecond TimestampType for
+    * event-time semantics. */
   private def rawEventsSource(spark: SparkSession, dir: String): DataFrame =
     // explicit nanos-as-long schema (no session-wide legacy conf)
     spark.readStream
@@ -31,6 +30,7 @@ object EventsStream {
       .parquet(dir)
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
 
+  /** Watermarked shared source for the window/dedup shapes. */
   private def eventsSource(spark: SparkSession, dir: String): DataFrame =
     rawEventsSource(spark, dir).withWatermark("ts_utc", "2 hours")
 

@@ -21,6 +21,9 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     // overlap with the eval subset must exist — an all-zero hit column
     // would mean the join silently matched nothing
     assert(rows.exists(_.getLong(2) > 0), "no doc overlaps the eval set at all")
+    // decontaminate persists its shingle projection; specs are callers
+    // too under the SparkEntry cache convention (shared session)
+    spark.catalog.clearCache()
   }
 
   test("quota sample keeps at most Q per group, by smallest rank hash") {
@@ -148,6 +151,8 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert("""windowspecdefinition\(bucket#\d+L?, doc_id#""".r.findFirstIn(plan).isDefined,
       s"big cumsum window must partition by bucket:\n$plan")
+    // packStream persists its sized projection (SparkEntry convention)
+    spark.catalog.clearCache()
   }
 
   test("boilerplate fraction is bounded and the top list broadcasts") {
@@ -168,6 +173,9 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
       s"top-K list must broadcast:\n$plan")
+    // boilerplate persists the exploded bigram projection (SparkEntry
+    // cache convention: callers clear)
+    spark.catalog.clearCache()
   }
 
   test("lang histogram partitions the corpus and its buckets are consistent") {

@@ -194,5 +194,8 @@ class RelationalSpec extends AnyFunSuite with SparkSuite {
     assert(seg.getOrElse("both", Set.empty) === (c97 & c98))
     assert(seg.getOrElse("1997_only", Set.empty) === (c97 -- c98))
     assert(seg.getOrElse("1998_only", Set.empty) === (c98 -- c97))
+    // q19 persists its cohort frames; specs are callers too under the
+    // SparkEntry cache convention (shared session across suites)
+    spark.catalog.clearCache()
   }
 }

@@ -38,12 +38,20 @@ class SamplingSpec extends AnyFunSuite with SparkSuite {
     rows.groupBy(_.getString(1)).foreach { case (src, rs) =>
       assert(rs.map(_.getInt(3)).distinct.length === 1, s"$src has multiple rates")
     }
-    // the mixture gate composes with the split gate: kept docs keep
-    // their split assignment (same bucket feeds both)
+    // the mixture gate must be INDEPENDENT of the split bucket: a
+    // correlated gate (kept == bucket < rate) would keep only train
+    // docs for any source with rate <= 800‰ — the kept set must still
+    // span all three splits
     val splits = Sampling.splitAssign(spark, SF).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val keptSplits = rows.filter(_.getBoolean(4)).map(r => splits(r.getLong(0))).toSet
+    assert(keptSplits === Set("train", "val", "test"),
+      s"mixture must cut across splits, got $keptSplits")
+    // and the mix bucket is not the split bucket for most docs
+    val splitBuckets = Sampling.splitAssign(spark, SF).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    rows.foreach(r => assert(splits(r.getLong(0)) === r.getInt(2),
-      "mixture and split must read the same content-addressed bucket"))
+    val same = rows.count(r => splitBuckets(r.getLong(0)) == r.getInt(2))
+    assert(same < rows.length / 100, s"mix bucket correlates with split bucket ($same equal)")
   }
 
   test("split assignment is a narrow projection (no shuffle before the sort)") {
