@@ -526,6 +526,59 @@ object Curation {
        |FROM t WHERE n_tokens > 0
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // doc_chunk — overlapping token-window chunking (the RAG/context-
+  // window layout step): each document explodes into fixed-size token
+  // chunks with a fixed overlap, each chunk carrying its token span
+  // and an engine-independent md5 of its joined tokens (so any reader
+  // can verify chunk content against the source doc). Chunk count uses
+  // pure INTEGER arithmetic — 1 + max(0, (n − size + stride − 1) div
+  // stride) — deliberately not ceil() over a float quotient, which
+  // both engines could round differently at exact boundaries. Scale
+  // shape: a narrow explode — output rows scale with corpus tokens /
+  // stride, no shuffle before the final sort, tokenization runs once.
+  // ---------------------------------------------------------------------
+  private[graft] val chunkSize = 64
+  private[graft] val chunkOverlap = 16
+  private[graft] val chunkStride = chunkSize - chunkOverlap
+
+  def chunk(spark: SparkSession, dir: String): DataFrame =
+    Tables.loadBalanced(spark, dir, "documents")
+      .withColumn("toks", expr(Dedup.toksSpark))
+      .withColumn("n_tokens", size(col("toks")))
+      .filter(col("n_tokens") > 0)
+      .withColumn("n_chunks",
+        lit(1) + greatest(lit(0),
+          expr(s"(n_tokens - $chunkSize + $chunkStride - 1) div $chunkStride")))
+      .withColumn("chunk_idx",
+        explode(expr("sequence(0, cast(n_chunks - 1 AS int))")))
+      .withColumn("start_tok", col("chunk_idx") * chunkStride)
+      .withColumn("end_tok", least(col("start_tok") + chunkSize, col("n_tokens")))
+      .withColumn("chunk_md5", md5(concat_ws(" ",
+        slice(col("toks"), col("start_tok") + 1, col("end_tok") - col("start_tok")))
+        .cast("binary")))
+      .select(col("doc_id"), col("n_tokens"), col("chunk_idx"),
+        col("start_tok"), col("end_tok"), col("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
+  val chunkSql: String =
+    s"""WITH t AS (SELECT doc_id, ${Dedup.toksSql} AS toks FROM documents),
+       |n AS (SELECT doc_id, toks, CAST(len(toks) AS INT) AS n_tokens
+       |      FROM t WHERE len(toks) > 0),
+       |c AS (SELECT doc_id, toks, n_tokens,
+       |        1 + greatest(0, (n_tokens - $chunkSize + $chunkStride - 1) // $chunkStride)
+       |          AS n_chunks
+       |      FROM n),
+       |e AS (SELECT doc_id, toks, n_tokens,
+       |        CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_idx
+       |      FROM c)
+       |SELECT doc_id, n_tokens, chunk_idx,
+       |  CAST(chunk_idx * $chunkStride AS INT) AS start_tok,
+       |  CAST(least(chunk_idx * $chunkStride + $chunkSize, n_tokens) AS INT) AS end_tok,
+       |  md5(array_to_string(toks[chunk_idx * $chunkStride + 1 :
+       |    least(chunk_idx * $chunkStride + $chunkSize, n_tokens)], ' ')) AS chunk_md5
+       |FROM e ORDER BY 1, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_decontaminate"    -> (decontaminate _),
     "quota_sample"          -> (quotaSample _),
@@ -535,7 +588,8 @@ object Curation {
     "text_repetition"       -> (repetition _),
     "doc_pack_stream"       -> (packStream _),
     "text_boilerplate"      -> (boilerplate _),
-    "corpus_lang_hist"      -> (langHist _))
+    "corpus_lang_hist"      -> (langHist _),
+    "doc_chunk"             -> (chunk _))
 
   val oracles: Map[String, String] = Map(
     "text_decontaminate"    -> decontaminateSql,
@@ -546,5 +600,6 @@ object Curation {
     "text_repetition"       -> repetitionSql,
     "doc_pack_stream"       -> packStreamSql,
     "text_boilerplate"      -> boilerplateSql,
-    "corpus_lang_hist"      -> langHistSql)
+    "corpus_lang_hist"      -> langHistSql,
+    "doc_chunk"             -> chunkSql)
 }

@@ -195,6 +195,39 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("chunking tiles every document with the declared stride and overlap") {
+    val rows = Curation.chunk(spark, SF).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (doc, rs) =>
+      val sorted = rs.sortBy(_.getInt(2))
+      val n = sorted.head.getInt(1)
+      assert(sorted.map(_.getInt(2)).toSeq === sorted.indices, s"doc $doc chunk idx gap")
+      sorted.foreach { r =>
+        val (idx, start, end) = (r.getInt(2), r.getInt(3), r.getInt(4))
+        assert(start === idx * Curation.chunkStride)
+        assert(end === math.min(start + Curation.chunkSize, n))
+        assert(end > start, s"doc $doc empty chunk $idx")
+      }
+      // coverage: the last chunk reaches the end of the doc, and every
+      // token index below n is inside at least one chunk (stride <=
+      // size guarantees no gap between consecutive chunks)
+      assert(sorted.last.getInt(4) === n, s"doc $doc tail uncovered")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b.getInt(3) <= a.getInt(4), s"doc $doc gap")
+        case _ =>
+      }
+    }
+    // hand-recompute one doc's first-chunk hash from the raw text
+    val doc0 = rows.head.getLong(0)
+    val text = Tables.load(spark, SF, "documents")
+      .filter(col("doc_id") === doc0).select("text").head().getString(0)
+    val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val first = toks.take(Curation.chunkSize).mkString(" ")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(first.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rows.head.getString(5) === md, s"doc $doc0 chunk 0 content hash")
+  }
+
   test("ngram top-k is rank-ordered with deterministic tiebreak") {
     val rows = Curation.ngramTopk(spark, SF).collect()
     assert(rows.nonEmpty && rows.length <= Curation.ngramTopK)
