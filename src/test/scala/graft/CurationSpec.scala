@@ -7,23 +7,26 @@ import graft.operators.Curation
 class CurationSpec extends AnyFunSuite with SparkSuite {
 
   test("decontaminate excludes eval docs and bounds hits by shingle count") {
-    val rows = Curation.decontaminate(spark, SF).collect()
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val (docId, nNgrams, nHit, ratio, contaminated) =
-        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))
-      assert(docId % Curation.evalStride != 0, s"eval doc $docId leaked into output")
-      assert(nHit >= 0 && nHit <= nNgrams, s"doc $docId: $nHit hits of $nNgrams shingles")
-      assert(math.abs(ratio - nHit.toDouble / nNgrams) < 1e-12)
-      assert(contaminated === (ratio >= Curation.contamThreshold))
-    }
-    // the synthetic corpus is drawn from a shared phrase pool, so SOME
-    // overlap with the eval subset must exist — an all-zero hit column
-    // would mean the join silently matched nothing
-    assert(rows.exists(_.getLong(2) > 0), "no doc overlaps the eval set at all")
     // decontaminate persists its shingle projection; specs are callers
-    // too under the SparkEntry cache convention (shared session)
-    spark.catalog.clearCache()
+    // too under the SparkEntry cache convention (shared session), and
+    // the cleanup must survive assert failures or one failure cascades
+    // into later suites' plan/memory assumptions
+    try {
+      val rows = Curation.decontaminate(spark, SF).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val (docId, nNgrams, nHit, ratio, contaminated) =
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))
+        assert(docId % Curation.evalStride != 0, s"eval doc $docId leaked into output")
+        assert(nHit >= 0 && nHit <= nNgrams, s"doc $docId: $nHit hits of $nNgrams shingles")
+        assert(math.abs(ratio - nHit.toDouble / nNgrams) < 1e-12)
+        assert(contaminated === (ratio >= Curation.contamThreshold))
+      }
+      // the synthetic corpus is drawn from a shared phrase pool, so SOME
+      // overlap with the eval subset must exist — an all-zero hit column
+      // would mean the join silently matched nothing
+      assert(rows.exists(_.getLong(2) > 0), "no doc overlaps the eval set at all")
+    } finally spark.catalog.clearCache()
   }
 
   test("quota sample keeps at most Q per group, by smallest rank hash") {
@@ -129,53 +132,56 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("pack stream equals the scalar prefix sum and partitions its big window") {
-    val df = Curation.packStream(spark, SF)
-    val rows = df.collect()
-    assert(rows.nonEmpty)
-    // scalar recompute of the global prefix sum in doc_id order
-    var cum = 0L
-    rows.sortBy(_.getLong(0)).foreach { r =>
-      assert(r.getLong(2) === cum, s"doc ${r.getLong(0)} cum_before")
-      assert(r.getLong(3) === cum / Curation.packCapacity)
-      assert(r.getLong(4) === cum % Curation.packCapacity)
-      cum += r.getInt(1)
-    }
-    // the corpus-sized window must be partitioned by the id-derived
-    // bucket — a global unpartitioned window over the full corpus would
-    // funnel everything through one task; only the tiny bucket-offset
-    // window (corpus/B rows) may be global
-    // match the PARTITION spec form "windowspecdefinition(bucket#N, doc_id#..."
-    // specifically: the tiny global offsets window stringifies as
-    // "windowspecdefinition(bucket#N ASC ..." (ORDER spec, no comma) and
-    // must not satisfy this assert
-    val plan = df.queryExecution.executedPlan.toString
-    assert("""windowspecdefinition\(bucket#\d+L?, doc_id#""".r.findFirstIn(plan).isDefined,
-      s"big cumsum window must partition by bucket:\n$plan")
-    // packStream persists its sized projection (SparkEntry convention)
-    spark.catalog.clearCache()
+    // packStream persists its sized projection (SparkEntry convention:
+    // callers clear, unconditionally)
+    try {
+      val df = Curation.packStream(spark, SF)
+      val rows = df.collect()
+      assert(rows.nonEmpty)
+      // scalar recompute of the global prefix sum in doc_id order
+      var cum = 0L
+      rows.sortBy(_.getLong(0)).foreach { r =>
+        assert(r.getLong(2) === cum, s"doc ${r.getLong(0)} cum_before")
+        assert(r.getLong(3) === cum / Curation.packCapacity)
+        assert(r.getLong(4) === cum % Curation.packCapacity)
+        cum += r.getInt(1)
+      }
+      // the corpus-sized window must be partitioned by the id-derived
+      // bucket — a global unpartitioned window over the full corpus would
+      // funnel everything through one task; only the tiny bucket-offset
+      // window (corpus/B rows) may be global
+      // match the PARTITION spec form "windowspecdefinition(bucket#N, doc_id#..."
+      // specifically: the tiny global offsets window stringifies as
+      // "windowspecdefinition(bucket#N ASC ..." (ORDER spec, no comma) and
+      // must not satisfy this assert
+      val plan = df.queryExecution.executedPlan.toString
+      assert("""windowspecdefinition\(bucket#\d+L?, doc_id#""".r.findFirstIn(plan).isDefined,
+        s"big cumsum window must partition by bucket:\n$plan")
+    } finally spark.catalog.clearCache()
   }
 
   test("boilerplate fraction is bounded and the top list broadcasts") {
-    val df = Curation.boilerplate(spark, SF)
-    val rows = df.collect()
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val (nBi, nHits, frac, flag) =
-        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))
-      assert(nBi >= 1 && nHits >= 0 && nHits <= nBi)
-      assert(math.abs(frac - nHits.toDouble / nBi) < 1e-12)
-      assert(flag === (frac >= Curation.boilerplateThreshold))
-    }
-    // the phrase-pool corpus must produce SOME top-bigram hits — an
-    // all-zero hit column would mean the membership join matched nothing
-    assert(rows.exists(_.getLong(2) > 0), "no doc hits the top-bigram list")
-    // the K-row top list must broadcast to the per-doc side
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
-      s"top-K list must broadcast:\n$plan")
     // boilerplate persists the exploded bigram projection (SparkEntry
-    // cache convention: callers clear)
-    spark.catalog.clearCache()
+    // cache convention: callers clear, unconditionally)
+    try {
+      val df = Curation.boilerplate(spark, SF)
+      val rows = df.collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val (nBi, nHits, frac, flag) =
+          (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))
+        assert(nBi >= 1 && nHits >= 0 && nHits <= nBi)
+        assert(math.abs(frac - nHits.toDouble / nBi) < 1e-12)
+        assert(flag === (frac >= Curation.boilerplateThreshold))
+      }
+      // the phrase-pool corpus must produce SOME top-bigram hits — an
+      // all-zero hit column would mean the membership join matched nothing
+      assert(rows.exists(_.getLong(2) > 0), "no doc hits the top-bigram list")
+      // the K-row top list must broadcast to the per-doc side
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+        s"top-K list must broadcast:\n$plan")
+    } finally spark.catalog.clearCache()
   }
 
   test("lang histogram partitions the corpus and its buckets are consistent") {

@@ -179,23 +179,25 @@ class RelationalSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("q19 set ops partition the two year-cohorts exactly") {
-    val df = Relational.q19(spark, SF)
-    val rows = df.collect().map(r => (r.getLong(0), r.getString(1)))
-    // no customer may land in two segments
-    assert(rows.map(_._1).distinct.length === rows.length, "segments must be disjoint")
-    val seg = rows.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
-    // recompute the cohorts directly
-    val o = Tables.load(spark, SF, "orders")
-      .select(col("o_custkey"), year(to_date(col("o_orderdate"))).as("yr"))
-    val c97 = o.filter(col("yr") === 1997).select("o_custkey").distinct()
-      .collect().map(_.getLong(0)).toSet
-    val c98 = o.filter(col("yr") === 1998).select("o_custkey").distinct()
-      .collect().map(_.getLong(0)).toSet
-    assert(seg.getOrElse("both", Set.empty) === (c97 & c98))
-    assert(seg.getOrElse("1997_only", Set.empty) === (c97 -- c98))
-    assert(seg.getOrElse("1998_only", Set.empty) === (c98 -- c97))
     // q19 persists its cohort frames; specs are callers too under the
-    // SparkEntry cache convention (shared session across suites)
-    spark.catalog.clearCache()
+    // SparkEntry cache convention (shared session across suites), and
+    // the cleanup must survive assert failures
+    try {
+      val df = Relational.q19(spark, SF)
+      val rows = df.collect().map(r => (r.getLong(0), r.getString(1)))
+      // no customer may land in two segments
+      assert(rows.map(_._1).distinct.length === rows.length, "segments must be disjoint")
+      val seg = rows.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+      // recompute the cohorts directly
+      val o = Tables.load(spark, SF, "orders")
+        .select(col("o_custkey"), year(to_date(col("o_orderdate"))).as("yr"))
+      val c97 = o.filter(col("yr") === 1997).select("o_custkey").distinct()
+        .collect().map(_.getLong(0)).toSet
+      val c98 = o.filter(col("yr") === 1998).select("o_custkey").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(seg.getOrElse("both", Set.empty) === (c97 & c98))
+      assert(seg.getOrElse("1997_only", Set.empty) === (c97 -- c98))
+      assert(seg.getOrElse("1998_only", Set.empty) === (c98 -- c97))
+    } finally spark.catalog.clearCache()
   }
 }

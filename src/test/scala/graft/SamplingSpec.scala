@@ -42,16 +42,18 @@ class SamplingSpec extends AnyFunSuite with SparkSuite {
     // correlated gate (kept == bucket < rate) would keep only train
     // docs for any source with rate <= 800‰ — the kept set must still
     // span all three splits
-    val splits = Sampling.splitAssign(spark, SF).collect()
-      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val sa = Sampling.splitAssign(spark, SF).collect()
+    val splits = sa.map(r => r.getLong(0) -> r.getString(2)).toMap
     val keptSplits = rows.filter(_.getBoolean(4)).map(r => splits(r.getLong(0))).toSet
     assert(keptSplits === Set("train", "val", "test"),
       s"mixture must cut across splits, got $keptSplits")
     // and the mix bucket is not the split bucket for most docs
-    val splitBuckets = Sampling.splitAssign(spark, SF).collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // (expected hash collisions ~0.1%; floor the bound at 1 so a
+    // sub-100-doc fixture can't make it unsatisfiable)
+    val splitBuckets = sa.map(r => r.getLong(0) -> r.getInt(1)).toMap
     val same = rows.count(r => splitBuckets(r.getLong(0)) == r.getInt(2))
-    assert(same < rows.length / 100, s"mix bucket correlates with split bucket ($same equal)")
+    assert(same <= math.max(1, rows.length / 100),
+      s"mix bucket correlates with split bucket ($same equal)")
   }
 
   test("split assignment is a narrow projection (no shuffle before the sort)") {
