@@ -221,8 +221,13 @@ object Events {
   // about ordering, and equal seconds can't prove disorder.
   // ---------------------------------------------------------------------
   def funnel(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: four branches (user base + three step minimums) read
+    // this narrow projection — without reuse the events table scans
+    // four times in one query (SparkEntry cache convention: entry
+    // points clear the session cache per query)
     val ev = Tables.loadEvents(spark, dir)
       .select(col("user_id"), col("event_type"), col("sec"))
+      .persist()
     val users = ev.select("user_id").distinct()
     val views = ev.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min(col("sec")).as("t_view"))
@@ -278,10 +283,14 @@ object Events {
   // exchange under AQE).
   // ---------------------------------------------------------------------
   def retention(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: the cohort aggregate and the join probe both read the
+    // distinct (user, week) frame — one distinct shuffle instead of two
+    // (SparkEntry cache convention)
     val weekly = Tables.loadEvents(spark, dir)
       .select(col("user_id"),
         expr("(sec - pmod(sec, 604800)) div 604800").as("wk"))
       .distinct()
+      .persist()
     val cohorts = weekly.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
     weekly.join(cohorts, Seq("user_id"))
       .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
@@ -305,7 +314,42 @@ object Events {
       |FROM w JOIN c ON w.user_id = c.user_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // events_topk_per_group — per-group top-k (top-5 users by event count
+  // within each event type), the grouped companion of q10's global
+  // top-k. Written as the canonical row_number-then-filter, which
+  // Spark 4 compiles to a WindowGroupLimit: each map task keeps only a
+  // bounded per-group heap BEFORE the shuffle, so the exchange carries
+  // ≤ k·groups·tasks rows instead of every (type, user) pair — the
+  // same bounded-intermediate property TakeOrderedAndProject gives the
+  // global case (spec-asserted on the plan).
+  // ---------------------------------------------------------------------
+  private[graft] val topkK = 5
+
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("n_events").desc, col("user_id").asc)
+    Tables.loadEvents(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topkK)
+      .orderBy("event_type", "rk")
+  }
+
+  val topkPerGroupSql: String =
+    s"""WITH c AS (SELECT event_type, user_id, count(*) AS n_events
+       |           FROM events GROUP BY 1, 2),
+       |r AS (SELECT event_type, user_id, n_events,
+       |        CAST(row_number() OVER (PARTITION BY event_type
+       |          ORDER BY n_events DESC, user_id) AS INT) AS rk
+       |      FROM c)
+       |SELECT event_type, user_id, n_events, rk
+       |FROM r WHERE rk <= $topkK
+       |ORDER BY event_type, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_topk_per_group" -> (topkPerGroup _),
     "events_json_props"   -> (jsonProps _),
     "events_funnel"       -> (funnel _),
     "events_retention"    -> (retention _),
@@ -316,6 +360,7 @@ object Events {
     "events_intervals"    -> (intervals _))
 
   val oracles: Map[String, String] = Map(
+    "events_topk_per_group" -> topkPerGroupSql,
     "events_json_props"   -> jsonPropsSql,
     "events_funnel"       -> funnelSql,
     "events_retention"    -> retentionSql,

@@ -644,6 +644,42 @@ object Relational {
       .stripMargin
 
   // ---------------------------------------------------------------------
+  // q20 — explicit GROUPING SETS: the PARTIAL lattice ((priority),
+  // (year)) — two independent marginal breakdowns in ONE pass, without
+  // the cross cells cube would add or the hierarchy rollup imposes.
+  // Same Expand + partial-aggregate machinery as q11/q18, but the
+  // Expand factor is exactly the number of requested sets (2), the
+  // minimum for the asked question — at 100 TB that halves the
+  // replicated volume vs. a cube of the same columns.
+  // ---------------------------------------------------------------------
+  def q20(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.loadBalanced(spark, dir, "orders")
+      .select(col("o_orderpriority"),
+        year(to_date(col("o_orderdate"))).as("o_year"),
+        dec2(col("o_totalprice")).as("price"))
+    o.groupingSets(
+        Seq(Seq(col("o_orderpriority")), Seq(col("o_year"))),
+        col("o_orderpriority"), col("o_year"))
+      .agg(sum(col("price")).cast("double").as("sum_price"),
+        count(lit(1)).as("n_orders"),
+        grouping(col("o_orderpriority")).as("g_pri"),
+        grouping(col("o_year")).as("g_year"))
+      .orderBy(col("g_pri"), col("g_year"), col("o_orderpriority"), col("o_year"))
+  }
+
+  val q20Sql: String =
+    """SELECT o_orderpriority,
+      |  CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  COUNT(*) AS n_orders,
+      |  CAST(GROUPING(o_orderpriority) AS TINYINT) AS g_pri,
+      |  CAST(GROUPING(year(CAST(o_orderdate AS DATE))) AS TINYINT) AS g_year
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority), (year(CAST(o_orderdate AS DATE))))
+      |ORDER BY g_pri, g_year, o_orderpriority NULLS FIRST, o_year NULLS FIRST"""
+      .stripMargin
+
+  // ---------------------------------------------------------------------
   // q19 — set operations: customers segmented by order activity across
   // two years via INTERSECT / EXCEPT (both = retained, one-sided =
   // churned/acquired). Spark plans intersect/except as LeftSemi/
@@ -698,7 +734,8 @@ object Relational {
     "q16_salted_join"       -> (q16 _),
     "q17_running_window"    -> (q17 _),
     "q18_cube"              -> (q18 _),
-    "q19_set_ops"           -> (q19 _))
+    "q19_set_ops"           -> (q19 _),
+    "q20_grouping_sets"     -> (q20 _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary"   -> q01Sql,
@@ -719,5 +756,6 @@ object Relational {
     "q16_salted_join"       -> q16Sql,
     "q17_running_window"    -> q17Sql,
     "q18_cube"              -> q18Sql,
-    "q19_set_ops"           -> q19Sql)
+    "q19_set_ops"           -> q19Sql,
+    "q20_grouping_sets"     -> q20Sql)
 }

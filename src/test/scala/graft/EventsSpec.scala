@@ -100,6 +100,28 @@ class EventsSpec extends AnyFunSuite with SparkSuite {
     assert(streamed.nonEmpty, "no click-view pair matched within the band")
   }
 
+  test("per-group top-k is bounded, rank-ordered, and plans a WindowGroupLimit") {
+    val df = Events.topkPerGroup(spark, SF)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (tpe, rs) =>
+      assert(rs.length <= Events.topkK, s"$tpe over k")
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq === (1 to rs.length), s"$tpe ranks")
+      // counts are non-increasing down the ranks
+      sorted.map(_.getLong(2)).sliding(2).foreach {
+        case Array(a, b) => assert(a >= b, s"$tpe counts not ranked")
+        case _ =>
+      }
+    }
+    // Spark 4 must compile rank<=k into a WindowGroupLimit so each map
+    // task ships only a bounded per-group heap into the shuffle —
+    // without it the exchange carries every (type, user) pair
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter must push down as WindowGroupLimit:\n$plan")
+  }
+
   test("json props extraction covers every event and averages consistently") {
     val rows = Events.jsonProps(spark, SF).collect()
     assert(rows.nonEmpty)

@@ -178,6 +178,23 @@ class RelationalSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q20 grouping sets emit exactly the two marginal levels") {
+    val rows = Relational.q20(spark, SF).collect()
+    val byLevel = rows.groupBy(r => (r.getByte(4), r.getByte(5)))
+    // the partial lattice: (priority) and (year) only — no cross
+    // cells, no grand total
+    assert(byLevel.keySet === Set((0.toByte, 1.toByte), (1.toByte, 0.toByte)),
+      s"grouping sets must emit exactly the requested marginals, got ${byLevel.keySet}")
+    // both marginals partition the same order count
+    val total = Tables.load(spark, SF, "orders").count()
+    assert(byLevel((0.toByte, 1.toByte)).map(_.getLong(3)).sum === total)
+    assert(byLevel((1.toByte, 0.toByte)).map(_.getLong(3)).sum === total)
+    rows.foreach { r =>
+      assert(r.isNullAt(0) === (r.getByte(4) == 1))
+      assert(r.isNullAt(1) === (r.getByte(5) == 1))
+    }
+  }
+
   test("q19 set ops partition the two year-cohorts exactly") {
     // q19 persists its cohort frames; specs are callers too under the
     // SparkEntry cache convention (shared session across suites), and
