@@ -136,39 +136,47 @@ class EventsSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("funnel stages are ordered, total over users, and monotone in time") {
-    val rows = Events.funnel(spark, SF).collect()
-    val nUsers = Tables.loadEvents(spark, SF).select("user_id").distinct().count()
-    assert(rows.length.toLong === nUsers, "one funnel row per user")
-    rows.foreach { r =>
-      val stage = r.getInt(4)
-      // stage encodes exactly which step timestamps exist
-      assert(!r.isNullAt(1) === (stage >= 1), "t_view iff stage>=1")
-      assert(!r.isNullAt(2) === (stage >= 2), "t_click iff stage>=2")
-      assert(!r.isNullAt(3) === (stage >= 3), "t_purchase iff stage>=3")
-      if (stage >= 2) assert(r.getLong(2) >= r.getLong(1), "click at/after view")
-      if (stage >= 3) assert(r.getLong(3) >= r.getLong(2), "purchase at/after click")
-    }
-    // the synthetic stream has every type well-mixed: some users must
-    // complete the funnel, or the dependent-min chain matched nothing
-    assert(rows.exists(_.getInt(4) === 3), "nobody completed the funnel")
+    // funnel persists its shared projection; specs are callers under
+    // the SparkEntry cache convention (cleanup survives failures)
+    try {
+      val rows = Events.funnel(spark, SF).collect()
+      val nUsers = Tables.loadEvents(spark, SF).select("user_id").distinct().count()
+      assert(rows.length.toLong === nUsers, "one funnel row per user")
+      rows.foreach { r =>
+        val stage = r.getInt(4)
+        // stage encodes exactly which step timestamps exist
+        assert(!r.isNullAt(1) === (stage >= 1), "t_view iff stage>=1")
+        assert(!r.isNullAt(2) === (stage >= 2), "t_click iff stage>=2")
+        assert(!r.isNullAt(3) === (stage >= 3), "t_purchase iff stage>=3")
+        if (stage >= 2) assert(r.getLong(2) >= r.getLong(1), "click at/after view")
+        if (stage >= 3) assert(r.getLong(3) >= r.getLong(2), "purchase at/after click")
+      }
+      // the synthetic stream has every type well-mixed: some users must
+      // complete the funnel, or the dependent-min chain matched nothing
+      assert(rows.exists(_.getInt(4) === 3), "nobody completed the funnel")
+    } finally spark.catalog.clearCache()
   }
 
   test("retention matrix starts every cohort at full size and never grows") {
-    val rows = Events.retention(spark, SF).collect()
-    assert(rows.nonEmpty)
-    val byCohort = rows.groupBy(_.getLong(0))
-    byCohort.foreach { case (cohort, rs) =>
-      val week0 = rs.find(_.getLong(1) == 0L)
-      assert(week0.isDefined, s"cohort $cohort missing its own week")
-      val size = week0.get.getLong(2)
-      rs.foreach { r =>
-        assert(r.getLong(1) >= 0, "no activity before the cohort week")
-        assert(r.getLong(2) <= size, s"cohort $cohort retention above cohort size")
+    // retention persists its distinct (user, week) frame (SparkEntry
+    // cache convention: callers clear, unconditionally)
+    try {
+      val rows = Events.retention(spark, SF).collect()
+      assert(rows.nonEmpty)
+      val byCohort = rows.groupBy(_.getLong(0))
+      byCohort.foreach { case (cohort, rs) =>
+        val week0 = rs.find(_.getLong(1) == 0L)
+        assert(week0.isDefined, s"cohort $cohort missing its own week")
+        val size = week0.get.getLong(2)
+        rs.foreach { r =>
+          assert(r.getLong(1) >= 0, "no activity before the cohort week")
+          assert(r.getLong(2) <= size, s"cohort $cohort retention above cohort size")
+        }
       }
-    }
-    // cohort sizes partition the user base
-    val nUsers = Tables.loadEvents(spark, SF).select("user_id").distinct().count()
-    assert(byCohort.values.map(_.find(_.getLong(1) == 0L).get.getLong(2)).sum === nUsers)
+      // cohort sizes partition the user base
+      val nUsers = Tables.loadEvents(spark, SF).select("user_id").distinct().count()
+      assert(byCohort.values.map(_.find(_.getLong(1) == 0L).get.getLong(2)).sum === nUsers)
+    } finally spark.catalog.clearCache()
   }
 
   test("intervals chain per user: contiguous, total, one open end") {
