@@ -579,6 +579,108 @@ object Curation {
        |    least(chunk_idx * $chunkStride + $chunkSize, n_tokens)], ' ')) AS chunk_md5
        |FROM e ORDER BY 1, 3""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // corpus_train_manifest — the capstone: every curation gate composed
+  // into ONE per-document manifest with keep/drop reasons. A doc is
+  // kept for training iff it (1) meets the length floor, (2) is its
+  // exact-duplicate group's keeper (min doc_id per content digest —
+  // [[Dedup.exact]]'s rule), (3) is not an eval-holdout doc, (4) is
+  // not contaminated by eval-set 3-gram overlap ([[decontaminate]]'s
+  // rule), and (5) survives the weighted source-mixture gate
+  // ([[Sampling.mixture]]'s rule); its split comes from
+  // [[Sampling.splitAssign]]'s content-addressed bucket. Every reason
+  // is output as its own column, so the drop accounting an auditor
+  // needs ("how many docs did each gate remove per source?") is one
+  // groupBy away. Scale shape: ONE persisted narrow projection feeds
+  // all gates; the dup-keeper join runs on a 128-bit digest (never the
+  // raw text — the shuffle carries 16-byte keys); the eval-hash side
+  // broadcasts as in decontaminate; the mixture/split gates are
+  // codegen'd projections. Reuses each gate's exact expression
+  // fragments, so the manifest cannot drift from the standalone
+  // operators it composes.
+  // ---------------------------------------------------------------------
+  private[graft] val manifestMinTokens = 5
+
+  def trainManifest(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    // one narrow projection, persisted: keeper grouping, eval hashes,
+    // contamination hits, and the final assembly all branch from it
+    // (SparkEntry cache convention — entry points clear per query)
+    val base = Tables.loadBalanced(spark, dir, "documents")
+      .withColumn("toks", expr(Dedup.toksSpark))
+      .select(col("doc_id"), col("source"),
+        md5(col("text").cast("binary")).as("tmd5"),
+        size(col("toks")).as("n_tokens"),
+        expr("shingles3(toks)").as("sh"))
+      .persist()
+    val keeper = base.groupBy(col("tmd5")).agg(min(col("doc_id")).as("keep_id"))
+    val evalHashes = base.filter(col("doc_id") % evalStride === 0)
+      .select(explode(col("sh")).as("s"))
+      .select(expr(Dedup.tokHash60Spark("s")).as("h"))
+      .distinct()
+    val hits = base.filter(col("doc_id") % evalStride =!= 0)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), expr(Dedup.tokHash60Spark("s")).as("h"))
+      .join(evalHashes, Seq("h"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    base
+      .join(keeper, Seq("tmd5"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("is_eval", col("doc_id") % evalStride === 0)
+      .withColumn("length_ok", col("n_tokens") >= manifestMinTokens)
+      .withColumn("dup_keeper", col("doc_id") === col("keep_id"))
+      .withColumn("contaminated", !col("is_eval") &&
+        when(size(col("sh")) > 0,
+          coalesce(col("n_hit"), lit(0L)).cast("double") / size(col("sh")))
+          .otherwise(lit(0.0)) >= contamThreshold)
+      .withColumn("mix_kept",
+        expr(Sampling.mixBucketSpark) < expr(Sampling.rateSpark))
+      .withColumn("split",
+        when(expr(Sampling.bucketSpark) < Sampling.trainCut, lit("train"))
+          .when(expr(Sampling.bucketSpark) < Sampling.valCut, lit("val"))
+          .otherwise(lit("test")))
+      .withColumn("kept", col("length_ok") && col("dup_keeper")
+        && !col("is_eval") && !col("contaminated") && col("mix_kept"))
+      .select("doc_id", "source", "n_tokens", "is_eval", "length_ok",
+        "dup_keeper", "contaminated", "mix_kept", "split", "kept")
+      .orderBy("doc_id")
+  }
+
+  val trainManifestSql: String =
+    s"""WITH t AS (SELECT doc_id, source, md5(text) AS tmd5,
+       |             ${Dedup.toksSql} AS toks FROM documents),
+       |n AS (SELECT doc_id, source, tmd5,
+       |        CAST(len(toks) AS INT) AS n_tokens,
+       |        ${Dedup.shinglesSql} AS sh
+       |      FROM t),
+       |k AS (SELECT tmd5, min(doc_id) AS keep_id FROM n GROUP BY 1),
+       |ev AS (SELECT DISTINCT ${Dedup.tokHash60Sql("s")} AS h
+       |       FROM (SELECT unnest(sh) AS s FROM n WHERE doc_id % $evalStride = 0)),
+       |expl AS (SELECT doc_id, ${Dedup.tokHash60Sql("s")} AS h
+       |         FROM (SELECT doc_id, unnest(sh) AS s FROM n
+       |               WHERE doc_id % $evalStride <> 0)),
+       |hits AS (SELECT doc_id, count(*) AS n_hit
+       |         FROM expl JOIN ev USING (h) GROUP BY 1),
+       |g AS (SELECT n.doc_id, n.source, n.n_tokens,
+       |        n.doc_id % $evalStride = 0 AS is_eval,
+       |        n.n_tokens >= $manifestMinTokens AS length_ok,
+       |        n.doc_id = k.keep_id AS dup_keeper,
+       |        CASE WHEN len(n.sh) > 0
+       |             THEN CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / len(n.sh)
+       |             ELSE 0.0 END AS hit_ratio
+       |      FROM n JOIN k ON n.tmd5 = k.tmd5
+       |        LEFT JOIN hits h ON n.doc_id = h.doc_id)
+       |SELECT doc_id, source, n_tokens, is_eval, length_ok, dup_keeper,
+       |  NOT is_eval AND hit_ratio >= $contamThreshold AS contaminated,
+       |  ${Sampling.mixBucketSql} < ${Sampling.rateSql} AS mix_kept,
+       |  CASE WHEN ${Sampling.bucketSql} < ${Sampling.trainCut} THEN 'train'
+       |       WHEN ${Sampling.bucketSql} < ${Sampling.valCut} THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  length_ok AND dup_keeper AND NOT is_eval
+       |    AND NOT (NOT is_eval AND hit_ratio >= $contamThreshold)
+       |    AND ${Sampling.mixBucketSql} < ${Sampling.rateSql} AS kept
+       |FROM g ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_decontaminate"    -> (decontaminate _),
     "quota_sample"          -> (quotaSample _),
@@ -589,7 +691,8 @@ object Curation {
     "doc_pack_stream"       -> (packStream _),
     "text_boilerplate"      -> (boilerplate _),
     "corpus_lang_hist"      -> (langHist _),
-    "doc_chunk"             -> (chunk _))
+    "doc_chunk"             -> (chunk _),
+    "corpus_train_manifest" -> (trainManifest _))
 
   val oracles: Map[String, String] = Map(
     "text_decontaminate"    -> decontaminateSql,
@@ -601,5 +704,6 @@ object Curation {
     "doc_pack_stream"       -> packStreamSql,
     "text_boilerplate"      -> boilerplateSql,
     "corpus_lang_hist"      -> langHistSql,
-    "doc_chunk"             -> chunkSql)
+    "doc_chunk"             -> chunkSql,
+    "corpus_train_manifest" -> trainManifestSql)
 }

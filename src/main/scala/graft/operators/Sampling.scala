@@ -29,26 +29,29 @@ object Sampling {
     * cast keeps the modulo exact in either ANSI mode (with ANSI off, a
     * bare conv() string would coerce to DOUBLE and ~96% of docs would
     * silently land in a different bucket than the oracle). */
-  private val bucketSpark =
+  private[graft] val bucketSpark =
     s"CAST(${Dedup.tokHash60Spark("cast(doc_id AS string)")} % 1000 AS int)"
-  private val bucketSql =
+  private[graft] val bucketSql =
     s"CAST(${Dedup.tokHash60Sql("CAST(doc_id AS VARCHAR)")} % 1000 AS INT)"
+
+  private[graft] val trainCut = 800
+  private[graft] val valCut = 900
 
   /** 80/10/10 train/val/test + a deterministic 10% sample flag. */
   def splitAssign(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), expr(bucketSpark).as("bucket"))
       .withColumn("split",
-        when(col("bucket") < 800, lit("train"))
-          .when(col("bucket") < 900, lit("val"))
+        when(col("bucket") < trainCut, lit("train"))
+          .when(col("bucket") < valCut, lit("val"))
           .otherwise(lit("test")))
       .withColumn("in_10pct_sample", col("bucket") % 10 === 0)
       .orderBy("doc_id")
 
   val splitAssignSql: String =
     s"""SELECT doc_id, $bucketSql AS bucket,
-       |  CASE WHEN $bucketSql < 800 THEN 'train'
-       |       WHEN $bucketSql < 900 THEN 'val'
+       |  CASE WHEN $bucketSql < $trainCut THEN 'train'
+       |       WHEN $bucketSql < $valCut THEN 'val'
        |       ELSE 'test' END AS split,
        |  $bucketSql % 10 = 0 AS in_10pct_sample
        |FROM documents ORDER BY 1""".stripMargin
@@ -72,13 +75,13 @@ object Sampling {
   // hash of a column value, not a join against a rate table; with a
   // real rate table it becomes one broadcast join.
   // ---------------------------------------------------------------------
-  private val rateSpark =
+  private[graft] val rateSpark =
     s"CAST(100 + ${Dedup.tokHash60Spark("source")} % 900 AS int)"
-  private val rateSql =
+  private[graft] val rateSql =
     s"CAST(100 + ${Dedup.tokHash60Sql("source")} % 900 AS INT)"
-  private val mixBucketSpark =
+  private[graft] val mixBucketSpark =
     s"CAST(${Dedup.tokHash60Spark("concat('mix:', cast(doc_id AS string))")} % 1000 AS int)"
-  private val mixBucketSql =
+  private[graft] val mixBucketSql =
     s"CAST(${Dedup.tokHash60Sql("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000 AS INT)"
 
   def mixture(spark: SparkSession, dir: String): DataFrame =

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.Curation
+import graft.operators.{Curation, Sampling}
 
 class CurationSpec extends AnyFunSuite with SparkSuite {
 
@@ -232,6 +232,49 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(first.getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(rows.head.getString(5) === md, s"doc $doc0 chunk 0 content hash")
+  }
+
+  test("train manifest gates agree with every standalone operator it composes") {
+    // the manifest persists its base projection; several standalone
+    // operators below persist too — clear unconditionally
+    try {
+      val rows = Curation.trainManifest(spark, SF).collect()
+      assert(rows.length.toLong === Tables.load(spark, SF, "documents").count(),
+        "one manifest row per document")
+      val byId = rows.map(r => r.getLong(0) -> r).toMap
+      // kept is exactly the conjunction of its reason columns
+      rows.foreach { r =>
+        val kept = r.getBoolean(4) && r.getBoolean(5) && !r.getBoolean(3) &&
+          !r.getBoolean(6) && r.getBoolean(7)
+        assert(r.getBoolean(9) === kept, s"doc ${r.getLong(0)} kept != gates")
+      }
+      // dup_keeper matches Dedup.exact's keeper set
+      val keepers = graft.operators.Dedup.exact(spark, SF).collect()
+        .map(_.getLong(0)).toSet
+      rows.foreach(r => assert(r.getBoolean(5) === keepers(r.getLong(0)),
+        s"doc ${r.getLong(0)} keeper mismatch vs dedup_exact"))
+      // contaminated matches decontaminate (non-eval docs)
+      val contam = Curation.decontaminate(spark, SF).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+      contam.foreach { case (id, c) =>
+        assert(byId(id).getBoolean(6) === c, s"doc $id contamination mismatch")
+      }
+      // mixture and split match the standalone assignments
+      val mix = Sampling.mixture(spark, SF).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+      val split = Sampling.splitAssign(spark, SF).collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+      rows.foreach { r =>
+        assert(r.getBoolean(7) === mix(r.getLong(0)), s"doc ${r.getLong(0)} mix mismatch")
+        assert(r.getString(8) === split(r.getLong(0)), s"doc ${r.getLong(0)} split mismatch")
+      }
+      // the gates must each actually fire somewhere, or the manifest is
+      // vacuously composing no-ops
+      assert(rows.exists(_.getBoolean(3)), "no eval docs")
+      assert(rows.exists(!_.getBoolean(7)), "mixture dropped nothing")
+      assert(rows.exists(_.getBoolean(9)), "manifest kept nothing")
+      assert(rows.exists(!_.getBoolean(9)), "manifest dropped nothing")
+    } finally spark.catalog.clearCache()
   }
 
   test("ngram top-k is rank-ordered with deterministic tiebreak") {
