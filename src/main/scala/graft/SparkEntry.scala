@@ -32,11 +32,11 @@ object SparkEntry {
     Relational.queries ++ RetailPipeline.queries ++ Dedup.queries ++
       TextAnalysis.queries ++ Similarity.queries ++ Events.queries ++
       Multimodal.queries ++ AsofJoin.queries ++ Sampling.queries ++
-      Curation.queries
+      Curation.queries ++ Ranking.queries ++ Layout.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ RetailPipeline.oracles ++ Dedup.oracles ++
       TextAnalysis.oracles ++ Similarity.oracles ++ Events.oracles ++
       Multimodal.oracles ++ AsofJoin.oracles ++ Sampling.oracles ++
-      Curation.oracles
+      Curation.oracles ++ Ranking.oracles ++ Layout.oracles
 }

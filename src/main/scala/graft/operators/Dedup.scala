@@ -749,6 +749,73 @@ object Dedup {
        |  MIN(b) = a AS is_keeper
        |FROM reach GROUP BY a ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // dedup_levenshtein — edit-distance near-dup pairs: docs within
+  // `levMaxDist` character edits of each other. Edit distance catches
+  // the near-dup class the set-based detectors are blind to — small
+  // in-place edits (typo fixes, template variable substitutions) that
+  // preserve token ORDER, where jaccard over unordered shingle sets
+  // can stay high for reshuffled text and simhash ignores position
+  // entirely. The quadratic all-pairs is tamed by two-key blocking:
+  // each doc posts its first and last `levBlockChars` characters, and
+  // only same-key pairs are verified. An edit prefix AND suffix both
+  // mutated means the pair is missed — for distance ≤ 10 over ~300-char
+  // docs that requires the edits to cluster at both extremes, the
+  // standard (documented) recall trade of prefix blocking. Scale
+  // shape: the posting join shuffles 16-char keys; candidate volume is
+  // O(near-dups), tiny next to the corpus, so carrying both texts
+  // through the one dedup exchange is cheaper than two join-backs
+  // against the full corpus; verification is a map-side O(len²) DP
+  // per candidate (bounded: docs are capped-length fields, and a
+  // banded early-exit variant drops in if a corpus carries long docs).
+  // ---------------------------------------------------------------------
+  private[graft] val levBlockChars = 16
+  private[graft] val levMaxDist = 10
+
+  /** Candidate pairs via prefix/suffix blocking over a (doc_id, text)
+    * frame — exposed for the spec's recall cross-check. */
+  private[graft] def levCandidates(docs: DataFrame): DataFrame = {
+    val keys = docs
+      .select(col("doc_id"), col("text"),
+        concat(lit("P"), expr(s"left(text, $levBlockChars)")).as("k"))
+      .union(docs.select(col("doc_id"), col("text"),
+        concat(lit("S"), expr(s"right(text, $levBlockChars)")).as("k")))
+    val lhs = keys.select(col("k"),
+      col("doc_id").as("doc_i"), col("text").as("text_i"))
+    val rhs = keys.select(col("k"),
+      col("doc_id").as("doc_j"), col("text").as("text_j"))
+    lhs.join(rhs, Seq("k"))
+      .filter(col("doc_i") < col("doc_j"))
+      .select("doc_i", "doc_j", "text_i", "text_j")
+      .distinct() // a pair can match on both its P and S keys
+  }
+
+  def levenshteinPairs(spark: SparkSession, dir: String): DataFrame =
+    levCandidates(
+        Tables.loadBalanced(spark, dir, "documents").select("doc_id", "text"))
+      .withColumn("lev_dist", levenshtein(col("text_i"), col("text_j")))
+      .filter(col("lev_dist") <= levMaxDist)
+      .select(col("doc_i"), col("doc_j"), col("lev_dist"),
+        length(col("text_i")).as("len_i"), length(col("text_j")).as("len_j"))
+      .orderBy("doc_i", "doc_j")
+
+  val levenshteinPairsSql: String =
+    s"""WITH t AS (SELECT doc_id, text FROM documents),
+       |keys AS (
+       |  SELECT doc_id, text, 'P' || left(text, $levBlockChars) AS k FROM t
+       |  UNION ALL
+       |  SELECT doc_id, text, 'S' || right(text, $levBlockChars) AS k FROM t),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j,
+       |    a.text AS text_i, b.text AS text_j
+       |  FROM keys a JOIN keys b ON a.k = b.k AND a.doc_id < b.doc_id)
+       |SELECT doc_i, doc_j,
+       |  CAST(levenshtein(text_i, text_j) AS INT) AS lev_dist,
+       |  CAST(len(text_i) AS INT) AS len_i,
+       |  CAST(len(text_j) AS INT) AS len_j
+       |FROM cand WHERE levenshtein(text_i, text_j) <= $levMaxDist
+       |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"            -> (exact _),
     "dedup_ngram_jaccard"    -> (ngramJaccard _),
@@ -758,6 +825,7 @@ object Dedup {
     "dedup_simhash_wide"     -> (simhashWidePairs _),
     "dedup_embedding_cosine" -> (embeddingCosine _),
     "dedup_embedding_lsh"    -> (embeddingLsh _),
+    "dedup_levenshtein"      -> (levenshteinPairs _),
     "dedup_clusters"         -> (clusters _))
 
   val oracles: Map[String, String] = Map(
@@ -775,5 +843,8 @@ object Dedup {
     // [0.9, 0.97) shoulder — the oracle itself proves both), so the
     // exact all-pairs SQL is the oracle.
     "dedup_embedding_lsh"    -> embeddingLshSql,
+    // the oracle mirrors the same two-key blocking (the operator's
+    // semantics ARE "pairs the blocking can see" — see the recall note)
+    "dedup_levenshtein"      -> levenshteinPairsSql,
     "dedup_clusters"         -> clustersSql)
 }

@@ -348,7 +348,51 @@ object Events {
        |FROM r WHERE rk <= $topkK
        |ORDER BY event_type, rk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // events_window_dedup — telemetry dedup: drop an event that repeats
+  // its (user_id, event_type) within `dedupGapSec` of the immediately
+  // preceding event of that key (double-fires, retry storms, at-least-
+  // once delivery echoes). The rule is lag-based — "gap to the PREVIOUS
+  // event", not "gap to the last KEPT event" — because the former is a
+  // stateless window function both engines evaluate identically, while
+  // the latter is a running recursion (the streaming twin's
+  // mapGroupsWithState territory, not a batch window). Kept rows carry
+  // their gap so downstream QA can audit the cut. Scale shape: ONE
+  // shuffle on the dedup key, per-key ordered within partitions
+  // (Spark's window sort is partition-local); deterministic tie-break
+  // on event_id for same-second duplicates. The gap is sized to the
+  // synthetic stream's density so the rule actually fires at every
+  // test scale (60 s drops nothing at sf0.001 — a vacuously-green
+  // gate); a real telemetry dedup runs seconds-scale gaps.
+  // ---------------------------------------------------------------------
+  private[graft] val dedupGapSec = 3600L
+
+  def windowDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("sec", "event_id")
+    Tables.loadEvents(spark, dir)
+      .withColumn("prev_sec", lag("sec", 1).over(w))
+      .withColumn("gap_sec",
+        coalesce(col("sec") - col("prev_sec"), lit(-1L)))
+      .filter(col("prev_sec").isNull || col("gap_sec") > dedupGapSec)
+      .select("event_id", "user_id", "event_type", "sec", "gap_sec")
+      .orderBy("event_id")
+  }
+
+  val windowDedupSql: String =
+    s"""WITH e AS (SELECT event_id, user_id, event_type,
+       |             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+       |           FROM events),
+       |l AS (SELECT *, lag(sec) OVER (PARTITION BY user_id, event_type
+       |        ORDER BY sec, event_id) AS prev_sec
+       |      FROM e)
+       |SELECT event_id, user_id, event_type, sec,
+       |  CAST(COALESCE(sec - prev_sec, -1) AS BIGINT) AS gap_sec
+       |FROM l WHERE prev_sec IS NULL OR sec - prev_sec > $dedupGapSec
+       |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_window_dedup" -> (windowDedup _),
     "events_topk_per_group" -> (topkPerGroup _),
     "events_json_props"   -> (jsonProps _),
     "events_funnel"       -> (funnel _),
@@ -360,6 +404,7 @@ object Events {
     "events_intervals"    -> (intervals _))
 
   val oracles: Map[String, String] = Map(
+    "events_window_dedup" -> windowDedupSql,
     "events_topk_per_group" -> topkPerGroupSql,
     "events_json_props"   -> jsonPropsSql,
     "events_funnel"       -> funnelSql,

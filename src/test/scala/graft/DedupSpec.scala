@@ -159,6 +159,50 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     spark.catalog.clearCache()
   }
 
+  /** Textbook two-row DP — independent of both engines' levenshtein. */
+  private def levRef(a: String, b: String): Int = {
+    var prev = Array.tabulate(b.length + 1)(identity)
+    val curr = new Array[Int](b.length + 1)
+    for (i <- 1 to a.length) {
+      curr(0) = i
+      for (j <- 1 to b.length) {
+        val sub = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+        curr(j) = math.min(math.min(prev(j) + 1, curr(j - 1) + 1), sub)
+      }
+      Array.copy(curr, 0, prev, 0, curr.length)
+    }
+    prev(b.length)
+  }
+
+  test("levenshtein pairs == brute-force near-dups reachable by the blocking") {
+    val texts = Tables.load(spark, SF, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    // brute force with the |len diff| <= maxDist necessary condition as
+    // the only prefilter (any pair it skips has distance > maxDist)
+    val expected = (for {
+      i <- texts.indices.iterator
+      j <- (i + 1) until texts.length
+      (ida, ta) = texts(i); (idb, tb) = texts(j)
+      if math.abs(ta.length - tb.length) <= Dedup.levMaxDist
+      d = levRef(ta, tb)
+      if d <= Dedup.levMaxDist
+    } yield (ida, idb, d)).toVector
+    assert(expected.nonEmpty, "test data must contain edit-distance near-dups")
+    val reachable = expected.filter { case (ida, idb, _) =>
+      val (ta, tb) = (texts.find(_._1 == ida).get._2, texts.find(_._1 == idb).get._2)
+      ta.take(Dedup.levBlockChars) == tb.take(Dedup.levBlockChars) ||
+        ta.takeRight(Dedup.levBlockChars) == tb.takeRight(Dedup.levBlockChars)
+    }
+    val got = Dedup.levenshteinPairs(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toVector
+    assert(got.toSet === reachable.toSet,
+      s"missed ${reachable.toSet.diff(got.toSet)} / fabricated ${got.toSet.diff(reachable.toSet)}")
+    // on this corpus the two-key blocking reaches EVERY true pair
+    assert(reachable.size === expected.size,
+      s"blocking recall ${reachable.size}/${expected.size} regressed on test data")
+  }
+
   test("embedding pair scan is a blocked equi-join, not a nested-loop product") {
     val plan = Dedup.embeddingCosine(spark, SF).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),

@@ -203,4 +203,27 @@ class EventsSpec extends AnyFunSuite with SparkSuite {
       .split("== Initial Plan ==").head
     assert("\\bWindow\\b".r.findAllIn(plan).size === 1, s"one lead window only:\n$plan")
   }
+
+  test("window dedup keeps exactly the lag-rule survivors, gaps audit out") {
+    import org.apache.spark.sql.functions._
+    // independent reference: driver-side scan of every (user, type) run
+    val all = Tables.loadEvents(spark, SF)
+      .select("user_id", "event_type", "sec", "event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expected = all.groupBy(e => (e._1, e._2)).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._3, e._4))
+      sorted.head +: sorted.sliding(2).collect {
+        case Array(prev, e) if e._3 - prev._3 > Events.dedupGapSec => e
+      }.toSeq
+    }.map(_._4).toSet
+    val got = Events.windowDedup(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(4))).toMap
+    assert(got.keySet === expected,
+      s"missed ${expected.diff(got.keySet).size} / fabricated ${got.keySet.diff(expected).size}")
+    assert(got.keySet.size < all.length, "dedup must actually drop something")
+    // gap audit column: -1 exactly for each key's first event
+    val firsts = all.groupBy(e => (e._1, e._2)).values
+      .map(es => es.minBy(e => (e._3, e._4))._4).toSet
+    assert(got.filter(_._2 == -1L).keySet === firsts)
+  }
 }

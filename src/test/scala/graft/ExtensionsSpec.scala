@@ -5,22 +5,39 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The SparkSessionExtensions path must expose every native function
   * to plain SQL (the cluster deployment story: `--conf
-  * spark.sql.extensions=graft.functions.GraftExtensions`). Extensions
-  * apply at session CONSTRUCTION, so the test clears the default
-  * session to force a fresh one (sharing the JVM's SparkContext) and
-  * restores it afterwards — no stop(), other suites keep running. */
+  * spark.sql.extensions=graft.functions.GraftExtensions`).
+  *
+  * The literal conf can't be exercised in this JVM: Spark resolves
+  * `spark.sql.extensions` from the SparkCONTEXT conf at session
+  * construction, and the suite's shared context (created without the
+  * conf — static confs on a pre-existing context are dropped with the
+  * "some configuration may not take effect" warning) makes that path
+  * structurally unreachable here. So the test performs exactly the two
+  * steps Spark's own `applyExtensions` does with the conf value —
+  * reflective no-arg construction from the class NAME a user would put
+  * in the conf, then injection at builder time — which proves the conf
+  * string resolves, instantiates, and registers everything. */
 class ExtensionsSpec extends AnyFunSuite {
 
   test("spark.sql.extensions=GraftExtensions registers the native functions") {
+    // as spark-submit would: load by name, no-arg construct
+    val ext = Class.forName("graft.functions.GraftExtensions")
+      .getDeclaredConstructor().newInstance()
+      .asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
+    // the whole clear-default → build window runs under the session
+    // lock so a parallel suite cannot publish its own default session
+    // for this getOrCreate to adopt (see SparkSuite.sessionLock)
     val old = SparkSession.getDefaultSession
-    SparkSession.clearDefaultSession()
-    SparkSession.clearActiveSession()
-    val spark = SparkSession.builder()
-      .master("local[2]")
-      .appName("graft-ext-test")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = SparkSuite.sessionLock.synchronized {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-ext-test")
+        .withExtensions(ext)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    }
     try {
       val r = spark.sql(
         """SELECT vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d,
@@ -34,9 +51,11 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(r.getInt(3) === 2)
       assert(r.getInt(4) === 64)
     } finally {
-      SparkSession.clearActiveSession()
-      SparkSession.clearDefaultSession()
-      old.foreach(SparkSession.setDefaultSession)
+      SparkSuite.sessionLock.synchronized {
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        old.foreach(SparkSession.setDefaultSession)
+      }
     }
   }
 }
