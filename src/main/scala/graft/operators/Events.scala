@@ -391,8 +391,83 @@ object Events {
        |FROM l WHERE prev_sec IS NULL OR sec - prev_sec > $dedupGapSec
        |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // events_debounce — the RECURSIVE cousin of events_window_dedup: keep
+  // an event only if it is > `dedupGapSec` after the last KEPT event of
+  // its (user_id, event_type), not the last event. That "distance to
+  // the last survivor" rule is a running fold (each decision depends on
+  // the previous decision), which no stateless window function can
+  // express — so this is the catalog's showcase of the TYPED Dataset
+  // tier: groupByKey + flatMapGroups running a per-key fold, the batch
+  // twin of flatMapGroupsWithState. Each kept event reports how many
+  // it suppressed, so the cut audits out. Scale shape: one shuffle on
+  // the key (same as the window form); the fold is streamed per group,
+  // and the in-memory per-group sort is bounded by the hottest
+  // (user, type) key — the operator to salt if one key is a firehose.
+  // The oracle is the same fold as a DuckDB recursive CTE walking each
+  // key's row_number chain.
+  // ---------------------------------------------------------------------
+  private[graft] case class EvRow(
+      user_id: Long, event_type: String, sec: Long, event_id: Long)
+  private[graft] case class DebouncedEvent(event_id: Long, user_id: Long,
+      event_type: String, sec: Long, n_suppressed: Long)
+
+  def debounce(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.loadEvents(spark, dir)
+      .select("user_id", "event_type", "sec", "event_id").as[EvRow]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroups { (_: (Long, String), it: Iterator[EvRow]) =>
+        val sorted = it.toVector.sortBy(e => (e.sec, e.event_id))
+        var lastKept = Long.MinValue
+        var suppressed = 0L
+        sorted.iterator.flatMap { e =>
+          if (lastKept == Long.MinValue || e.sec - lastKept > dedupGapSec) {
+            lastKept = e.sec
+            val n = suppressed
+            suppressed = 0L
+            Some(DebouncedEvent(e.event_id, e.user_id, e.event_type, e.sec, n))
+          } else { suppressed += 1; None }
+        }
+      }
+      .toDF()
+      .orderBy("event_id")
+  }
+
+  /** The same fold as a recursive CTE: each key's row_number chain is
+    * walked carrying (last kept sec, running suppressed count); a kept
+    * row REPORTS the counter accumulated before it, then resets it. */
+  val debounceSql: String =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT user_id, event_type, event_id,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+       |  FROM events),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+       |        ORDER BY sec, event_id) AS rn
+       |      FROM e),
+       |walk(user_id, event_type, rn, sec, event_id,
+       |     last_kept, kept, reported, n_sup) AS (
+       |  SELECT user_id, event_type, rn, sec, event_id,
+       |    sec, TRUE, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+       |  FROM r WHERE rn = 1
+       |  UNION ALL
+       |  SELECT r.user_id, r.event_type, r.rn, r.sec, r.event_id,
+       |    CASE WHEN r.sec - w.last_kept > $dedupGapSec
+       |         THEN r.sec ELSE w.last_kept END,
+       |    r.sec - w.last_kept > $dedupGapSec,
+       |    w.n_sup,
+       |    CASE WHEN r.sec - w.last_kept > $dedupGapSec
+       |         THEN CAST(0 AS BIGINT) ELSE w.n_sup + 1 END
+       |  FROM r JOIN walk w ON r.user_id = w.user_id
+       |    AND r.event_type = w.event_type AND r.rn = w.rn + 1)
+       |SELECT event_id, user_id, event_type, sec,
+       |  reported AS n_suppressed
+       |FROM walk WHERE kept
+       |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_window_dedup" -> (windowDedup _),
+    "events_debounce"     -> (debounce _),
     "events_topk_per_group" -> (topkPerGroup _),
     "events_json_props"   -> (jsonProps _),
     "events_funnel"       -> (funnel _),
@@ -405,6 +480,7 @@ object Events {
 
   val oracles: Map[String, String] = Map(
     "events_window_dedup" -> windowDedupSql,
+    "events_debounce"     -> debounceSql,
     "events_topk_per_group" -> topkPerGroupSql,
     "events_json_props"   -> jsonPropsSql,
     "events_funnel"       -> funnelSql,

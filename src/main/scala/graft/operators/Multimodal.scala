@@ -449,16 +449,137 @@ object Multimodal {
       |  sqrt(CAST(n * amp * amp AS DOUBLE) / n) AS rms
       |FROM m ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // mm_image_features — REAL image feature extraction: min/max/sum of
+  // the red channel, mean brightness, and a horizontal edge count, by
+  // genuinely decoding PNGs and scanning their pixels. Where mm_decode
+  // round-trips SOLID images (one value repeated — a pixel-position bug
+  // would pass), this corpus is horizontal GRADIENTS: red(x) =
+  // x·255 div (w−1), different at every column, so the features only
+  // match the oracle if the encode→decode round-trip preserved every
+  // pixel's VALUE AND POSITION. The edge count is the number of
+  // adjacent-column value steps times the height — the first-pass
+  // saliency stat a vision pipeline computes before spending model
+  // time on an image. Same narrow mapPartitions codec seam: no
+  // shuffle, one partition of media bytes in memory at a time.
+  // ---------------------------------------------------------------------
+  case class ImageFeatures(doc_id: Long, width: Int, height: Int,
+      min_red: Int, max_red: Int, sum_red: Long, n_edges: Int,
+      mean_red: Double)
+
+  private def gradientPngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = x * 255 / (w - 1)
+        img.setRGB(x, y, (r << 16) | (r << 8) | r)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Gradient PNGs, deterministic per doc_id (the doc_id % 3 == 0
+    * third, the same slot realMediaTable gives images): w = 8+id%16,
+    * h = 8+id%8, red ramping 0→255 left to right. */
+  def gradientTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map(id => MediaRow(id, "image",
+          gradientPngBytes(8 + (id % 16).toInt, 8 + (id % 8).toInt)))
+      }
+  }
+
+  private def imageFeaturesPartition(rows: Iterator[MediaRow]): Iterator[ImageFeatures] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    rows.map { m =>
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+        if (img == null) ImageFeatures(m.doc_id, 0, 0, -1, -1, -1L, -1, -1.0)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          var minR = 255; var maxR = 0; var sum = 0L; var edges = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            var prev = -1
+            while (x < w) {
+              val r = (img.getRGB(x, y) >> 16) & 0xff
+              if (r < minR) minR = r
+              if (r > maxR) maxR = r
+              sum += r
+              if (x > 0 && r != prev) edges += 1
+              prev = r
+              x += 1
+            }
+            y += 1
+          }
+          ImageFeatures(m.doc_id, w, h, minR, maxR, sum, edges,
+            sum.toDouble / (w.toLong * h))
+        }
+      } catch {
+        // same NonFatal seam as decodeRealPartition: one corrupt PNG
+        // degrades to a filterable sentinel, never a task kill
+        case scala.util.control.NonFatal(_) =>
+          ImageFeatures(m.doc_id, 0, 0, -1, -1, -1L, -1, -1.0)
+      }
+    }
+  }
+
+  def imageFeatures(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(imageFeaturesPartition _)
+  }
+
+  def imageFeaturesQuery(spark: SparkSession, dir: String): DataFrame =
+    imageFeatures(gradientTable(spark, dir)).toDF().orderBy("doc_id")
+
+  /** The oracle recomputes per-column ramp values from the generation
+    * rule with list arithmetic — every cell is a pure function of
+    * doc_id, independent of the codec path under test. */
+  val imageFeaturesSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(8 + doc_id % 16 AS INT) AS w,
+      |    CAST(8 + doc_id % 8 AS INT) AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |g AS (
+      |  SELECT doc_id, w, h,
+      |    list_transform(range(0, w), x -> x * 255 // (w - 1)) AS reds
+      |  FROM m)
+      |SELECT doc_id, w AS width, h AS height,
+      |  CAST(list_min(reds) AS INT) AS min_red,
+      |  CAST(list_max(reds) AS INT) AS max_red,
+      |  CAST(list_sum(reds) * h AS BIGINT) AS sum_red,
+      |  CAST(len(list_filter(range(1, w),
+      |    x -> x * 255 // (w - 1) <> (x - 1) * 255 // (w - 1))) * h AS INT)
+      |    AS n_edges,
+      |  CAST(list_sum(reds) * h AS DOUBLE) / (w * h) AS mean_red
+      |FROM g ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta"     -> (binaryMeta _),
     "mm_decode_stub"     -> (decodeStub _),
     "mm_decode"          -> (realDecodeQuery _),
     "mm_frame_sample"    -> (frameSampleQuery _),
-    "mm_audio_features"  -> (audioFeaturesQuery _))
+    "mm_audio_features"  -> (audioFeaturesQuery _),
+    "mm_image_features"  -> (imageFeaturesQuery _))
 
   val oracles: Map[String, String] = Map(
     "mm_binary_meta"     -> binaryMetaSql,
     "mm_decode"          -> realDecodeSql,
     "mm_frame_sample"    -> frameSampleSql,
-    "mm_audio_features"  -> audioFeaturesSql)
+    "mm_audio_features"  -> audioFeaturesSql,
+    "mm_image_features"  -> imageFeaturesSql)
 }

@@ -226,4 +226,33 @@ class EventsSpec extends AnyFunSuite with SparkSuite {
       .map(es => es.minBy(e => (e._3, e._4))._4).toSet
     assert(got.filter(_._2 == -1L).keySet === firsts)
   }
+
+  test("debounce: last-KEPT fold reference, suppression accounting totals") {
+    val all = Tables.loadEvents(spark, SF)
+      .select("user_id", "event_type", "sec", "event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // independent reference fold: keep iff > gap after the last KEPT
+    val expected = scala.collection.mutable.Map.empty[Long, Long]
+    var trailing = 0L
+    all.groupBy(e => (e._1, e._2)).values.foreach { es =>
+      var lastKept = Long.MinValue
+      var sup = 0L
+      es.sortBy(e => (e._3, e._4)).foreach { e =>
+        if (lastKept == Long.MinValue || e._3 - lastKept > Events.dedupGapSec) {
+          expected(e._4) = sup; lastKept = e._3; sup = 0L
+        } else sup += 1
+      }
+      trailing += sup
+    }
+    val got = Events.debounce(spark, SF).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(got === expected.toMap)
+    // every event is kept, suppressed-and-reported, or trailing
+    assert(got.size + got.values.sum + trailing === all.length)
+    assert(got.size < all.length, "debounce must actually drop something")
+    // debounce differs from the stateless lag rule on this data (the
+    // two operators are genuinely distinct semantics, not aliases)
+    val lagKept = Events.windowDedup(spark, SF).collect().map(_.getLong(0)).toSet
+    assert(got.keySet !== lagKept, "debounce should disagree with lag-dedup somewhere")
+  }
 }

@@ -109,6 +109,30 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(!plan.contains("Exchange"), s"audio feature extraction must not shuffle:\n$plan")
   }
 
+  test("image features match the gradient closed form via a real PNG decode") {
+    val feats = Multimodal.imageFeatures(Multimodal.gradientTable(spark, SF))
+    val rows = feats.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { f =>
+      val (w, h) = (8 + (f.doc_id % 16).toInt, 8 + (f.doc_id % 8).toInt)
+      val reds = (0 until w).map(x => x * 255 / (w - 1))
+      assert(f.width === w && f.height === h, s"doc ${f.doc_id} dims")
+      assert(f.min_red === 0 && f.max_red === 255, s"doc ${f.doc_id} range")
+      assert(f.sum_red === reds.map(_.toLong).sum * h, s"doc ${f.doc_id} sum")
+      assert(f.n_edges === (1 until w).count(x => reds(x) != reds(x - 1)) * h,
+        s"doc ${f.doc_id} edges")
+      assert(f.mean_red === f.sum_red.toDouble / (w.toLong * h))
+    }
+    // the pixel scan is a narrow map over the synth — no shuffle
+    val plan = feats.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"image feature extraction must not shuffle:\n$plan")
+    // a corrupt payload degrades to the sentinel row, never a task kill
+    import spark.implicits._
+    val bad = Seq(Multimodal.MediaRow(7L, "image", Array[Byte](1, 2, 3))).toDS()
+    val s = Multimodal.imageFeatures(bad).head()
+    assert(s.doc_id === 7L && s.sum_red === -1L && s.n_edges === -1)
+  }
+
   test("resize plan clamps into the box preserving aspect ratio") {
     val decoded = Multimodal.decode(Multimodal.mediaTable(spark, SF))
     val planned = Multimodal.resizePlan(decoded, maxW = 128, maxH = 96).collect()
