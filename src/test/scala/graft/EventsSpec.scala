@@ -250,9 +250,28 @@ class EventsSpec extends AnyFunSuite with SparkSuite {
     // every event is kept, suppressed-and-reported, or trailing
     assert(got.size + got.values.sum + trailing === all.length)
     assert(got.size < all.length, "debounce must actually drop something")
-    // debounce differs from the stateless lag rule on this data (the
-    // two operators are genuinely distinct semantics, not aliases)
-    val lagKept = Events.windowDedup(spark, SF).collect().map(_.getLong(0)).toSet
-    assert(got.keySet !== lagKept, "debounce should disagree with lag-dedup somewhere")
+  }
+
+  test("debounce vs lag-dedup: distinct semantics on a crafted chain") {
+    // A chain spaced at gap*5/6 (3000s for the 3600s gap): every
+    // inter-event distance is UNDER the gap, so the stateless lag rule
+    // keeps only the first event — but the distance from the last KEPT
+    // accumulates, so debounce re-keeps every second event. Whether the
+    // production fixture happens to contain such a chain is
+    // data-dependent (at sf0.001 it does not), so the semantics
+    // difference is proven on a constructed corpus instead.
+    import spark.implicits._
+    val step = Events.dedupGapSec * 5 / 6
+    val dir = java.nio.file.Files.createTempDirectory("debounce_fix").toString
+    (0L until 6L)
+      .map(i => (i + 1, i * step * 1000000000L, 7L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val lagKept = Events.windowDedup(spark, dir).collect().map(_.getLong(0)).toSet
+    val debKept = Events.debounce(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(lagKept === Set(1L), "every lag is under the gap: lag rule keeps only the head")
+    assert(debKept === Map(1L -> 0L, 3L -> 1L, 5L -> 1L),
+      "distance-to-last-KEPT accumulates past the gap at every second event")
   }
 }
