@@ -681,7 +681,62 @@ object Curation {
        |    AND ${Sampling.mixBucketSql} < ${Sampling.rateSql} AS kept
        |FROM g ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // corpus_bigram_lm — count-statistic LM quality gate (the CCNet/
+  // perplexity-filter move re-expressed in integers): build the corpus
+  // bigram frequency model, then score each document by the fraction
+  // of its bigrams the rest of the corpus (almost) never produces. A
+  // document made mostly of corpus-rare bigrams is what a perplexity
+  // filter flags — gibberish, mangled boilerplate, wrong-language
+  // fragments — but counts stay integers end to end (one final
+  // division), so the oracle is hash-exact where a floating log-prob
+  // sum would be addition-order noise. Scale shape: (1) the model
+  // build is a map-side-combined groupBy on the 60-bit bigram hash —
+  // the shuffle carries (hash, partial count) pairs, never raw text;
+  // (2) scoring sort-merge-joins the exploded bigram hashes back to
+  // the model on the same 8-byte key — the model is corpus-vocabulary-
+  // sized, deliberately NOT broadcast (prune it with a min-count
+  // filter to get the broadcast variant); (3) one per-doc count
+  // aggregate. Tokenization runs once: the (doc_id, hash) projection
+  // is persisted across the model and scoring passes (freed by the
+  // catalog-wide session-cache convention).
+  // ---------------------------------------------------------------------
+  private[graft] val lmRareMax = 2L
+  private[graft] val lmRareCut = 0.5
+
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.loadBalanced(spark, dir, "documents")
+      .withColumn("toks", expr(Dedup.toksSpark))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(bigramsSpark)).as("g"))
+      .select(col("doc_id"), expr(Dedup.tokHash60Spark("g")).as("h"))
+      .persist()
+    val model = grams.groupBy("h").agg(count(lit(1)).as("n_occ"))
+    grams.join(model, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(when(col("n_occ") <= lmRareMax, 1)).as("n_rare"))
+      .withColumn("rare_pct", col("n_rare").cast("double") / col("n_bigrams"))
+      .withColumn("lm_keep", col("rare_pct") < lmRareCut)
+      .orderBy("doc_id")
+  }
+
+  val bigramLmSql: String =
+    s"""WITH toks_t AS (SELECT doc_id, ${Dedup.toksSql} AS toks FROM documents),
+       |g AS (SELECT doc_id, ${Dedup.tokHash60Sql("gram")} AS h
+       |      FROM (SELECT doc_id, unnest($bigramsSql) AS gram
+       |            FROM toks_t WHERE len(toks) >= 2)),
+       |m AS (SELECT h, count(*) AS n_occ FROM g GROUP BY 1),
+       |s AS (SELECT doc_id, count(*) AS n_bigrams,
+       |        count(*) FILTER (WHERE n_occ <= $lmRareMax) AS n_rare
+       |      FROM g JOIN m USING (h) GROUP BY 1)
+       |SELECT doc_id, n_bigrams, n_rare,
+       |  CAST(n_rare AS DOUBLE) / n_bigrams AS rare_pct,
+       |  CAST(n_rare AS DOUBLE) / n_bigrams < $lmRareCut AS lm_keep
+       |FROM s ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_bigram_lm"      -> (bigramLm _),
     "text_decontaminate"    -> (decontaminate _),
     "quota_sample"          -> (quotaSample _),
     "cluster_kmeans_assign" -> (kmeansAssign _),
@@ -695,6 +750,7 @@ object Curation {
     "corpus_train_manifest" -> (trainManifest _))
 
   val oracles: Map[String, String] = Map(
+    "corpus_bigram_lm"      -> bigramLmSql,
     "text_decontaminate"    -> decontaminateSql,
     "quota_sample"          -> quotaSampleSql,
     "cluster_kmeans_assign" -> kmeansAssignSql,

@@ -223,13 +223,113 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  // ---------------------------------------------------------------------
+  // vec_pq_assign — product-quantization encoding: split each 64-dim
+  // vector into 4 sub-blocks of 16 dims, quantize every block to the
+  // nearest of 16 deterministic codebook centroids, and emit the 4
+  // codes plus the total squared quantization error. PQ is the
+  // compression layer a 100 TB ANN index stands on: 64 float32s
+  // (256 B) become 4 nibbles (2 B), and IVF-PQ scans precomputed
+  // distance tables instead of raw vectors. Scale shape: the codebook
+  // is a broadcast 16-row table (trained once, reused across the
+  // fleet), so encoding is one streaming pass over the corpus scan —
+  // a broadcast nested product against 16 rows and a per-vector argmin
+  // aggregate; the only shuffle is the argmin groupBy on vec_id, which
+  // disappears entirely in a deployment that fuses the argmin into the
+  // scan partition (kept as an aggregate here so the oracle can see
+  // the same algebra). Determinism: codes are the rank of the seed's
+  // vec_id; block distance is dot(x,x) + dot(c,c) − 2·dot(x,c), every
+  // dot an ascending-index double fold in both engines; distance ties
+  // break to the smallest code.
+  // ---------------------------------------------------------------------
+  private val pqBlocks = 4
+  private val pqSubDim = 16
+  private val pqK = 16
+  private[graft] val pqSeedComb = 23L
+  private[graft] val pqSeedRes = 5L
+
+  def pqAssign(spark: SparkSession, dir: String): DataFrame =
+    pqAssignOver(Tables.loadBalanced(spark, dir, "embeddings"))
+
+  private[graft] def pqAssignOver(input: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(input.sparkSession)
+    val e = input.select("vec_id", "embedding")
+    val codebook = e.filter(col("vec_id") % pqSeedComb === pqSeedRes)
+      .orderBy("vec_id").limit(pqK)
+      .select((row_number().over(Window.orderBy("vec_id")) - 1)
+        .cast("int").as("code"), col("embedding").as("c_emb"))
+    val sx = s"slice(embedding, 1 + block * $pqSubDim, $pqSubDim)"
+    val sc = s"slice(c_emb, 1 + block * $pqSubDim, $pqSubDim)"
+    val scored = e.crossJoin(broadcast(codebook))
+      .withColumn("block", explode(expr(s"sequence(0, ${pqBlocks - 1})")))
+      .withColumn("d",
+        expr(s"vec_dot($sx, $sx) + vec_dot($sc, $sc) - 2 * vec_dot($sx, $sc)"))
+    // two-level argmin: per (vector, block) first — the ordering struct
+    // is never null there, keeping min_by semantics trivial — then a
+    // tiny 4-rows-per-vector pivot to columns
+    val perBlock = scored.groupBy("vec_id", "block")
+      .agg(min_by(col("code"), struct(col("d"), col("code"))).as("bcode"),
+        min(col("d")).as("bd"))
+    def blockAgg(b: Int): Seq[org.apache.spark.sql.Column] = Seq(
+      first(when(col("block") === b, col("bcode")), ignoreNulls = true).as(s"code$b"),
+      first(when(col("block") === b, col("bd")), ignoreNulls = true).as(s"d$b"))
+    val aggs = (0 until pqBlocks).flatMap(blockAgg)
+    perBlock.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("vec_id"), col("code0"), col("code1"), col("code2"), col("code3"),
+        round(col("d0") + col("d1") + col("d2") + col("d3"), 6).as("qerr"))
+      .orderBy("vec_id")
+  }
+
+  /** Ascending-index dot-product fold over one 16-dim sub-block, both
+    * operands sliced from full 64-dim list columns. */
+  private def blockDotSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1 + block * $pqSubDim, ${pqSubDim + 1} + block * $pqSubDim),
+       |  i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)""".stripMargin
+
+  val pqAssignSql: String = {
+    val dxx = blockDotSql("e.embedding", "e.embedding")
+    val dcc = blockDotSql("cb.c_emb", "cb.c_emb")
+    val dxc = blockDotSql("e.embedding", "cb.c_emb")
+    s"""WITH cb AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+       |    embedding AS c_emb
+       |  FROM embeddings WHERE vec_id % $pqSeedComb = $pqSeedRes
+       |  ORDER BY vec_id LIMIT $pqK),
+       |p AS (
+       |  SELECT e.vec_id, cb.code, b.block,
+       |    ($dxx) + ($dcc) - 2 * ($dxc) AS d
+       |  FROM embeddings e
+       |  CROSS JOIN cb
+       |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS block) b),
+       |r AS (
+       |  SELECT vec_id, block, code, d,
+       |    row_number() OVER (PARTITION BY vec_id, block ORDER BY d, code) AS rn
+       |  FROM p),
+       |w AS (
+       |  SELECT vec_id,
+       |    max(CASE WHEN block = 0 THEN code END) AS code0,
+       |    max(CASE WHEN block = 1 THEN code END) AS code1,
+       |    max(CASE WHEN block = 2 THEN code END) AS code2,
+       |    max(CASE WHEN block = 3 THEN code END) AS code3,
+       |    max(CASE WHEN block = 0 THEN d END) AS d0,
+       |    max(CASE WHEN block = 1 THEN d END) AS d1,
+       |    max(CASE WHEN block = 2 THEN d END) AS d2,
+       |    max(CASE WHEN block = 3 THEN d END) AS d3
+       |  FROM r WHERE rn = 1 GROUP BY 1)
+       |SELECT vec_id, code0, code1, code2, code3,
+       |  ${sparkRound6Sql("d0 + d1 + d2 + d3")} AS qerr
+       |FROM w ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_ann_lsh"     -> (annLsh _),
-    "sim_ann_ivf"     -> (ivfTopK _))
+    "sim_ann_ivf"     -> (ivfTopK _),
+    "vec_pq_assign"   -> (pqAssign _))
 
   /** sim_ann_lsh is approximate → no SQL oracle (driver rows-only check);
     * its recall against sim_cosine_topk is covered by SimilaritySpec. */
   val oracles: Map[String, String] = Map(
-    "sim_cosine_topk" -> cosineTopKSql)
+    "sim_cosine_topk" -> cosineTopKSql,
+    "vec_pq_assign"   -> pqAssignSql)
 }

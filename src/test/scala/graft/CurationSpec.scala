@@ -302,4 +302,48 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
       .filter(col("g") === top).count()
     assert(recount === topN, s"top bigram '$top' recount $recount != $topN")
   }
+
+  test("bigram LM: totals consistent, rarity bounded, flags follow the cut") {
+    try {
+      val rows = Curation.bigramLm(spark, SF).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val (n, rare, pct, keep) =
+          (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))
+        assert(n > 0 && rare >= 0 && rare <= n)
+        assert(math.abs(pct - rare.toDouble / n) < 1e-12)
+        assert(keep === (pct < Curation.lmRareCut))
+      }
+      // Σ n_bigrams over docs == total bigram occurrences in the corpus
+      val totalBigrams = Tables.load(spark, SF, "documents")
+        .withColumn("toks", expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"))
+        .filter(size(col("toks")) >= 2)
+        .selectExpr("size(toks) - 1 AS nb")
+        .agg(sum(col("nb"))).head().getLong(0)
+      assert(rows.map(_.getLong(1)).sum === totalBigrams)
+    } finally spark.catalog.clearCache()
+  }
+
+  test("bigram LM: gibberish is flagged rare, phrase-pool text is kept") {
+    // crafted corpus: two docs sharing a repetitive phrase (their
+    // bigrams occur far more than lmRareMax times) and one gibberish
+    // doc whose bigrams exist nowhere else (all corpus-rare)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bigram_lm").toString
+    val common = Seq.fill(8)("the cat sat on the mat").mkString(" ")
+    Seq(
+      (1L, common, "en", "web", common.length.toLong),
+      (2L, common, "en", "web", common.length.toLong),
+      (3L, "qzv wxj plk mnb ghf dsa", "en", "web", 23L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val out = Curation.bigramLm(spark, dir).collect()
+        .map(r => r.getLong(0) -> (r.getDouble(3), r.getBoolean(4))).toMap
+      assert(out(1L)._2 && out(2L)._2, "repeated phrase-pool docs must be kept")
+      assert(out(1L)._1 === 0.0, "no bigram of a duplicated 8x phrase is rare")
+      assert(!out(3L)._2 && out(3L)._1 === 1.0,
+        "gibberish doc must be 100% rare and dropped")
+    } finally spark.catalog.clearCache()
+  }
 }

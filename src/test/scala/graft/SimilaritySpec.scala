@@ -117,4 +117,60 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     // than a random 25% scan even on near-uniform synthetic vectors.
     assert(recall > 0.35, s"IVF recall $recall not better than random scan")
   }
+
+  test("PQ: codes in range, seeds self-quantize at zero error") {
+    import org.apache.spark.sql.functions._
+    val out = Similarity.pqAssign(spark, SF).collect()
+      .map(r => r.getLong(0) ->
+        (Seq(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)), r.getDouble(5))).toMap
+    val corpusN = Tables.load(spark, SF, "embeddings").count()
+    assert(out.size.toLong === corpusN, "every vector gets an encoding")
+    out.values.foreach { case (codes, qerr) =>
+      assert(codes.forall(c => c >= 0 && c < 16), s"code out of range: $codes")
+      assert(qerr >= 0.0, s"negative quantization error $qerr")
+    }
+    // seed ids derived INDEPENDENTLY from the table (not from the
+    // operator's own output): the i-th smallest qualifying vec_id is
+    // centroid i, must self-assign to code i in every block with qerr 0
+    val seeds = Tables.load(spark, SF, "embeddings")
+      .filter(col("vec_id") % Similarity.pqSeedComb === Similarity.pqSeedRes)
+      .orderBy("vec_id").limit(16).collect().map(_.getLong(0))
+    assert(seeds.length === 16, "fixture must yield a full codebook")
+    seeds.zipWithIndex.foreach { case (vid, i) =>
+      val (codes, qerr) = out(vid)
+      assert(codes === Seq(i, i, i, i), s"seed $vid not self-coded: $codes")
+      assert(qerr === 0.0, s"seed $vid qerr $qerr != 0")
+    }
+  }
+
+  test("PQ: encoding matches an independent Scala reference on a sample") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.load(spark, SF, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val seeds = emb.keys.toSeq
+      .filter(id => id % Similarity.pqSeedComb == Similarity.pqSeedRes)
+      .sorted.take(16)
+    def dist(x: Array[Float], c: Array[Float], b: Int): Double = {
+      var dxx = 0.0; var dcc = 0.0; var dxc = 0.0
+      (16 * b until 16 * b + 16).foreach { i =>
+        dxx += x(i).toDouble * x(i); dcc += c(i).toDouble * c(i)
+        dxc += x(i).toDouble * c(i)
+      }
+      dxx + dcc - 2 * dxc
+    }
+    val out = Similarity.pqAssign(spark, SF).collect()
+      .map(r => r.getLong(0) ->
+        (Seq(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)), r.getDouble(5))).toMap
+    emb.keys.toSeq.sorted.take(20).foreach { vid =>
+      val x = emb(vid)
+      val expected = (0 until 4).map { b =>
+        seeds.indices.map(i => (dist(x, emb(seeds(i)), b), i)).min
+      }
+      val (codes, qerr) = out(vid)
+      assert(codes === expected.map(_._2), s"vec $vid codes differ from reference")
+      val refErr = BigDecimal(expected.map(_._1).sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(qerr === refErr, s"vec $vid qerr $qerr != $refErr")
+    }
+  }
 }
