@@ -14,8 +14,16 @@ object Bench {
     // (parquet reader, codegen, interpreted-expression fallbacks) so the
     // timed loop measures steady-state throughput instead of charging
     // all JVM warmup to whichever query happens to run first.
+    // Optional comma-separated subset for local iteration on specific
+    // queries; the driver's full run leaves this unset.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    SparkEntry.queries.foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
       spark.catalog.clearCache()
@@ -31,7 +39,7 @@ object Bench {
     // query read as the -1 failure sentinel
     val nReps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val reps = (1 to nReps).flatMap { _ =>
         val t0 = System.nanoTime()
         // noop sink materializes every output column; count() would let

@@ -174,7 +174,19 @@ object Dedup {
     * empty when nothing exceeds the cap. Reported jaccard values are
     * therefore exact; the cap's only effect is recall: a pair is
     * missed iff EVERY shingle it shares is hot. */
-  private[graft] def ngramJaccardCapped(docSh: DataFrame, maxDf: Long): DataFrame = {
+  private[graft] def ngramJaccardCapped(docSh: DataFrame, maxDf: Long): DataFrame =
+    pairIntersections(docSh, maxDf)
+      .withColumn("jaccard", col("n_inter") / (col("na") + col("nb") - col("n_inter")))
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_i", "doc_j", "jaccard")
+      .orderBy("doc_i", "doc_j")
+
+  /** Exact shingle-intersection counts per candidate pair (doc_i <
+    * doc_j), with the hot-shingle DF cap: (doc_i, doc_j, n_inter, na,
+    * nb) where na/nb are the docs' distinct-shingle counts. Shared by
+    * jaccard (symmetric similarity) and containment (asymmetric) —
+    * both are pure functions of this frame. */
+  private def pairIntersections(docSh: DataFrame, maxDf: Long): DataFrame = {
     // persisted: feeds the DF stats, per-doc sizes, hot sets, and both
     // self-join sides; without it the tokenize+shingle scan of every
     // document runs five times (callers release via clearCache)
@@ -199,11 +211,126 @@ object Dedup {
       .withColumn("n_inter", col("n_cold") + col("n_hot"))
       .join(sizes.as("sa"), col("doc_i") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_j") === col("sb.doc_id"))
-      .withColumn("jaccard", col("n_inter") / (col("sa.n") + col("sb.n") - col("n_inter")))
-      .filter(col("jaccard") >= 0.8)
-      .select("doc_i", "doc_j", "jaccard")
-      .orderBy("doc_i", "doc_j")
+      .select(col("doc_i"), col("doc_j"), col("n_inter"),
+        col("sa.n").as("na"), col("sb.n").as("nb"))
   }
+
+  // ---------------------------------------------------------------------
+  // dedup_containment — DIRECTED shingle containment: C(i→j) =
+  // |sh(i) ∩ sh(j)| / |sh(i)| ≥ 0.5. Jaccard misses the
+  // quote/repost/superset case — a short doc fully embedded in a much
+  // longer one scores near-zero jaccard (|A∩B|/|A∪B| is diluted by the
+  // big doc) but containment 1.0. This is the standard second dedup
+  // axis for web corpora (Broder's containment, the same machinery
+  // CCNet/Gopher-style pipelines use for partial-overlap removal).
+  // Scale shape: identical to ngram-jaccard — the SAME capped
+  // inverted-index pair frame ([[pairIntersections]]), one extra
+  // projection to emit both directions; no new shuffle.
+  // ---------------------------------------------------------------------
+  private[graft] val containmentThreshold = 0.5
+
+  def containment(spark: SparkSession, dir: String): DataFrame =
+    containmentCapped(docShingles(spark, dir), defaultMaxShingleDf)
+
+  private[graft] def containmentCapped(docSh: DataFrame, maxDf: Long): DataFrame = {
+    val pairs = pairIntersections(docSh, maxDf)
+    // each undirected candidate pair yields its two directions; the
+    // containment denominator is the CONTAINED side's shingle count
+    val iInJ = pairs.select(col("doc_i").as("doc_a"), col("doc_j").as("doc_b"),
+      (col("n_inter") / col("na")).as("containment"))
+    val jInI = pairs.select(col("doc_j").as("doc_a"), col("doc_i").as("doc_b"),
+      (col("n_inter") / col("nb")).as("containment"))
+    iInJ.unionAll(jInI)
+      .filter(col("containment") >= containmentThreshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact directed-containment oracle: same inverted-index algebra in
+    * DuckDB, both directions from the one undirected intersection. */
+  val containmentSql: String =
+    s"""WITH $docShinglesSqlCte,
+       |inter AS (
+       |  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |both_dirs AS (
+       |  SELECT doc_i AS doc_a, doc_j AS doc_b, n_inter / sa.n AS containment
+       |  FROM inter JOIN sizes sa ON doc_i = sa.doc_id
+       |  UNION ALL
+       |  SELECT doc_j AS doc_a, doc_i AS doc_b, n_inter / sb.n AS containment
+       |  FROM inter JOIN sizes sb ON doc_j = sb.doc_id)
+       |SELECT doc_a, doc_b, containment FROM both_dirs
+       |WHERE containment >= $containmentThreshold
+       |ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // dedup_paragraph — segment-level exact dedup (Lee et al.,
+  // "Deduplicating Training Data Makes Language Models Better"): split
+  // every document into non-overlapping 8-token segments, and flag each
+  // segment whose exact text recurs in ≥ 2 DISTINCT documents. Unlike
+  // whole-doc dedup this catches boilerplate paragraphs (headers,
+  // licenses, navigation) embedded in otherwise-unique documents — the
+  // dominant duplication mode in web-scale corpora. Per doc it reports
+  // segment counts and the duplicated fraction plus a keep flag
+  // (drop when ≥ half the doc is corpus-duplicated text).
+  //
+  // Scale shape: segments travel as 8-byte xxhash64 keys (the string
+  // oracle would catch a collision); one map-side-combined groupBy
+  // computes each hash's distinct-doc count, one equi-join re-attaches
+  // it (both on the same key — AQE reuses the exchange), one groupBy
+  // on doc_id folds back to per-doc rows. No self-join, no quadratic
+  // term anywhere: cost is linear in corpus token count.
+  // ---------------------------------------------------------------------
+  private[graft] val segTokens = 8
+  private[graft] val segDupFracMax = 0.5
+
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame =
+    paragraphDedupOver(Tables.loadBalanced(spark, dir, "documents"))
+
+  /** Corpus-parameterized form over (doc_id, text) — shared by the
+    * catalog query and the crafted-segment fixture in DedupSpec. */
+  private[graft] def paragraphDedupOver(docs: DataFrame): DataFrame = {
+    val segs = docs
+      .withColumn("toks", expr(toksSpark))
+      .withColumn("nt", size(col("toks")))
+      .filter(col("nt") > 0)
+      .withColumn("seg_idx",
+        explode(expr(s"sequence(0, cast((nt + ${segTokens - 1}) div $segTokens AS int) - 1)")))
+      .select(col("doc_id"),
+        xxhash64(concat_ws(" ",
+          slice(col("toks"), col("seg_idx") * segTokens + 1, lit(segTokens)))).as("h"))
+    val segDocs = segs.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    segs.join(segDocs, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_segs"))
+      .withColumn("dup_frac", col("n_dup_segs") / col("n_segs"))
+      .withColumn("keep", col("dup_frac") < segDupFracMax)
+      .orderBy("doc_id")
+  }
+
+  /** `slice(toks, i*8+1, 8)` caps at the array end in Spark; DuckDB's
+    * inclusive-bound `toks[a : b]` needs the explicit `least`. */
+  val paragraphDedupSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |n AS (SELECT doc_id, toks, CAST(len(toks) AS INT) AS nt
+       |      FROM t WHERE len(toks) > 0),
+       |s AS (SELECT doc_id, toks, nt,
+       |        CAST(unnest(range(0, (nt + ${segTokens - 1}) // $segTokens)) AS INT) AS seg_idx
+       |      FROM n),
+       |seg AS (SELECT doc_id,
+       |          array_to_string(toks[seg_idx * $segTokens + 1 :
+       |            least(seg_idx * $segTokens + $segTokens, nt)], ' ') AS seg
+       |        FROM s),
+       |d AS (SELECT seg, count(DISTINCT doc_id) AS nd FROM seg GROUP BY 1),
+       |p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+       |        CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segs
+       |      FROM seg JOIN d USING (seg) GROUP BY 1)
+       |SELECT doc_id, n_segs, n_dup_segs,
+       |  n_dup_segs / n_segs AS dup_frac,
+       |  n_dup_segs / n_segs < $segDupFracMax AS keep
+       |FROM p ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
   // dedup_minhash_lsh — 64 minhash perms, 32 bands × 2 rows, exact
@@ -826,6 +953,8 @@ object Dedup {
     "dedup_embedding_cosine" -> (embeddingCosine _),
     "dedup_embedding_lsh"    -> (embeddingLsh _),
     "dedup_levenshtein"      -> (levenshteinPairs _),
+    "dedup_containment"      -> (containment _),
+    "dedup_paragraph"        -> (paragraphDedup _),
     "dedup_clusters"         -> (clusters _))
 
   val oracles: Map[String, String] = Map(
@@ -846,5 +975,7 @@ object Dedup {
     // the oracle mirrors the same two-key blocking (the operator's
     // semantics ARE "pairs the blocking can see" — see the recall note)
     "dedup_levenshtein"      -> levenshteinPairsSql,
+    "dedup_containment"      -> containmentSql,
+    "dedup_paragraph"        -> paragraphDedupSql,
     "dedup_clusters"         -> clustersSql)
 }

@@ -203,6 +203,58 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       s"blocking recall ${reachable.size}/${expected.size} regressed on test data")
   }
 
+  test("containment catches a quoted subset that jaccard misses, in one direction only") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val quoted = "the quick brown fox jumps over the lazy dog today"
+    val padding = (1 to 40).map(i => s"filler$i").mkString(" ")
+    // doc 2 fully contains doc 1's text plus 40 unique tokens; doc 3/4
+    // are a symmetric near-dup pair that must appear in BOTH directions
+    val docs = Seq(
+      (1L, quoted),
+      (2L, s"$quoted $padding"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"))
+      .toDF("doc_id", "text")
+      .withColumn("sh", org.apache.spark.sql.functions.expr(
+        s"shingles3(${Dedup.toksSpark})"))
+      .select("doc_id", "sh")
+    val got = Dedup.containmentCapped(docs, Long.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((1L, 2L)) === 1.0, s"doc 1 is fully contained in doc 2: $got")
+    assert(!got.contains((2L, 1L)), "the big doc is NOT contained in the small one")
+    assert(got.contains((3L, 4L)) && got.contains((4L, 3L)),
+      s"symmetric near-dups must surface in both directions: $got")
+    // jaccard at 0.8 misses the subset pair — that's the operator's point
+    val jac = Dedup.ngramJaccardCapped(docs, Long.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)), s"jaccard should dilute the subset pair: $jac")
+    spark.catalog.clearCache()
+  }
+
+  test("paragraph dedup flags cross-doc repeated segments at 8-token boundaries") {
+    import spark.implicits._
+    val boiler = "terms of service apply to all content here" // exactly 8 tokens
+    def uniq(tag: String) = (1 to 16).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler ${uniq("a")}"), // 3 segments, first shared with doc 2
+      (2L, s"$boiler ${uniq("b")}"),
+      (3L, uniq("c")),               // 2 segments, fully unique
+      (4L, uniq("d")),               // 4/5: exact duplicates -> all dup
+      (5L, uniq("d")))
+      .toDF("doc_id", "text")
+    val got = Dedup.paragraphDedupOver(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    assert(got(1L) === ((3L, 1L, true)), s"doc 1: one of three segments is boilerplate: $got")
+    assert(got(2L) === ((3L, 1L, true)))
+    assert(got(3L) === ((2L, 0L, true)))
+    assert(got(4L) === ((2L, 2L, false)), "a fully-duplicated doc must be dropped")
+    assert(got(5L) === ((2L, 2L, false)))
+    // linear plan: inverted count + re-join, never a pair self-join
+    val plan = Dedup.paragraphDedup(spark, SF).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"))
+  }
+
   test("embedding pair scan is a blocked equi-join, not a nested-loop product") {
     val plan = Dedup.embeddingCosine(spark, SF).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
