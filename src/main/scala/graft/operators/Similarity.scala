@@ -174,11 +174,11 @@ object Similarity {
   def ivfTopK(spark: SparkSession, dir: String): DataFrame =
     ivfTopKOver(Tables.loadBalanced(spark, dir, "embeddings"))
 
-  private[graft] def ivfTopKOver(corpus: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val e = corpus.withColumn("norm", expr("vec_norm(embedding)"))
-      .select("vec_id", "embedding", "norm")
-
+  /** Train the coarse quantizer and build the inverted file:
+    * (centroids — persisted, K rows; lists — one row per corpus vector
+    * with its cluster id, embedding and norm). Shared by the plain IVF
+    * query and the IVF-PQ composition. */
+  private def ivfIndex(e: DataFrame): (DataFrame, DataFrame) = {
     // Deterministic pseudo-random seeds at any corpus size (hash-order
     // TakeOrdered — no count(), no collect), then 2 Lloyd iterations.
     var centroids = e
@@ -194,8 +194,15 @@ object Similarity {
     // re-execute the whole Lloyd lineage — full-corpus assign windows
     // included. 16 rows: the cache is free, the recompute is not.
     centroids = centroids.persist()
+    (centroids, assign(e, centroids))
+  }
 
-    val lists = assign(e, centroids) // the inverted file: vec_id → cluster
+  private[graft] def ivfTopKOver(corpus: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val e = corpus.withColumn("norm", expr("vec_norm(embedding)"))
+      .select("vec_id", "embedding", "norm")
+
+    val (centroids, lists) = ivfIndex(e) // inverted file: vec_id → cluster
 
     // Probe the NProbe nearest centroids per query.
     val wq = Window.partitionBy(col("query_id"))
@@ -251,16 +258,24 @@ object Similarity {
   def pqAssign(spark: SparkSession, dir: String): DataFrame =
     pqAssignOver(Tables.loadBalanced(spark, dir, "embeddings"))
 
-  private[graft] def pqAssignOver(input: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.register(input.sparkSession)
-    val e = input.select("vec_id", "embedding")
-    val codebook = e.filter(col("vec_id") % pqSeedComb === pqSeedRes)
+  /** The 16-entry codebook: deterministic seed rows, code = seed rank.
+    * Broadcast-sized; trained once and reused across the fleet in a
+    * real deployment. */
+  private def pqCodebook(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % pqSeedComb === pqSeedRes)
       .orderBy("vec_id").limit(pqK)
       .select((row_number().over(Window.orderBy("vec_id")) - 1)
         .cast("int").as("code"), col("embedding").as("c_emb"))
+
+  /** Per-vector block codes + per-block squared distances:
+    * (vec_id, code0..3, d0..3), unordered. Shared by the encoding
+    * query (projects + rounds) and the IVF-PQ ADC scorer (codes only).
+    * In a 100 TB deployment this frame is materialized at rest next to
+    * the inverted file — 2 B per vector — not recomputed per query. */
+  private def pqCodes(e: DataFrame, codebook: DataFrame): DataFrame = {
     val sx = s"slice(embedding, 1 + block * $pqSubDim, $pqSubDim)"
     val sc = s"slice(c_emb, 1 + block * $pqSubDim, $pqSubDim)"
-    val scored = e.crossJoin(broadcast(codebook))
+    val scored = e.select("vec_id", "embedding").crossJoin(broadcast(codebook))
       .withColumn("block", explode(expr(s"sequence(0, ${pqBlocks - 1})")))
       .withColumn("d",
         expr(s"vec_dot($sx, $sx) + vec_dot($sc, $sc) - 2 * vec_dot($sx, $sc)"))
@@ -275,9 +290,88 @@ object Similarity {
       first(when(col("block") === b, col("bd")), ignoreNulls = true).as(s"d$b"))
     val aggs = (0 until pqBlocks).flatMap(blockAgg)
     perBlock.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  private[graft] def pqAssignOver(input: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(input.sparkSession)
+    val e = input.select("vec_id", "embedding")
+    pqCodes(e, pqCodebook(e))
       .select(col("vec_id"), col("code0"), col("code1"), col("code2"), col("code3"),
         round(col("d0") + col("d1") + col("d2") + col("d3"), 6).as("qerr"))
       .orderBy("vec_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // sim_ann_ivfpq — the composed 100 TB ANN shape: IVF coarse pruning
+  // (scan ~nprobe/K of the corpus) × PQ asymmetric-distance scoring
+  // (rank candidates from 2 B codes + a per-query 4×16 lookup table,
+  // never touching raw candidate vectors). This is the FAISS
+  // IVFADC layout (Jégou et al., "Product Quantization for Nearest
+  // Neighbor Search"): approx dot(q, x) = Σ_b qtab[b][code_b(x)],
+  // where qtab[b][c] = dot(q_b, codebook[c]_b) is computed ONCE per
+  // query against the broadcast codebook. Scores are approximate by
+  // construction (quantized corpus side, exact stored norms) → no SQL
+  // oracle; recall against the exact baseline is asserted on the
+  // planted-cluster fixture in SimilaritySpec. At rest, `lists`
+  // (cluster ids) and `codes` (2 B/vector) are materialized once —
+  // the per-query cost is the probed lists' code scan only.
+  // ---------------------------------------------------------------------
+  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfPqTopKOver(Tables.loadBalanced(spark, dir, "embeddings"))
+
+  private[graft] def ivfPqTopKOver(corpus: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val e = corpus.withColumn("norm", expr("vec_norm(embedding)"))
+      .select("vec_id", "embedding", "norm")
+    val (centroids, lists) = ivfIndex(e)
+    val codebook = pqCodebook(e)
+    val codes = pqCodes(e, codebook)
+      .select("vec_id", "code0", "code1", "code2", "code3")
+
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    // per-query ADC table: qtab[block][code] = dot(q_block, c_block)
+    val sq = s"slice(q_emb, 1 + block * $pqSubDim, $pqSubDim)"
+    val sc = s"slice(c_emb, 1 + block * $pqSubDim, $pqSubDim)"
+    val qtab = q.crossJoin(broadcast(codebook))
+      .withColumn("block", explode(expr(s"sequence(0, ${pqBlocks - 1})")))
+      .withColumn("qd", expr(s"vec_dot($sq, $sc)"))
+      .groupBy("query_id", "block")
+      .agg(array_sort(collect_list(struct(col("code"), col("qd")))).as("cw"))
+      .select(col("query_id"), col("block"),
+        expr("transform(cw, x -> x.qd)").as("arr"))
+      .groupBy("query_id")
+      .agg(array_sort(collect_list(struct(col("block"), col("arr")))).as("bw"))
+      .select(col("query_id"), expr("transform(bw, x -> x.arr)").as("qtab"))
+
+    // coarse probes: the NProbe nearest centroids per query, carrying
+    // the query's norm and ADC table (both broadcast-sized)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cscore").desc, col("cluster"))
+    val probes = q.join(broadcast(centroids))
+      .withColumn("cscore",
+        expr("vec_dot(q_emb, centroid)") / expr("vec_norm(centroid)"))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= NProbe)
+      .select("query_id", "q_norm", "cluster")
+      .join(qtab, Seq("query_id"))
+
+    // candidates: probed lists only; score from codes + table lookups —
+    // the raw candidate embedding is never read past the encode stage
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    lists.select("vec_id", "cluster", "norm")
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(probes), Seq("cluster"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("adot",
+        expr("qtab[0][code0] + qtab[1][code1] + qtab[2][code2] + qtab[3][code3]"))
+      .withColumn("score", round(col("adot") / (col("q_norm") * col("norm")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("score"))
+      .orderBy("query_id", "rank")
   }
 
   /** Ascending-index dot-product fold over one 16-dim sub-block, both
@@ -325,6 +419,7 @@ object Similarity {
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_ann_lsh"     -> (annLsh _),
     "sim_ann_ivf"     -> (ivfTopK _),
+    "sim_ann_ivfpq"   -> (ivfPqTopK _),
     "vec_pq_assign"   -> (pqAssign _))
 
   /** sim_ann_lsh is approximate → no SQL oracle (driver rows-only check);

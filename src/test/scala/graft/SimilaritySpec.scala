@@ -118,6 +118,33 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(recall > 0.35, s"IVF recall $recall not better than random scan")
   }
 
+  test("IVF-PQ recall on planted clusters discriminates from a random scan") {
+    val corpus = plantedCorpus
+    val recall = recallOnPlanted(Similarity.ivfPqTopKOver(corpus).collect())
+    // same nprobe=4/16 coarse stage as plain IVF, but candidates are
+    // ranked from 2 B PQ codes via the ADC table, so quantization can
+    // cost some in-list recall on top of the coarse pruning. Planted
+    // members are near-duplicates of their query — the ADC ranking must
+    // still put most of them in the top-10.
+    assert(recall > 0.5, s"IVF-PQ planted recall $recall (random scan ≈ 0.25)")
+  }
+
+  test("IVF-PQ output is well-formed: dense ranks, descending scores, no self-match") {
+    val out = Similarity.ivfPqTopK(spark, SF).collect()
+    assert(out.nonEmpty)
+    val byQuery = out.groupBy(_.getLong(0))
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.length <= 10, s"query $q returned ${rows.length} rows")
+      val ranks = rows.map(_.getInt(2)).sorted
+      assert(ranks.sameElements(1 to rows.length), s"query $q ranks not dense")
+      // approximate scores must descend with rank (the ranking's own order)
+      val byRank = rows.sortBy(_.getInt(2)).map(_.getDouble(3))
+      byRank.sliding(2).foreach(p => if (p.length == 2) assert(p(0) >= p(1)))
+      rows.foreach(r => assert(r.getLong(1) !== q, s"query $q returned itself"))
+    }
+    spark.catalog.clearCache()
+  }
+
   test("PQ: codes in range, seeds self-quantize at zero error") {
     import org.apache.spark.sql.functions._
     val out = Similarity.pqAssign(spark, SF).collect()
