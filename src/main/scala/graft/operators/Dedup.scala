@@ -232,18 +232,20 @@ object Dedup {
   def containment(spark: SparkSession, dir: String): DataFrame =
     containmentCapped(docShingles(spark, dir), defaultMaxShingleDf)
 
-  private[graft] def containmentCapped(docSh: DataFrame, maxDf: Long): DataFrame = {
-    val pairs = pairIntersections(docSh, maxDf)
-    // each undirected candidate pair yields its two directions; the
-    // containment denominator is the CONTAINED side's shingle count
-    val iInJ = pairs.select(col("doc_i").as("doc_a"), col("doc_j").as("doc_b"),
-      (col("n_inter") / col("na")).as("containment"))
-    val jInI = pairs.select(col("doc_j").as("doc_a"), col("doc_i").as("doc_b"),
-      (col("n_inter") / col("nb")).as("containment"))
-    iInJ.unionAll(jInI)
+  private[graft] def containmentCapped(docSh: DataFrame, maxDf: Long): DataFrame =
+    // each undirected candidate pair yields its two directions (the
+    // containment denominator is the CONTAINED side's shingle count) in
+    // ONE explode over the pair frame — a union of two projections
+    // would execute the whole inverted-index DAG twice
+    pairIntersections(docSh, maxDf)
+      .select(explode(array(
+        struct(col("doc_i").as("doc_a"), col("doc_j").as("doc_b"),
+          (col("n_inter") / col("na")).as("containment")),
+        struct(col("doc_j").as("doc_a"), col("doc_i").as("doc_b"),
+          (col("n_inter") / col("nb")).as("containment")))).as("p"))
+      .select("p.doc_a", "p.doc_b", "p.containment")
       .filter(col("containment") >= containmentThreshold)
       .orderBy("doc_a", "doc_b")
-  }
 
   /** Exact directed-containment oracle: same inverted-index algebra in
     * DuckDB, both directions from the one undirected intersection. */
@@ -336,6 +338,22 @@ object Dedup {
   // dedup_minhash_lsh — 64 minhash perms, 32 bands × 2 rows, exact
   // verification of band-collision candidates.
   // ---------------------------------------------------------------------
+  /** 32×2 LSH band keys per document over a (doc_id, sh) frame: one
+    * cheap xxhash64 per shingle, then the 64-permutation min-scan runs
+    * over longs in a codegen'd kernel (graft.functions.MinHashSig64) —
+    * no per-permutation string building. Shared by whole-corpus LSH
+    * and the incremental new-batch-vs-index variant. */
+  private def minhashBands(docsSh: DataFrame): DataFrame =
+    docsSh
+      .withColumn("sig", expr("minhash_sig64(transform(sh, x -> xxhash64(x)))"))
+      .select(col("doc_id"),
+        explode(expr(
+          """transform(sequence(0, 31), b -> named_struct(
+            |  'band_idx', b,
+            |  'band_hash', xxhash64(element_at(sig, 2*b+1), element_at(sig, 2*b+2))))"""
+            .stripMargin)).as("band"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
+
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     // doc_id, sh, n — shared by candidate generation AND verification;
@@ -348,16 +366,7 @@ object Dedup {
     // One cheap xxhash64 per shingle, then the 64-permutation min-scan
     // runs over longs in a codegen'd kernel (graft.functions.MinHashSig64)
     // — no per-permutation string building.
-    val sigs = docs
-      .withColumn("sig", expr("minhash_sig64(transform(sh, x -> xxhash64(x)))"))
-      .select("doc_id", "sig")
-    val bands = sigs.select(col("doc_id"),
-        explode(expr(
-          """transform(sequence(0, 31), b -> named_struct(
-            |  'band_idx', b,
-            |  'band_hash', xxhash64(element_at(sig, 2*b+1), element_at(sig, 2*b+2))))"""
-            .stripMargin)).as("band"))
-      .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
+    val bands = minhashBands(docs)
     val candidates = bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx")
@@ -375,6 +384,109 @@ object Dedup {
       .select("doc_i", "doc_j", "jaccard")
       .orderBy("doc_i", "doc_j")
   }
+
+  // ---------------------------------------------------------------------
+  // dedup_incremental — new-batch-vs-index near-dup detection: today's
+  // crawl (doc_id % 10 == 7 stands in for the new batch) checked
+  // against the already-ingested corpus, NEVER against itself. This is
+  // the production dedup shape at 100 TB: the index side's band keys
+  // are materialized at rest (computed once per doc, ever), so a daily
+  // batch costs |batch| signature computations plus an equi-join probe
+  // into the band index — not an O(corpus²) re-pairing. The batch side
+  // is small relative to the index, so AQE broadcasts its bands and
+  // the index never reshuffles; an index bucketed by band_hash at rest
+  // makes the probe exchange-free.
+  // ---------------------------------------------------------------------
+  private[graft] val batchStride = 10L
+  private[graft] val batchRes = 7L
+
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    incrementalOver(docShingles(spark, dir).filter(size(col("sh")) > 0)
+      .withColumn("n", size(col("sh"))))
+  }
+
+  /** Over a (doc_id, sh, n) frame — shared by the catalog query and
+    * the planted-batch fixture in DedupSpec. */
+  private[graft] def incrementalOver(docsShN: DataFrame): DataFrame = {
+    // persisted: band generation for both sides + two verification
+    // joins all branch from it (callers release via clearCache)
+    val docs = docsShN.persist()
+    val isBatch = col("doc_id") % batchStride === batchRes
+    val newBands = minhashBands(docs.filter(isBatch))
+    val idxBands = minhashBands(docs.filter(!isBatch)) // at rest in prod
+    val candidates = newBands.as("a")
+      .join(idxBands.as("b"),
+        col("a.band_idx") === col("b.band_idx")
+          && col("a.band_hash") === col("b.band_hash"))
+      .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("doc_idx"))
+      .distinct()
+    // Exact verification, same as whole-corpus minhash: candidates are
+    // few, shingle arrays are small
+    candidates
+      .join(docs.select(col("doc_id").as("doc_new"), col("sh").as("sh_a"), col("n").as("na")), "doc_new")
+      .join(docs.select(col("doc_id").as("doc_idx"), col("sh").as("sh_b"), col("n").as("nb")), "doc_idx")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("n_inter") / (col("na") + col("nb") - col("n_inter")))
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_new", "doc_idx", "jaccard")
+      .orderBy("doc_new", "doc_idx")
+  }
+
+  /** Same exactness argument as dedup_minhash_lsh (32×2 banding misses
+    * a jaccard-0.8 pair with p ≈ 6e-15, candidates exact-verified), so
+    * the exact batch-vs-index jaccard SQL is the oracle. */
+  val incrementalSql: String =
+    s"""WITH $docShinglesSqlCte,
+       |inter AS (
+       |  SELECT a.doc_id AS doc_new, b.doc_id AS doc_idx, count(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.s = b.s
+       |    AND a.doc_id % $batchStride = $batchRes
+       |    AND b.doc_id % $batchStride <> $batchRes
+       |  GROUP BY 1, 2)
+       |SELECT doc_new, doc_idx,
+       |  n_inter / (sa.n + sb.n - n_inter) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON doc_new = sa.doc_id
+       |JOIN sizes sb ON doc_idx = sb.doc_id
+       |WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.8
+       |ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // dedup_normalized — near-exact dedup on NORMALIZED text: casefold,
+  // collapse every non-alphanumeric run to a single space, trim. This
+  // is the C4-style "trivial variant" collapse — identical content
+  // differing only in case, punctuation, or whitespace hashes to one
+  // group where byte-exact dedup sees distinct documents. n_variants
+  // counts how many RAW texts the group collapsed (the signal exact
+  // dedup missed). Same scale shape as dedup_exact: one
+  // map-side-combined hash groupBy; in production the group key is a
+  // 128-bit digest of the normalized text, not the text itself.
+  // ---------------------------------------------------------------------
+  def normalizedDedup(spark: SparkSession, dir: String): DataFrame =
+    normalizedDedupOver(Tables.load(spark, dir, "documents"))
+
+  /** Over a (doc_id, text) frame — shared by the catalog query and the
+    * crafted case/punct/whitespace-variant fixture in DedupSpec. */
+  private[graft] def normalizedDedupOver(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("norm_text",
+        trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+      .groupBy("norm_text")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"),
+        countDistinct(col("text")).as("n_variants"))
+      .select(col("keep_id"), col("n_copies"), col("n_variants"),
+        length(col("norm_text")).as("norm_len"))
+      .orderBy("keep_id")
+
+  val normalizedDedupSql: String =
+    """WITH n AS (SELECT doc_id, text,
+      |  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm_text
+      |FROM documents)
+      |SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+      |  count(DISTINCT text) AS n_variants,
+      |  CAST(len(norm_text) AS INT) AS norm_len
+      |FROM n GROUP BY norm_text ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
   // dedup_simhash — 60-bit simhash (md5-derived token hashes so the
@@ -955,6 +1067,8 @@ object Dedup {
     "dedup_levenshtein"      -> (levenshteinPairs _),
     "dedup_containment"      -> (containment _),
     "dedup_paragraph"        -> (paragraphDedup _),
+    "dedup_incremental"      -> (incrementalDedup _),
+    "dedup_normalized"       -> (normalizedDedup _),
     "dedup_clusters"         -> (clusters _))
 
   val oracles: Map[String, String] = Map(
@@ -977,5 +1091,7 @@ object Dedup {
     "dedup_levenshtein"      -> levenshteinPairsSql,
     "dedup_containment"      -> containmentSql,
     "dedup_paragraph"        -> paragraphDedupSql,
+    "dedup_incremental"      -> incrementalSql,
+    "dedup_normalized"       -> normalizedDedupSql,
     "dedup_clusters"         -> clustersSql)
 }

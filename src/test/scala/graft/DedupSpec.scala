@@ -255,6 +255,52 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"))
   }
 
+  test("incremental dedup pairs batch docs against the index only, never batch-vs-batch") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val base = "the quick brown fox jumps over the lazy dog again and again at dawn"
+    // ids 7 & 17 are batch (%10==7); 3 & 4 are index. 7≈17 (batch-batch
+    // near-dup: must NOT pair), 7≈3 (batch-index: must pair), 4 unique.
+    val docs = Seq(
+      (7L, s"$base today"),
+      (17L, s"$base tonight"),
+      (3L, s"$base forever"),
+      (4L, (1 to 20).map(i => s"unrelated$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("sh", org.apache.spark.sql.functions.expr(
+        s"shingles3(${Dedup.toksSpark})"))
+      .filter(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("sh")) > 0)
+      .withColumn("n", org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("sh")))
+      .select("doc_id", "sh", "n")
+    val got = Dedup.incrementalOver(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((7L, 3L), (17L, 3L)),
+      s"want batch→index pairs only (no 7↔17 batch-batch pair): $got")
+    spark.catalog.clearCache()
+  }
+
+  test("normalized dedup collapses case/punctuation/whitespace variants exact dedup misses") {
+    val norm = Dedup.normalizedDedup(spark, SF).collect()
+    val exact = Dedup.exact(spark, SF).collect()
+    // the synthetic corpus is already lowercase/space-separated, so the
+    // group structure must match exact dedup's there (nothing collapses
+    // beyond byte-identity) — the semantic difference is covered by the
+    // crafted variants below
+    assert(norm.map(_.getLong(1)).sum === exact.map(_.getLong(1)).sum,
+      "every document must be accounted for exactly once")
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "Hello, World!"), (2L, "hello   world"), (3L, "HELLO WORLD."),
+      (4L, "a different doc"))
+      .toDF("doc_id", "text")
+    val got = Dedup.normalizedDedupOver(crafted).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) === ((3L, 3L)), s"three spellings of one normalized text: $got")
+    assert(got(4L) === ((1L, 1L)))
+  }
+
   test("embedding pair scan is a blocked equi-join, not a nested-loop product") {
     val plan = Dedup.embeddingCosine(spark, SF).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
