@@ -279,9 +279,15 @@ object Dedup {
   // Scale shape: segments travel as 8-byte xxhash64 keys (the string
   // oracle would catch a collision); one map-side-combined groupBy
   // computes each hash's distinct-doc count, one equi-join re-attaches
-  // it (both on the same key — AQE reuses the exchange), one groupBy
-  // on doc_id folds back to per-doc rows. No self-join, no quadratic
-  // term anywhere: cost is linear in corpus token count.
+  // it, one groupBy on doc_id folds back to per-doc rows. No
+  // self-join, no quadratic term anywhere: cost is linear in corpus
+  // token count.
+  //
+  // dup_frac is TOKEN-weighted, not segment-weighted: the trailing
+  // partial segment (as short as 1 token) must not carry the same
+  // weight as a full 8-token segment, or two near-unique docs sharing
+  // one common trailing word ('... the') would both cross the 0.5
+  // drop line on that word alone.
   // ---------------------------------------------------------------------
   private[graft] val segTokens = 8
   private[graft] val segDupFracMax = 0.5
@@ -292,6 +298,11 @@ object Dedup {
   /** Corpus-parameterized form over (doc_id, text) — shared by the
     * catalog query and the crafted-segment fixture in DedupSpec. */
   private[graft] def paragraphDedupOver(docs: DataFrame): DataFrame = {
+    // persisted: the distinct-doc count and the re-join both consume
+    // this frame, and their exchanges canonicalize differently ((h,
+    // doc_id) partial-agg vs raw rows on h) so ReuseExchange cannot
+    // fire — without the persist the tokenize+slice+hash scan of every
+    // document runs twice (callers release via clearCache)
     val segs = docs
       .withColumn("toks", expr(toksSpark))
       .withColumn("nt", size(col("toks")))
@@ -299,16 +310,21 @@ object Dedup {
       .withColumn("seg_idx",
         explode(expr(s"sequence(0, cast((nt + ${segTokens - 1}) div $segTokens AS int) - 1)")))
       .select(col("doc_id"),
+        least(lit(segTokens), col("nt") - col("seg_idx") * segTokens).as("w"),
         xxhash64(concat_ws(" ",
           slice(col("toks"), col("seg_idx") * segTokens + 1, lit(segTokens)))).as("h"))
+      .persist()
     val segDocs = segs.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))
     segs.join(segDocs, Seq("h"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_segs"),
-        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_segs"))
-      .withColumn("dup_frac", col("n_dup_segs") / col("n_segs"))
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_segs"),
+        sum(col("w")).as("n_toks"),
+        sum(when(col("nd") >= 2, col("w")).otherwise(lit(0))).as("n_dup_toks"))
+      .withColumn("dup_frac", col("n_dup_toks") / col("n_toks"))
       .withColumn("keep", col("dup_frac") < segDupFracMax)
+      .select("doc_id", "n_segs", "n_dup_segs", "dup_frac", "keep")
       .orderBy("doc_id")
   }
 
@@ -322,16 +338,19 @@ object Dedup {
        |        CAST(unnest(range(0, (nt + ${segTokens - 1}) // $segTokens)) AS INT) AS seg_idx
        |      FROM n),
        |seg AS (SELECT doc_id,
+       |          least($segTokens, nt - seg_idx * $segTokens) AS w,
        |          array_to_string(toks[seg_idx * $segTokens + 1 :
        |            least(seg_idx * $segTokens + $segTokens, nt)], ' ') AS seg
        |        FROM s),
        |d AS (SELECT seg, count(DISTINCT doc_id) AS nd FROM seg GROUP BY 1),
        |p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
-       |        CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segs
+       |        CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segs,
+       |        CAST(sum(w) AS BIGINT) AS n_toks,
+       |        CAST(sum(CASE WHEN nd >= 2 THEN w ELSE 0 END) AS BIGINT) AS n_dup_toks
        |      FROM seg JOIN d USING (seg) GROUP BY 1)
        |SELECT doc_id, n_segs, n_dup_segs,
-       |  n_dup_segs / n_segs AS dup_frac,
-       |  n_dup_segs / n_segs < $segDupFracMax AS keep
+       |  n_dup_toks / n_toks AS dup_frac,
+       |  n_dup_toks / n_toks < $segDupFracMax AS keep
        |FROM p ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------------

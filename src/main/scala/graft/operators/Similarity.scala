@@ -324,13 +324,19 @@ object Similarity {
     val e = corpus.withColumn("norm", expr("vec_norm(embedding)"))
       .select("vec_id", "embedding", "norm")
     val (centroids, lists) = ivfIndex(e)
-    val codebook = pqCodebook(e)
+    // codebook feeds two broadcast cross-joins (corpus encode, qtab)
+    // and q feeds two consumers (qtab, probes) — each is tiny, but its
+    // LINEAGE is a full-corpus filter/TakeOrdered scan that would
+    // re-execute per consumer without the persist (same rationale as
+    // ivfIndex's centroids; callers release via clearCache)
+    val codebook = pqCodebook(e).persist()
     val codes = pqCodes(e, codebook)
       .select("vec_id", "code0", "code1", "code2", "code3")
 
     val q = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"))
+      .persist()
     // per-query ADC table: qtab[block][code] = dot(q_block, c_block)
     val sq = s"slice(q_emb, 1 + block * $pqSubDim, $pqSubDim)"
     val sc = s"slice(c_emb, 1 + block * $pqSubDim, $pqSubDim)"
@@ -422,8 +428,10 @@ object Similarity {
     "sim_ann_ivfpq"   -> (ivfPqTopK _),
     "vec_pq_assign"   -> (pqAssign _))
 
-  /** sim_ann_lsh is approximate → no SQL oracle (driver rows-only check);
-    * its recall against sim_cosine_topk is covered by SimilaritySpec. */
+  /** The three ANN variants (sim_ann_lsh, sim_ann_ivf, sim_ann_ivfpq)
+    * are approximate by construction → no SQL oracle (driver rows-only
+    * check); their recall against the exact sim_cosine_topk baseline is
+    * covered by SimilaritySpec's planted-cluster fixtures. */
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> cosineTopKSql,
     "vec_pq_assign"   -> pqAssignSql)

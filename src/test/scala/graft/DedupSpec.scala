@@ -241,7 +241,12 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       (2L, s"$boiler ${uniq("b")}"),
       (3L, uniq("c")),               // 2 segments, fully unique
       (4L, uniq("d")),               // 4/5: exact duplicates -> all dup
-      (5L, uniq("d")))
+      (5L, uniq("d")),
+      // 6/7: 9 tokens, unique but for one shared trailing word — the
+      // 1-token tail segment is "duplicated", but dup_frac is TOKEN
+      // weighted (1/9), so one stop-word must not cross the 0.5 line
+      (6L, (1 to 8).map(i => s"f$i").mkString(" ") + " the"),
+      (7L, (1 to 8).map(i => s"g$i").mkString(" ") + " the"))
       .toDF("doc_id", "text")
     val got = Dedup.paragraphDedupOver(docs).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
@@ -250,6 +255,10 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(got(3L) === ((2L, 0L, true)))
     assert(got(4L) === ((2L, 2L, false)), "a fully-duplicated doc must be dropped")
     assert(got(5L) === ((2L, 2L, false)))
+    assert(got(6L) === ((2L, 1L, true)),
+      s"a shared 1-token tail weighs 1/9, not 1/2 — doc must survive: $got")
+    assert(got(7L) === ((2L, 1L, true)))
+    spark.catalog.clearCache()
     // linear plan: inverted count + re-join, never a pair self-join
     val plan = Dedup.paragraphDedup(spark, SF).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"))
@@ -287,9 +296,13 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     // the synthetic corpus is already lowercase/space-separated, so the
     // group structure must match exact dedup's there (nothing collapses
     // beyond byte-identity) — the semantic difference is covered by the
-    // crafted variants below
-    assert(norm.map(_.getLong(1)).sum === exact.map(_.getLong(1)).sum,
-      "every document must be accounted for exactly once")
+    // crafted variants below. Compare the group structure itself (group
+    // count + keeper set): sum(n_copies) is the document count for ANY
+    // partition of the corpus and can never fail.
+    assert(norm.length === exact.length,
+      "on an already-normalized corpus no extra groups may collapse")
+    assert(norm.map(_.getLong(0)).toSet === exact.map(_.getLong(0)).toSet,
+      "keeper ids must match exact dedup's on an already-normalized corpus")
     import spark.implicits._
     val crafted = Seq(
       (1L, "Hello, World!"), (2L, "hello   world"), (3L, "HELLO WORLD."),
