@@ -735,7 +735,53 @@ object Curation {
        |  CAST(n_rare AS DOUBLE) / n_bigrams < $lmRareCut AS lm_keep
        |FROM s ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // corpus_source_stats — the per-source corpus report card: document
+  // and token counts, language diversity, and the exact-duplicate rate
+  // per source. This is the observability query every curation run
+  // ends with — it tells you which source is bloating the corpus with
+  // duplicates and how the token budget distributes before mixture
+  // weights are chosen. Scale shape: documents are digested to 16-byte
+  // md5 keys (never grouped by raw text), one map-side-combined count
+  // per digest, one re-join, one rollup on source; the persisted
+  // projection is scanned once.
+  // ---------------------------------------------------------------------
+  def sourceStats(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: the digest-count groupBy and the rollup join both
+    // consume it (SparkEntry cache convention: callers clearCache)
+    val docs = Tables.loadBalanced(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"),
+        md5(col("text").cast("binary")).as("digest"),
+        size(expr(Dedup.toksSpark)).as("nt"))
+      .persist()
+    val digestCounts = docs.groupBy("digest").agg(count(lit(1)).as("cnt"))
+    docs.join(digestCounts, Seq("digest"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_dup_docs"))
+      .withColumn("avg_tokens", col("n_tokens") / col("n_docs"))
+      .withColumn("dup_frac", col("n_dup_docs") / col("n_docs"))
+      .orderBy("source")
+  }
+
+  val sourceStatsSql: String =
+    s"""WITH d AS (SELECT doc_id, source, lang, md5(text) AS digest,
+       |  CAST(len(${Dedup.toksSql}) AS INT) AS nt FROM documents),
+       |c AS (SELECT digest, count(*) AS cnt FROM d GROUP BY 1),
+       |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+       |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |  CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+       |FROM d JOIN c USING (digest) GROUP BY 1)
+       |SELECT source, n_docs, n_tokens, n_langs, n_dup_docs,
+       |  n_tokens / n_docs AS avg_tokens,
+       |  n_dup_docs / n_docs AS dup_frac
+       |FROM s ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_source_stats"   -> (sourceStats _),
     "corpus_bigram_lm"      -> (bigramLm _),
     "text_decontaminate"    -> (decontaminate _),
     "quota_sample"          -> (quotaSample _),
@@ -750,6 +796,7 @@ object Curation {
     "corpus_train_manifest" -> (trainManifest _))
 
   val oracles: Map[String, String] = Map(
+    "corpus_source_stats"   -> sourceStatsSql,
     "corpus_bigram_lm"      -> bigramLmSql,
     "text_decontaminate"    -> decontaminateSql,
     "quota_sample"          -> quotaSampleSql,

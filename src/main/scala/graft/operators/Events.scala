@@ -465,7 +465,51 @@ object Events {
        |FROM walk WHERE kept
        |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // events_gap_fill — calendar densification: per-(event_type, day)
+  // counts with every missing day in the observed span materialized as
+  // an explicit zero row. Downstream time-series consumers (trend
+  // fits, anomaly baselines, charting) need the zeros — a absent row
+  // and a zero-activity day are different facts. Scale shape: ONE scan
+  // of the events table into a tiny persisted (type, day) aggregate;
+  // the calendar is generated from that aggregate's own bounds (types
+  // × days — thousands of rows, never event-scale) and left-joins the
+  // counts back. The big table is never joined against the calendar.
+  // ---------------------------------------------------------------------
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.loadEvents(spark, dir)
+      .groupBy(expr("(sec - pmod(sec, 86400)) div 86400").as("dayno"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      // persisted: bounds, the type list, and the join probe all read
+      // it; recomputing means three scans of the events table
+      .persist()
+    val bounds = daily.agg(min("dayno").as("d0"), max("dayno").as("d1"))
+    val calendar = daily.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("dayno"))
+    calendar.join(daily, Seq("event_type", "dayno"), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("filled", col("n_events") === 0)
+      .orderBy("event_type", "dayno")
+  }
+
+  val gapFillSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS dayno, event_type,
+      |    count(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(dayno) AS d0, max(dayno) AS d1 FROM daily),
+      |cal AS (
+      |  SELECT t.event_type, CAST(unnest(range(b.d0, b.d1 + 1)) AS BIGINT) AS dayno
+      |  FROM (SELECT DISTINCT event_type FROM daily) t CROSS JOIN b)
+      |SELECT cal.event_type, cal.dayno,
+      |  CAST(coalesce(daily.n_events, 0) AS BIGINT) AS n_events,
+      |  coalesce(daily.n_events, 0) = 0 AS filled
+      |FROM cal LEFT JOIN daily USING (event_type, dayno)
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_gap_fill"     -> (gapFill _),
     "events_window_dedup" -> (windowDedup _),
     "events_debounce"     -> (debounce _),
     "events_topk_per_group" -> (topkPerGroup _),
@@ -479,6 +523,7 @@ object Events {
     "events_intervals"    -> (intervals _))
 
   val oracles: Map[String, String] = Map(
+    "events_gap_fill"     -> gapFillSql,
     "events_window_dedup" -> windowDedupSql,
     "events_debounce"     -> debounceSql,
     "events_topk_per_group" -> topkPerGroupSql,

@@ -680,6 +680,46 @@ object Relational {
       .stripMargin
 
   // ---------------------------------------------------------------------
+  // q21 — RANGE-frame window: per customer, spend and order count in
+  // the TRAILING 30 DAYS of each order — the value-based frame family
+  // (q17 covers the rows-based one). Semantically different from any
+  // rows frame: the frame holds every row whose *date* is within the
+  // band, however many that is, and all same-day ties enter together
+  // regardless of their sort order — which is also why the result is
+  // deterministic without a full tie-break in the ORDER BY.
+  //
+  // Scale shape: one shuffle on o_custkey + one in-partition sort, the
+  // same cost as any window; Spark needs the ordering key to be
+  // numeric for a non-literal range, so both engines order by the
+  // integer day number (days since epoch), making the frame arithmetic
+  // identical. The decimal running sum stays exact until the final
+  // double cast.
+  // ---------------------------------------------------------------------
+  def q21(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.loadBalanced(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date")).as("dayno"),
+        dec2(col("o_totalprice")).as("price"))
+    val w = Window.partitionBy("o_custkey").orderBy("dayno").rangeBetween(-30, 0)
+    o.withColumn("spend_30d", sum(col("price")).over(w).cast("double"))
+      .withColumn("n_orders_30d", count(lit(1)).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("dayno"),
+        col("price").cast("double").as("price"), col("spend_30d"), col("n_orders_30d"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q21Sql: String =
+    """WITH o AS (SELECT o_custkey, o_orderkey,
+      |  CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT) AS dayno,
+      |  CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders)
+      |SELECT o_custkey, o_orderkey, dayno, CAST(price AS DOUBLE) AS price,
+      |  CAST(sum(price) OVER w AS DOUBLE) AS spend_30d,
+      |  count(*) OVER w AS n_orders_30d
+      |FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY dayno
+      |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q19 — set operations: customers segmented by order activity across
   // two years via INTERSECT / EXCEPT (both = retained, one-sided =
   // churned/acquired). Spark plans intersect/except as LeftSemi/
@@ -735,7 +775,8 @@ object Relational {
     "q17_running_window"    -> (q17 _),
     "q18_cube"              -> (q18 _),
     "q19_set_ops"           -> (q19 _),
-    "q20_grouping_sets"     -> (q20 _))
+    "q20_grouping_sets"     -> (q20 _),
+    "q21_range_window"      -> (q21 _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary"   -> q01Sql,
@@ -757,5 +798,6 @@ object Relational {
     "q17_running_window"    -> q17Sql,
     "q18_cube"              -> q18Sql,
     "q19_set_ops"           -> q19Sql,
-    "q20_grouping_sets"     -> q20Sql)
+    "q20_grouping_sets"     -> q20Sql,
+    "q21_range_window"      -> q21Sql)
 }

@@ -346,4 +346,24 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
         "gibberish doc must be 100% rare and dropped")
     } finally spark.catalog.clearCache()
   }
+
+  test("source stats partition the corpus and agree with exact dedup's dup mass") {
+    try {
+      val stats = Curation.sourceStats(spark, SF).collect()
+      val nDocs = Tables.load(spark, SF, "documents").count()
+      assert(stats.map(_.getLong(1)).sum === nDocs,
+        "per-source doc counts must partition the corpus")
+      // total duplicated-doc mass must equal what exact dedup reports:
+      // the sum of n_copies over groups with more than one member
+      val dupMass = graft.operators.Dedup.exact(spark, SF).collect()
+        .map(_.getLong(1)).filter(_ >= 2L).sum
+      assert(stats.map(_.getLong(4)).sum === dupMass,
+        "per-source dup counts must total exact dedup's duplicated mass")
+      stats.foreach { r =>
+        assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+        assert(r.getDouble(5) > 0.0, "avg tokens must be positive")
+        assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0)
+      }
+    } finally spark.catalog.clearCache()
+  }
 }

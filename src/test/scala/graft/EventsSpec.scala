@@ -274,4 +274,25 @@ class EventsSpec extends AnyFunSuite with SparkSuite {
     assert(debKept === Map(1L -> 0L, 3L -> 1L, 5L -> 1L),
       "distance-to-last-KEPT accumulates past the gap at every second event")
   }
+
+  test("gap fill densifies every type over the global span and conserves counts") {
+    try {
+      val rows = Events.gapFill(spark, SF).collect()
+      val types = rows.map(_.getString(0)).distinct
+      val d0 = rows.map(_.getLong(1)).min
+      val d1 = rows.map(_.getLong(1)).max
+      // every type spans the SAME global calendar, contiguously
+      types.foreach { t =>
+        val days = rows.filter(_.getString(0) == t).map(_.getLong(1)).sorted
+        assert(days.head === d0 && days.last === d1,
+          s"type $t must cover the global span [$d0,$d1]")
+        assert(days.length.toLong === d1 - d0 + 1, s"type $t has calendar holes")
+      }
+      // zeros are explicit, flagged, and the non-zero mass is conserved
+      rows.foreach(r => assert(r.getBoolean(3) === (r.getLong(2) == 0L)))
+      val total = rows.map(_.getLong(2)).sum
+      assert(total === Tables.loadEvents(spark, SF).count(),
+        "gap fill must not create or lose events")
+    } finally spark.catalog.clearCache()
+  }
 }

@@ -217,4 +217,26 @@ class RelationalSpec extends AnyFunSuite with SparkSuite {
       assert(seg.getOrElse("1998_only", Set.empty) === (c98 -- c97))
     } finally spark.catalog.clearCache()
   }
+
+  test("range-frame window equals a per-row scalar recomputation on a sample") {
+    val rows = Relational.q21(spark, SF).collect()
+    assert(rows.nonEmpty)
+    val byCust = rows.groupBy(_.getLong(0))
+    // scalar reference: for every order of the 10 busiest customers,
+    // spend_30d must equal the sum over THAT customer's orders with
+    // dayno in [d-30, d] — the value-based frame, not a row count
+    byCust.toSeq.sortBy(-_._2.length).take(10).foreach { case (_, os) =>
+      os.foreach { r =>
+        val d = r.getInt(2)
+        val want = os.filter(o => o.getInt(2) >= d - 30 && o.getInt(2) <= d)
+        assert(r.getLong(5) === want.length.toLong, s"n_orders_30d mismatch at $r")
+        assert(math.abs(r.getDouble(4) - want.map(_.getDouble(3)).sum) < 1e-6,
+          s"spend_30d mismatch at $r")
+      }
+    }
+    // one shuffle on the partition key, no extra exchange for the frame
+    val plan = Relational.q21(spark, SF).queryExecution.executedPlan.toString
+    assert(plan.contains("specifiedwindowframe(RangeFrame"),
+      s"window must plan a RANGE frame, not a rows frame:\n$plan")
+  }
 }
