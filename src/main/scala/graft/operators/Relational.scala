@@ -720,6 +720,133 @@ object Relational {
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q22 — CDC snapshot diff (the MERGE/upsert primitive): compare the
+  // current dimension snapshot against the incoming one and emit the
+  // change set as I/U/D rows — what a warehouse MERGE INTO consumes,
+  // and what SCD loaders (events_intervals builds Type-2 history from
+  // exactly this) are fed by. The incoming snapshot is derived
+  // deterministically from the current one (every 97th key deleted /
+  // rebalanced / cloned to a new key) so the oracle can re-derive it;
+  // production reads yesterday's and today's extracts.
+  //
+  // Scale shape: ONE full-outer sort-merge join on the dimension key —
+  // both sides shuffle once on c_custkey (bucketed-at-rest snapshots
+  // make it exchange-free); change detection is a null-safe column
+  // compare on the joined row (production compares a stored row
+  // digest, same plan shape). Unchanged rows — the overwhelming mass —
+  // are filtered before the final sort.
+  // ---------------------------------------------------------------------
+  def q22(spark: SparkSession, dir: String): DataFrame = {
+    val old = Tables.loadBalanced(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val kept = old.filter(col("c_custkey") % 97 =!= 3)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 97 === 5, col("c_acctbal") + lit(10.0))
+          .otherwise(col("c_acctbal")))
+    val inserted = old.filter(col("c_custkey") % 97 === 7)
+      .withColumn("c_custkey", col("c_custkey") + lit(10000000L))
+    val newSnap = kept.unionByName(inserted)
+
+    val o = old.select(col("c_custkey"), lit(true).as("in_old"),
+      col("c_name").as("o_name"), col("c_nationkey").as("o_nk"),
+      col("c_acctbal").as("old_acctbal"), col("c_mktsegment").as("o_seg"))
+    val n = newSnap.select(col("c_custkey"), lit(true).as("in_new"),
+      col("c_name").as("n_name"), col("c_nationkey").as("n_nk"),
+      col("c_acctbal").as("new_acctbal"), col("c_mktsegment").as("n_seg"))
+    o.join(n, Seq("c_custkey"), "full_outer")
+      .withColumn("changed",
+        !(col("o_name") <=> col("n_name")) || !(col("o_nk") <=> col("n_nk")) ||
+          !(col("old_acctbal") <=> col("new_acctbal")) || !(col("o_seg") <=> col("n_seg")))
+      .withColumn("op",
+        when(col("in_old").isNull, lit("I"))
+          .when(col("in_new").isNull, lit("D"))
+          .when(col("changed"), lit("U")))
+      .filter(col("op").isNotNull)
+      .select("c_custkey", "op", "old_acctbal", "new_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  val q22Sql: String =
+    """WITH old AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer),
+      |new_snap AS (
+      |  SELECT c_custkey, c_name, c_nationkey,
+      |    CASE WHEN c_custkey % 97 = 5 THEN c_acctbal + 10.0 ELSE c_acctbal END AS c_acctbal,
+      |    c_mktsegment
+      |  FROM old WHERE c_custkey % 97 <> 3
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |  FROM old WHERE c_custkey % 97 = 7),
+      |j AS (
+      |  SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+      |    o.c_custkey IS NOT NULL AS in_old, n.c_custkey IS NOT NULL AS in_new,
+      |    o.c_acctbal AS old_acctbal, n.c_acctbal AS new_acctbal,
+      |    (o.c_name IS DISTINCT FROM n.c_name
+      |      OR o.c_nationkey IS DISTINCT FROM n.c_nationkey
+      |      OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+      |      OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment) AS changed
+      |  FROM old o FULL OUTER JOIN new_snap n ON o.c_custkey = n.c_custkey)
+      |SELECT c_custkey,
+      |  CASE WHEN NOT in_old THEN 'I' WHEN NOT in_new THEN 'D' ELSE 'U' END AS op,
+      |  old_acctbal, new_acctbal
+      |FROM j WHERE NOT in_old OR NOT in_new OR changed
+      |ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q23 — column-statistics collection (the ANALYZE TABLE analog): one
+  // pass over the fact computing count / exact NDV / min / max for the
+  // four numeric CBO-relevant columns, unpivoted to one row per
+  // column. Spark plans the multi-distinct aggregate as a single
+  // Expand + two-level hash aggregate — one scan, not one per column;
+  // stats tables like this are what feed join-reorder and
+  // broadcast-threshold decisions at 100 TB.
+  // ---------------------------------------------------------------------
+  def q23(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.loadBalanced(spark, dir, "lineitem")
+    li.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("ndv_orderkey"),
+        countDistinct(col("l_quantity")).as("ndv_quantity"),
+        countDistinct(col("l_extendedprice")).as("ndv_extendedprice"),
+        countDistinct(col("l_discount")).as("ndv_discount"),
+        min(col("l_orderkey")).cast("double").as("min_orderkey"),
+        max(col("l_orderkey")).cast("double").as("max_orderkey"),
+        min(col("l_quantity")).cast("double").as("min_quantity"),
+        max(col("l_quantity")).cast("double").as("max_quantity"),
+        min(col("l_extendedprice")).cast("double").as("min_extendedprice"),
+        max(col("l_extendedprice")).cast("double").as("max_extendedprice"),
+        min(col("l_discount")).cast("double").as("min_discount"),
+        max(col("l_discount")).cast("double").as("max_discount"))
+      .select(col("n_rows"), expr(
+        """stack(4,
+          |  'l_orderkey', ndv_orderkey, min_orderkey, max_orderkey,
+          |  'l_quantity', ndv_quantity, min_quantity, max_quantity,
+          |  'l_extendedprice', ndv_extendedprice, min_extendedprice, max_extendedprice,
+          |  'l_discount', ndv_discount, min_discount, max_discount)
+          |AS (col_name, ndv, min_val, max_val)""".stripMargin))
+      .select("col_name", "n_rows", "ndv", "min_val", "max_val")
+      .orderBy("col_name")
+  }
+
+  val q23Sql: String =
+    """WITH a AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ndv_ok,
+      |    CAST(count(DISTINCT l_quantity) AS BIGINT) AS ndv_q,
+      |    CAST(count(DISTINCT l_extendedprice) AS BIGINT) AS ndv_ep,
+      |    CAST(count(DISTINCT l_discount) AS BIGINT) AS ndv_d,
+      |    CAST(min(l_orderkey) AS DOUBLE) AS min_ok, CAST(max(l_orderkey) AS DOUBLE) AS max_ok,
+      |    CAST(min(l_quantity) AS DOUBLE) AS min_q, CAST(max(l_quantity) AS DOUBLE) AS max_q,
+      |    CAST(min(l_extendedprice) AS DOUBLE) AS min_ep, CAST(max(l_extendedprice) AS DOUBLE) AS max_ep,
+      |    CAST(min(l_discount) AS DOUBLE) AS min_d, CAST(max(l_discount) AS DOUBLE) AS max_d
+      |  FROM lineitem)
+      |SELECT 'l_discount' AS col_name, n_rows, ndv_d AS ndv, min_d AS min_val, max_d AS max_val FROM a
+      |UNION ALL SELECT 'l_extendedprice', n_rows, ndv_ep, min_ep, max_ep FROM a
+      |UNION ALL SELECT 'l_orderkey', n_rows, ndv_ok, min_ok, max_ok FROM a
+      |UNION ALL SELECT 'l_quantity', n_rows, ndv_q, min_q, max_q FROM a
+      |ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q19 — set operations: customers segmented by order activity across
   // two years via INTERSECT / EXCEPT (both = retained, one-sided =
   // churned/acquired). Spark plans intersect/except as LeftSemi/
@@ -776,7 +903,9 @@ object Relational {
     "q18_cube"              -> (q18 _),
     "q19_set_ops"           -> (q19 _),
     "q20_grouping_sets"     -> (q20 _),
-    "q21_range_window"      -> (q21 _))
+    "q21_range_window"      -> (q21 _),
+    "q22_cdc_diff"          -> (q22 _),
+    "q23_column_stats"      -> (q23 _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary"   -> q01Sql,
@@ -799,5 +928,7 @@ object Relational {
     "q18_cube"              -> q18Sql,
     "q19_set_ops"           -> q19Sql,
     "q20_grouping_sets"     -> q20Sql,
-    "q21_range_window"      -> q21Sql)
+    "q21_range_window"      -> q21Sql,
+    "q22_cdc_diff"          -> q22Sql,
+    "q23_column_stats"      -> q23Sql)
 }

@@ -239,4 +239,47 @@ class RelationalSpec extends AnyFunSuite with SparkSuite {
     assert(plan.contains("specifiedwindowframe(RangeFrame"),
       s"window must plan a RANGE frame, not a rows frame:\n$plan")
   }
+
+  test("CDC diff classifies every derived change and nothing else") {
+    val rows = Relational.q22(spark, SF).collect()
+    val keys = Tables.load(spark, SF, "customer")
+      .select("c_custkey").collect().map(_.getLong(0))
+    val byOp = rows.groupBy(_.getString(1)).map { case (k, v) => k -> v.length }
+    assert(byOp("D") === keys.count(_ % 97 == 3), "every 97%3 key is a delete")
+    assert(byOp("I") === keys.count(_ % 97 == 7), "every 97%7 clone is an insert")
+    assert(byOp("U") === keys.count(_ % 97 == 5), "every 97%5 key is an update")
+    assert(rows.length === byOp.values.sum, "no unchanged rows may leak through")
+    rows.foreach { r =>
+      (r.getString(1): @unchecked) match {
+        case "D" => assert(r.getLong(0) % 97 === 3 && r.isNullAt(3))
+        case "I" => assert((r.getLong(0) - 10000000L) % 97 === 7 && r.isNullAt(2))
+        case "U" =>
+          assert(r.getLong(0) % 97 === 5)
+          assert(math.abs(r.getDouble(3) - r.getDouble(2) - 10.0) < 1e-9)
+      }
+    }
+  }
+
+  test("column stats collect in ONE scan via Expand-planned multi-distinct") {
+    val df = Relational.q23(spark, SF)
+    val got = df.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val li = Tables.load(spark, SF, "lineitem")
+    val n = li.count()
+    val ndvQ = li.select("l_quantity").distinct().count()
+    val Array(mn, mx) = li.agg(org.apache.spark.sql.functions.min("l_quantity"),
+      org.apache.spark.sql.functions.max("l_quantity")).collect()
+      .flatMap(r => Array(r.getDouble(0), r.getDouble(1)))
+    assert(got("l_quantity") === ((n, ndvQ, mn, mx)))
+    assert(got.keySet.size === 4 && got.values.forall(_._1 == n))
+    // the four exact NDVs must come from ONE lineitem scan (Expand),
+    // not one aggregation pipeline per column
+    // AQE's toString prints final AND initial plans — count scans in
+    // the final section only
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("Expand"), s"multi-distinct must plan an Expand:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).length === 1,
+      s"stats collection must read the fact exactly once:\n$plan")
+  }
 }
