@@ -750,7 +750,7 @@ object Curation {
     // persisted: the digest-count groupBy and the rollup join both
     // consume it (SparkEntry cache convention: callers clearCache)
     val docs = Tables.loadBalanced(spark, dir, "documents")
-      .select(col("doc_id"), col("source"), col("lang"),
+      .select(col("source"), col("lang"),
         md5(col("text").cast("binary")).as("digest"),
         size(expr(Dedup.toksSpark)).as("nt"))
       .persist()

@@ -737,8 +737,14 @@ object Relational {
   // are filtered before the final sort.
   // ---------------------------------------------------------------------
   def q22(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: the o-side of the full-outer join, `kept`, and
+    // `inserted` all read it — three customer scans otherwise (callers
+    // release via SparkEntry's clearCache convention). In production
+    // the two snapshots are distinct at-rest extracts and this derive
+    // step does not exist.
     val old = Tables.loadBalanced(spark, dir, "customer")
       .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .persist()
     val kept = old.filter(col("c_custkey") % 97 =!= 3)
       .withColumn("c_acctbal",
         when(col("c_custkey") % 97 === 5, col("c_acctbal") + lit(10.0))
