@@ -568,7 +568,111 @@ object Multimodal {
       |  CAST(list_sum(reds) * h AS DOUBLE) / (w * h) AS mean_red
       |FROM g ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // mm_image_resize — REAL thumbnail materialization: decode the
+  // gradient PNGs, nearest-neighbor resample into the aspect-
+  // preserving 6×6 clamp box ([[resizePlan]]'s exact integer formula,
+  // here with pixels actually moved), RE-ENCODE the thumbnail to PNG,
+  // decode it again, and report the re-decoded features. This is the
+  // standard vision-pipeline pre-step (downsample before embedding)
+  // and the re-encode leg is what makes it honest: the reported sums
+  // come from bytes that survived a second codec round-trip, so a
+  // resampling bug (wrong source pixel, off-by-one in the scale map)
+  // cannot hide. Because source pixels are the deterministic gradient,
+  // every output cell is a closed-form function of doc_id — exact
+  // DuckDB oracle. Same narrow mapPartitions codec seam: no shuffle.
+  // ---------------------------------------------------------------------
+  private[graft] val resizeBox = 6
+
+  case class ResizedImage(doc_id: Long, width: Int, height: Int,
+      out_w: Int, out_h: Int, sum_red: Long, mean_red: Double)
+
+  private def resizePartition(rows: Iterator[MediaRow]): Iterator[ResizedImage] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val bad = (id: Long) => ResizedImage(id, 0, 0, -1, -1, -1L, -1.0)
+    rows.map { m =>
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+        if (img == null) bad(m.doc_id)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          // resizePlan's clamp: scaleNum = min(maxW·h, maxH·w); the
+          // gradient corpus is always larger than the box, so the
+          // pass-through branch never applies here
+          val scaleNum = math.min(resizeBox * h, resizeBox * w)
+          val ow = math.max(1, scaleNum / h)
+          val oh = math.max(1, scaleNum / w)
+          val out = new java.awt.image.BufferedImage(
+            ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < oh) {
+            var x = 0
+            while (x < ow) {
+              out.setRGB(x, y, img.getRGB(x * w / ow, y * h / oh))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          val back = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          var sum = 0L
+          y = 0
+          while (y < back.getHeight) {
+            var x = 0
+            while (x < back.getWidth) {
+              sum += (back.getRGB(x, y) >> 16) & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          ResizedImage(m.doc_id, w, h, ow, oh, sum,
+            sum.toDouble / (ow.toLong * oh))
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) => bad(m.doc_id)
+      }
+    }
+  }
+
+  def imageResize(media: Dataset[MediaRow]): Dataset[ResizedImage] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(resizePartition _)
+  }
+
+  def imageResizeQuery(spark: SparkSession, dir: String): DataFrame =
+    imageResize(gradientTable(spark, dir)).toDF().orderBy("doc_id")
+
+  /** The oracle re-derives the thumbnail arithmetic from the
+    * generation rule: out dims from the clamp formula, each resized
+    * column's red from the nearest-neighbor source column, summed over
+    * out_h identical rows. */
+  val imageResizeSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CAST(8 + doc_id % 16 AS INT) AS w,
+       |    CAST(8 + doc_id % 8 AS INT) AS h
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |d AS (
+       |  SELECT doc_id, w, h,
+       |    greatest(1, least($resizeBox * h, $resizeBox * w) // h) AS ow,
+       |    greatest(1, least($resizeBox * h, $resizeBox * w) // w) AS oh
+       |  FROM m),
+       |s AS (
+       |  SELECT doc_id, w, h, ow, oh,
+       |    list_sum(list_transform(range(0, ow),
+       |      x -> ((x * w) // ow) * 255 // (w - 1))) AS row_sum
+       |  FROM d)
+       |SELECT doc_id, w AS width, h AS height,
+       |  CAST(ow AS INT) AS out_w, CAST(oh AS INT) AS out_h,
+       |  CAST(row_sum * oh AS BIGINT) AS sum_red,
+       |  CAST(row_sum * oh AS DOUBLE) / (ow * oh) AS mean_red
+       |FROM s ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_image_resize"    -> (imageResizeQuery _),
     "mm_binary_meta"     -> (binaryMeta _),
     "mm_decode_stub"     -> (decodeStub _),
     "mm_decode"          -> (realDecodeQuery _),
@@ -581,5 +685,6 @@ object Multimodal {
     "mm_decode"          -> realDecodeSql,
     "mm_frame_sample"    -> frameSampleSql,
     "mm_audio_features"  -> audioFeaturesSql,
-    "mm_image_features"  -> imageFeaturesSql)
+    "mm_image_features"  -> imageFeaturesSql,
+    "mm_image_resize"    -> imageResizeSql)
 }

@@ -149,4 +149,28 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
       }
     }
   }
+
+  test("real resize: re-decoded thumbnails match a scalar nearest-neighbor reference") {
+    val rows = Multimodal.imageResizeQuery(spark, SF).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, w, h) = (r.getLong(0), r.getInt(1), r.getInt(2))
+      assert(w === 8 + (id % 16).toInt && h === 8 + (id % 8).toInt)
+      // resizePlan's clamp formula, recomputed independently
+      val num = math.min(Multimodal.resizeBox * h, Multimodal.resizeBox * w)
+      val (ow, oh) = (math.max(1, num / h), math.max(1, num / w))
+      assert(r.getInt(3) === ow && r.getInt(4) === oh,
+        s"doc $id out dims must follow the clamp formula")
+      assert(ow <= Multimodal.resizeBox && oh <= Multimodal.resizeBox)
+      // scalar reference: resized column x' samples source column
+      // floor(x'*w/ow) of the red ramp, identical over oh rows
+      val rowSum = (0 until ow).map(x => (x * w / ow) * 255 / (w - 1)).sum.toLong
+      assert(r.getLong(5) === rowSum * oh,
+        s"doc $id sum_red must equal the nearest-neighbor closed form")
+    }
+    // still a narrow codec seam: no shuffle anywhere before the sort
+    val plan = Multimodal.imageResize(Multimodal.gradientTable(spark, SF))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"resize must stay a narrow map:\n$plan")
+  }
 }
