@@ -799,6 +799,36 @@ object Relational {
       |ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q24 — ranking-distribution windows: decile (ntile), percent_rank
+  // and cume_dist per market segment over account balance — the
+  // customer-scoring family (every "top decile of customers" BI cut).
+  // The ORDER BY carries a full tie-break (balance, then key), so
+  // rank == row_number, ntile edges are deterministic, and both
+  // engines compute identical (r-1)/(n-1) / r/n divisions of exact
+  // integers. One shuffle on the partition key, one in-partition sort
+  // — all three functions share the single Window node.
+  // ---------------------------------------------------------------------
+  def q24(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.loadBalanced(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    c.withColumn("decile", ntile(10).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .orderBy("c_mktsegment", "decile", "c_custkey")
+  }
+
+  val q24Sql: String =
+    """SELECT c_custkey, c_mktsegment, c_acctbal,
+      |  CAST(ntile(10) OVER w AS INT) AS decile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+      |ORDER BY c_mktsegment, decile, c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q23 — column-statistics collection (the ANALYZE TABLE analog): one
   // pass over the fact computing count / exact NDV / min / max for the
   // four numeric CBO-relevant columns, unpivoted to one row per
@@ -911,7 +941,8 @@ object Relational {
     "q20_grouping_sets"     -> (q20 _),
     "q21_range_window"      -> (q21 _),
     "q22_cdc_diff"          -> (q22 _),
-    "q23_column_stats"      -> (q23 _))
+    "q23_column_stats"      -> (q23 _),
+    "q24_rank_distribution" -> (q24 _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary"   -> q01Sql,
@@ -936,5 +967,6 @@ object Relational {
     "q20_grouping_sets"     -> q20Sql,
     "q21_range_window"      -> q21Sql,
     "q22_cdc_diff"          -> q22Sql,
-    "q23_column_stats"      -> q23Sql)
+    "q23_column_stats"      -> q23Sql,
+    "q24_rank_distribution" -> q24Sql)
 }

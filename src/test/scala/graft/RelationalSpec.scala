@@ -240,6 +240,25 @@ class RelationalSpec extends AnyFunSuite with SparkSuite {
       s"window must plan a RANGE frame, not a rows frame:\n$plan")
   }
 
+  test("rank distribution: balanced deciles, one Window node, bounded fractions") {
+    val rows = Relational.q24(spark, SF).collect()
+    rows.groupBy(_.getString(1)).foreach { case (seg, rs) =>
+      val sizes = rs.groupBy(_.getInt(3)).view.mapValues(_.length).toMap
+      assert(sizes.keySet === (1 to 10).toSet, s"$seg must fill all 10 deciles")
+      assert(sizes.values.max - sizes.values.min <= 1,
+        s"$seg decile sizes must differ by at most 1: $sizes")
+      rs.foreach { r =>
+        assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+        assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+      }
+    }
+    // all three functions must share ONE Window node (one shuffle+sort)
+    val plan = Relational.q24(spark, SF).queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("\\bWindow\\b".r.findAllIn(plan).length === 1,
+      s"ntile/percent_rank/cume_dist must share a single Window node:\n$plan")
+  }
+
   test("CDC diff classifies every derived change and nothing else") {
     val rows = Relational.q22(spark, SF).collect()
     val keys = Tables.load(spark, SF, "customer")
