@@ -289,10 +289,7 @@ object Multimodal {
             if (img == null) undecodable(m)
             else {
               val (w, h) = (img.getWidth, img.getHeight)
-              var sum = 0L
-              var y = 0
-              while (y < h) { var x = 0; while (x < w) { sum += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }; y += 1 }
-              RealDecoded(m.doc_id, "image", w, h, 1, sum / (w.toLong * h))
+              RealDecoded(m.doc_id, "image", w, h, 1, sumRed(img) / (w.toLong * h))
             }
           } catch {
             case scala.util.control.NonFatal(_) => undecodable(m)
@@ -587,6 +584,19 @@ object Multimodal {
   case class ResizedImage(doc_id: Long, width: Int, height: Int,
       out_w: Int, out_h: Int, sum_red: Long, mean_red: Double)
 
+  /** Red-channel pixel sum — the one scan loop shared by the real
+    * decode, and the resize round-trip. */
+  private def sumRed(img: java.awt.image.BufferedImage): Long = {
+    var sum = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) { sum += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }
+      y += 1
+    }
+    sum
+  }
+
   private def resizePartition(rows: Iterator[MediaRow]): Iterator[ResizedImage] = {
     javax.imageio.ImageIO.setUseCache(false)
     val bad = (id: Long) => ResizedImage(id, 0, 0, -1, -1, -1L, -1.0)
@@ -617,18 +627,15 @@ object Multimodal {
           javax.imageio.ImageIO.write(out, "png", bos)
           val back = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bos.toByteArray))
-          var sum = 0L
-          y = 0
-          while (y < back.getHeight) {
-            var x = 0
-            while (x < back.getWidth) {
-              sum += (back.getRGB(x, y) >> 16) & 0xff
-              x += 1
-            }
-            y += 1
+          // same explicit guard as the first decode: a writer-less
+          // re-encode must degrade to the sentinel, not rely on a
+          // caught NPE
+          if (back == null) bad(m.doc_id)
+          else {
+            val sum = sumRed(back)
+            ResizedImage(m.doc_id, w, h, ow, oh, sum,
+              sum.toDouble / (ow.toLong * oh))
           }
-          ResizedImage(m.doc_id, w, h, ow, oh, sum,
-            sum.toDouble / (ow.toLong * oh))
         }
       } catch {
         case scala.util.control.NonFatal(_) => bad(m.doc_id)

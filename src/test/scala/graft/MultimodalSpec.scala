@@ -167,6 +167,8 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
       val rowSum = (0 until ow).map(x => (x * w / ow) * 255 / (w - 1)).sum.toLong
       assert(r.getLong(5) === rowSum * oh,
         s"doc $id sum_red must equal the nearest-neighbor closed form")
+      assert(r.getDouble(6) === rowSum * oh / (ow.toDouble * oh),
+        s"doc $id mean_red must be sum over out pixels")
     }
     // still a narrow codec seam: no shuffle anywhere before the sort
     val plan = Multimodal.imageResize(Multimodal.gradientTable(spark, SF))

@@ -244,7 +244,10 @@ class RelationalSpec extends AnyFunSuite with SparkSuite {
     val rows = Relational.q24(spark, SF).collect()
     rows.groupBy(_.getString(1)).foreach { case (seg, rs) =>
       val sizes = rs.groupBy(_.getInt(3)).view.mapValues(_.length).toMap
-      assert(sizes.keySet === (1 to 10).toSet, s"$seg must fill all 10 deciles")
+      // ntile emits min(10, n) buckets — don't bake the test data's
+      // segment sizes into the assert
+      assert(sizes.keySet === (1 to math.min(10, rs.length)).toSet,
+        s"$seg must fill the first min(10, n) deciles")
       assert(sizes.values.max - sizes.values.min <= 1,
         s"$seg decile sizes must differ by at most 1: $sizes")
       rs.foreach { r =>
