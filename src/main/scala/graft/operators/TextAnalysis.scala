@@ -183,13 +183,84 @@ object TextAnalysis {
        |    ELSE 'low' END AS quality_bucket
        |FROM f ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // text_winnow — winnowing fingerprint selection (Schleimer et al.,
+  // "Winnowing: Local Algorithms for Document Fingerprinting" — the
+  // MOSS technique): over the POSITIONAL 3-gram hash sequence, slide a
+  // window of 4 and keep each window's minimum hash; the distinct kept
+  // values are the document's fingerprints. The guarantee: any shared
+  // substring of ≥ k+w−1 tokens contributes at least one common
+  // fingerprint, so two docs can be compared on ~1/w of their grams —
+  // the sampling layer between exact hashing (every gram) and minhash
+  // (global sketch). Ties break to the RIGHTMOST minimal gram by
+  // packing (48-bit hash, 1023 − position mod 1024) into one long and
+  // taking the numeric min — deterministic in both engines; the
+  // position cycle only affects WHICH of two equal-hash grams is kept,
+  // never the fingerprint value set of a ≤1023-gram window span.
+  // Scale shape: pure per-row array expressions, no shuffle before the
+  // final sort; fingerprints would feed an inverted index exactly like
+  // dedup_ngram_jaccard's at 1/w the postings.
+  // ---------------------------------------------------------------------
+  private[graft] val winnowW = 4
+
+  /** 48-bit md5-derived gram hash — small enough that hash·1024+tie
+    * packs into a long. */
+  private def gramHash48Spark(v: String): String =
+    s"CAST(conv(substring(md5(cast($v AS binary)), 1, 12), 16, 10) AS bigint)"
+  private def gramHash48Sql(v: String): String =
+    s"CAST('0x' || substr(md5($v), 1, 12) AS BIGINT)"
+
+  /** (doc_id, enc, fps) — the selected-fingerprint sets, shared by the
+    * catalog query (projects counts) and the shared-substring
+    * guarantee spec (needs the sets themselves). */
+  private[graft] def winnowSets(spark: SparkSession, dir: String): DataFrame = {
+    val gram = "concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))"
+    Tables.loadBalanced(spark, dir, "documents")
+      .withColumn("toks", expr(ws))
+      .filter(size(col("toks")) >= winnowW + 2) // m = n-2 grams, need m >= w
+      .withColumn("enc", expr(
+        s"""transform(sequence(1, size(toks) - 2),
+           |  i -> ${gramHash48Spark(gram)} * 1024 + (1023 - pmod(i, 1024)))""".stripMargin))
+      .withColumn("fps", expr(
+        s"""array_distinct(transform(
+           |  sequence(1, size(enc) - $winnowW + 1),
+           |  j -> array_min(slice(enc, j, $winnowW)) div 1024))""".stripMargin))
+  }
+
+  def winnow(spark: SparkSession, dir: String): DataFrame =
+    winnowSets(spark, dir)
+      .select(col("doc_id"), size(col("enc")).as("n_grams"),
+        size(col("fps")).as("n_fps"),
+        expr("aggregate(fps, 0L, (a, x) -> a + x)").as("sum_fps"),
+        expr("array_min(fps)").as("min_fp"), expr("array_max(fps)").as("max_fp"))
+      .orderBy("doc_id")
+
+  val winnowSql: String = {
+    val gram = "toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]"
+    s"""WITH t AS (SELECT doc_id, ${Dedup.toksSql} AS toks FROM documents),
+       |e AS (SELECT doc_id,
+       |    list_transform(range(1, len(toks) - 1),
+       |      i -> ${gramHash48Sql(gram)} * 1024 + (1023 - i % 1024)) AS enc
+       |  FROM t WHERE len(toks) >= ${winnowW + 2}),
+       |f AS (SELECT doc_id, len(enc) AS m,
+       |    list_distinct(list_transform(range(1, len(enc) - ${winnowW} + 2),
+       |      j -> list_min(enc[j : j + ${winnowW - 1}]) // 1024)) AS fps
+       |  FROM e)
+       |SELECT doc_id, CAST(m AS INT) AS n_grams, CAST(len(fps) AS INT) AS n_fps,
+       |  CAST(list_sum(fps) AS BIGINT) AS sum_fps,
+       |  list_min(fps) AS min_fp, list_max(fps) AS max_fp
+       |FROM f ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_winnow"      -> (winnow _),
     "text_token_stats" -> (tokenStats _),
     "text_langid"      -> (langId _),
     "text_fingerprint" -> (fingerprint _),
     "text_quality"     -> (quality _))
 
   val oracles: Map[String, String] = Map(
+    "text_winnow"      -> winnowSql,
     "text_token_stats" -> tokenStatsSql,
     "text_langid"      -> langIdSql,
     "text_fingerprint" -> fingerprintSql,
