@@ -493,23 +493,75 @@ object Events {
       .orderBy("event_type", "dayno")
   }
 
-  val gapFillSql: String =
-    """WITH daily AS (
+  /** The densified-series CTE, shared by the gap-fill oracle and the
+    * anomaly oracle built on top of it. */
+  private val gapFillCte: String =
+    """daily AS (
       |  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS dayno, event_type,
       |    count(*) AS n_events
       |  FROM events GROUP BY 1, 2),
       |b AS (SELECT min(dayno) AS d0, max(dayno) AS d1 FROM daily),
       |cal AS (
       |  SELECT t.event_type, CAST(unnest(range(b.d0, b.d1 + 1)) AS BIGINT) AS dayno
-      |  FROM (SELECT DISTINCT event_type FROM daily) t CROSS JOIN b)
-      |SELECT cal.event_type, cal.dayno,
-      |  CAST(coalesce(daily.n_events, 0) AS BIGINT) AS n_events,
-      |  coalesce(daily.n_events, 0) = 0 AS filled
-      |FROM cal LEFT JOIN daily USING (event_type, dayno)
-      |ORDER BY 1, 2""".stripMargin
+      |  FROM (SELECT DISTINCT event_type FROM daily) t CROSS JOIN b),
+      |gf AS (
+      |  SELECT cal.event_type, cal.dayno,
+      |    CAST(coalesce(daily.n_events, 0) AS BIGINT) AS n_events,
+      |    coalesce(daily.n_events, 0) = 0 AS filled
+      |  FROM cal LEFT JOIN daily USING (event_type, dayno))""".stripMargin
+
+  val gapFillSql: String =
+    s"""WITH $gapFillCte
+       |SELECT event_type, dayno, n_events, filled FROM gf
+       |ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // events_anomaly — robust per-day anomaly flags over the DENSIFIED
+  // daily series: a day is anomalous for its event type when its count
+  // deviates from the type's median by more than 3× the median
+  // absolute deviation (MAD). Median/MAD, not mean/stddev, because
+  // the anomalies being hunted are exactly what would poison the
+  // baseline — and the series is gap-filled first so a silent missing
+  // day (count 0) is flaggable instead of invisible. Counts are
+  // integers and both engines interpolate medians identically
+  // (q12 proved percentile ≡ quantile_cont), so the oracle is exact.
+  // Scale shape: the daily aggregate is tiny (types × days); two
+  // grouped percentile passes and two broadcast joins on event_type —
+  // nothing event-scale past the first aggregate.
+  // ---------------------------------------------------------------------
+  private[graft] val madK = 3.0
+
+  def anomaly(spark: SparkSession, dir: String): DataFrame = {
+    // gapFill persists its daily aggregate; this composition reads the
+    // densified output three ways (median, deviations, final join)
+    val gf = gapFill(spark, dir).persist()
+    val med = gf.groupBy("event_type")
+      .agg(expr("percentile(n_events, 0.5)").as("med"))
+    val withMed = gf.join(broadcast(med), Seq("event_type"))
+    val mad = withMed.groupBy("event_type")
+      .agg(expr("percentile(abs(n_events - med), 0.5)").as("mad"))
+    withMed.join(broadcast(mad), Seq("event_type"))
+      .withColumn("is_anomaly", abs(col("n_events") - col("med")) > lit(madK) * col("mad"))
+      .select("event_type", "dayno", "n_events", "med", "mad", "is_anomaly")
+      .orderBy("event_type", "dayno")
+  }
+
+  val anomalySql: String =
+    s"""WITH $gapFillCte,
+       |med AS (
+       |  SELECT event_type, quantile_cont(n_events, 0.5) AS med
+       |  FROM gf GROUP BY 1),
+       |mad AS (
+       |  SELECT gf.event_type, quantile_cont(abs(gf.n_events - med.med), 0.5) AS mad
+       |  FROM gf JOIN med USING (event_type) GROUP BY 1)
+       |SELECT gf.event_type, gf.dayno, gf.n_events, med.med, mad.mad,
+       |  abs(gf.n_events - med.med) > $madK * mad.mad AS is_anomaly
+       |FROM gf JOIN med USING (event_type) JOIN mad ON gf.event_type = mad.event_type
+       |ORDER BY 1, 2""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_gap_fill"     -> (gapFill _),
+    "events_anomaly"      -> (anomaly _),
     "events_window_dedup" -> (windowDedup _),
     "events_debounce"     -> (debounce _),
     "events_topk_per_group" -> (topkPerGroup _),
@@ -524,6 +576,7 @@ object Events {
 
   val oracles: Map[String, String] = Map(
     "events_gap_fill"     -> gapFillSql,
+    "events_anomaly"      -> anomalySql,
     "events_window_dedup" -> windowDedupSql,
     "events_debounce"     -> debounceSql,
     "events_topk_per_group" -> topkPerGroupSql,

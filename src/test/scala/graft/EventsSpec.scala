@@ -295,4 +295,30 @@ class EventsSpec extends AnyFunSuite with SparkSuite {
         "gap fill must not create or lose events")
     } finally spark.catalog.clearCache()
   }
+
+  test("anomaly flags recompute from the emitted median/MAD, constant per type") {
+    try {
+      val rows = Events.anomaly(spark, SF).collect()
+      assert(rows.nonEmpty)
+      rows.groupBy(_.getString(0)).foreach { case (t, rs) =>
+        assert(rs.map(_.getDouble(3)).distinct.length === 1, s"$t median must be constant")
+        assert(rs.map(_.getDouble(4)).distinct.length === 1, s"$t MAD must be constant")
+        // scalar reference: median/MAD over this type's own series
+        def medianOf(xs: Seq[Double]): Double = {
+          val s = xs.sorted
+          val n = s.length
+          if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+        }
+        val counts = rs.map(_.getLong(2).toDouble).toSeq
+        val med = medianOf(counts)
+        val mad = medianOf(counts.map(c => math.abs(c - med)))
+        assert(rs.head.getDouble(3) === med && rs.head.getDouble(4) === mad,
+          s"$t med/MAD must match the scalar reference")
+        rs.foreach { r =>
+          val want = math.abs(r.getLong(2) - med) > Events.madK * mad
+          assert(r.getBoolean(5) === want, s"flag must recompute from med/MAD at $r")
+        }
+      }
+    } finally spark.catalog.clearCache()
+  }
 }
