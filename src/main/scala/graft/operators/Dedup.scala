@@ -512,12 +512,20 @@ object Dedup {
   // oracle can reproduce them), pairs at hamming ≤ 3 via 4-band
   // pigeonhole blocking.
   // ---------------------------------------------------------------------
-  /** 60-bit token hash both engines can compute: first 15 hex digits of
-    * md5. Spark: conv(hex, 16, 10); DuckDB: CAST('0x'||hex AS BIGINT). */
-  private[graft] def tokHash60Spark(v: String): String =
-    s"CAST(conv(substring(md5(cast($v AS binary)), 1, 15), 16, 10) AS bigint)"
-  private[graft] def tokHash60Sql(v: String): String =
-    s"CAST('0x' || substr(md5($v), 1, 15) AS BIGINT)"
+  /** THE md5-substring hash idiom both engines compute identically:
+    * hex digits [start, start+len) of md5, as a bigint. Every derived
+    * hash in the catalog (60-bit token, 60-bit high half, 48-bit
+    * winnowing gram) is an instantiation — one definition to fix if
+    * the idiom ever changes. Spark: conv(hex, 16, 10); DuckDB:
+    * CAST('0x'||hex AS BIGINT). */
+  private[graft] def hexHashSpark(v: String, start: Int, len: Int): String =
+    s"CAST(conv(substring(md5(cast($v AS binary)), $start, $len), 16, 10) AS bigint)"
+  private[graft] def hexHashSql(v: String, start: Int, len: Int): String =
+    s"CAST('0x' || substr(md5($v), $start, $len) AS BIGINT)"
+
+  /** 60-bit token hash: first 15 hex digits of md5. */
+  private[graft] def tokHash60Spark(v: String): String = hexHashSpark(v, 1, 15)
+  private[graft] def tokHash60Sql(v: String): String = hexHashSql(v, 1, 15)
   private val tokHashSpark = tokHash60Spark("x")
 
   /** Token hashes are computed ONCE per token (the md5+conv is the
@@ -621,10 +629,8 @@ object Dedup {
   // sum ([[simhashPairs]] scaladoc); widening the signature is the
   // move that relaxes both at once.
   // ---------------------------------------------------------------------
-  private[graft] def tokHash60HiSpark(v: String): String =
-    s"CAST(conv(substring(md5(cast($v AS binary)), 17, 15), 16, 10) AS bigint)"
-  private[graft] def tokHash60HiSql(v: String): String =
-    s"CAST('0x' || substr(md5($v), 17, 15) AS BIGINT)"
+  private[graft] def tokHash60HiSpark(v: String): String = hexHashSpark(v, 17, 15)
+  private[graft] def tokHash60HiSql(v: String): String = hexHashSql(v, 17, 15)
 
   private[graft] def simhashesWide(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)

@@ -476,7 +476,10 @@ object Events {
   // × days — thousands of rows, never event-scale) and left-joins the
   // counts back. The big table is never joined against the calendar.
   // ---------------------------------------------------------------------
-  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+  /** The densified series WITHOUT the final sort — the anomaly
+    * composition consumes it unordered (its aggregations would destroy
+    * order anyway), mirroring the oracle side's order-free gf CTE. */
+  private def gapFillCore(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.loadEvents(spark, dir)
       .groupBy(expr("(sec - pmod(sec, 86400)) div 86400").as("dayno"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
@@ -490,8 +493,10 @@ object Events {
     calendar.join(daily, Seq("event_type", "dayno"), "left")
       .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
       .withColumn("filled", col("n_events") === 0)
-      .orderBy("event_type", "dayno")
   }
+
+  def gapFill(spark: SparkSession, dir: String): DataFrame =
+    gapFillCore(spark, dir).orderBy("event_type", "dayno")
 
   /** The densified-series CTE, shared by the gap-fill oracle and the
     * anomaly oracle built on top of it. */
@@ -532,9 +537,11 @@ object Events {
   private[graft] val madK = 3.0
 
   def anomaly(spark: SparkSession, dir: String): DataFrame = {
-    // gapFill persists its daily aggregate; this composition reads the
-    // densified output three ways (median, deviations, final join)
-    val gf = gapFill(spark, dir).persist()
+    // the UNSORTED densified series (gapFill's global sort would be
+    // wasted work here — every consumer below aggregates or re-sorts),
+    // persisted because three passes read it (median, deviations,
+    // final join)
+    val gf = gapFillCore(spark, dir).persist()
     val med = gf.groupBy("event_type")
       .agg(expr("percentile(n_events, 0.5)").as("med"))
     val withMed = gf.join(broadcast(med), Seq("event_type"))

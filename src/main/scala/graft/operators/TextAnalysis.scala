@@ -203,12 +203,10 @@ object TextAnalysis {
   // ---------------------------------------------------------------------
   private[graft] val winnowW = 4
 
-  /** 48-bit md5-derived gram hash — small enough that hash·1024+tie
-    * packs into a long. */
-  private def gramHash48Spark(v: String): String =
-    s"CAST(conv(substring(md5(cast($v AS binary)), 1, 12), 16, 10) AS bigint)"
-  private def gramHash48Sql(v: String): String =
-    s"CAST('0x' || substr(md5($v), 1, 12) AS BIGINT)"
+  /** 48-bit md5-derived gram hash (the shared [[Dedup.hexHashSpark]]
+    * idiom) — small enough that hash·1024+tie packs into a long. */
+  private def gramHash48Spark(v: String): String = Dedup.hexHashSpark(v, 1, 12)
+  private def gramHash48Sql(v: String): String = Dedup.hexHashSql(v, 1, 12)
 
   /** (doc_id, enc, fps) — the selected-fingerprint sets, shared by the
     * catalog query (projects counts) and the shared-substring
@@ -217,13 +215,17 @@ object TextAnalysis {
     val gram = "concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))"
     Tables.loadBalanced(spark, dir, "documents")
       .withColumn("toks", expr(ws))
-      .filter(size(col("toks")) >= winnowW + 2) // m = n-2 grams, need m >= w
+      .filter(size(col("toks")) >= 3) // at least one 3-gram
       .withColumn("enc", expr(
         s"""transform(sequence(1, size(toks) - 2),
            |  i -> ${gramHash48Spark(gram)} * 1024 + (1023 - pmod(i, 1024)))""".stripMargin))
+      // standard winnowing short-doc rule: with 0 < m < w grams the
+      // single window spans all of them (slice caps at the array end),
+      // so a 3-5 token doc still gets a fingerprint and stays
+      // comparable — every sibling text query covers all non-empty docs
       .withColumn("fps", expr(
         s"""array_distinct(transform(
-           |  sequence(1, size(enc) - $winnowW + 1),
+           |  sequence(1, greatest(1, size(enc) - $winnowW + 1)),
            |  j -> array_min(slice(enc, j, $winnowW)) div 1024))""".stripMargin))
   }
 
@@ -231,7 +233,12 @@ object TextAnalysis {
     winnowSets(spark, dir)
       .select(col("doc_id"), size(col("enc")).as("n_grams"),
         size(col("fps")).as("n_fps"),
-        expr("aggregate(fps, 0L, (a, x) -> a + x)").as("sum_fps"),
+        // order-free overflow-safe checksum: sum the LOW 31 BITS of
+        // each fingerprint (≤ 2³¹ per term — a full int64 sum wraps in
+        // Spark but errors in DuckDB's HUGEINT→BIGINT cast on a long
+        // enough doc, and a stepwise-mod fold would depend on
+        // list_distinct's order, which DuckDB does not guarantee)
+        expr("aggregate(fps, 0L, (a, x) -> a + pmod(x, 2147483648))").as("sum_fps"),
         expr("array_min(fps)").as("min_fp"), expr("array_max(fps)").as("max_fp"))
       .orderBy("doc_id")
 
@@ -241,13 +248,13 @@ object TextAnalysis {
        |e AS (SELECT doc_id,
        |    list_transform(range(1, len(toks) - 1),
        |      i -> ${gramHash48Sql(gram)} * 1024 + (1023 - i % 1024)) AS enc
-       |  FROM t WHERE len(toks) >= ${winnowW + 2}),
+       |  FROM t WHERE len(toks) >= 3),
        |f AS (SELECT doc_id, len(enc) AS m,
-       |    list_distinct(list_transform(range(1, len(enc) - ${winnowW} + 2),
+       |    list_distinct(list_transform(range(1, greatest(1, len(enc) - ${winnowW} + 1) + 1),
        |      j -> list_min(enc[j : j + ${winnowW - 1}]) // 1024)) AS fps
        |  FROM e)
        |SELECT doc_id, CAST(m AS INT) AS n_grams, CAST(len(fps) AS INT) AS n_fps,
-       |  CAST(list_sum(fps) AS BIGINT) AS sum_fps,
+       |  CAST(list_sum(list_transform(fps, x -> x % 2147483648)) AS BIGINT) AS sum_fps,
        |  list_min(fps) AS min_fp, list_max(fps) AS max_fp
        |FROM f ORDER BY 1""".stripMargin
   }

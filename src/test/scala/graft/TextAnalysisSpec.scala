@@ -35,9 +35,25 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSuite {
     assert(counts.nonEmpty)
     counts.foreach { r =>
       val (m, nFps) = (r.getInt(1), r.getInt(2))
-      assert(nFps >= 1 && nFps <= m - TextAnalysis.winnowW + 1,
+      assert(nFps >= 1 && nFps <= math.max(1, m - TextAnalysis.winnowW + 1),
         s"fingerprint count $nFps out of bounds for $m grams")
       assert(r.getLong(4) <= r.getLong(5), "min_fp must not exceed max_fp")
     }
+  }
+
+  test("winnowing covers short docs: 3-5 tokens yield exactly one fingerprint") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("winnow_short").toString
+    val docs = Seq(
+      (1L, "just three tokens"),          // m = 1 gram
+      (2L, "now we have five tokens"),    // m = 3 grams < w
+      (3L, "a b"))                        // m = 0 -> excluded
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.winnow(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got === Map(1L -> 1, 2L -> 1),
+      s"short docs take one all-gram window; sub-3-token docs have no gram: $got")
   }
 }
