@@ -799,6 +799,30 @@ object Relational {
       |ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q25 — approximate quantiles: q12's percentiles re-computed with
+  // approx_percentile (a mergeable rank sketch). Exact percentile()
+  // buffers every group value — fine per group at test scale, a
+  // sort-scale memory problem on a 100 TB fact; the sketch is the
+  // scale path (bounded memory, partial-aggregable, mergeable across
+  // executors), the same exact-vs-sketch pairing as
+  // events_hll_distinct vs exact distinct. Approximate by construction
+  // → rows-only driver check; the error bound against exact q12 is
+  // asserted in RelationalSpec.
+  // ---------------------------------------------------------------------
+  private[graft] val approxAccuracy = 10000
+
+  def q25(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.loadBalanced(spark, dir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        expr(s"approx_percentile(l_quantity, 0.5, $approxAccuracy)").as("p50_qty"),
+        expr(s"approx_percentile(l_quantity, 0.9, $approxAccuracy)").as("p90_qty"),
+        expr(s"approx_percentile(l_quantity, 0.99, $approxAccuracy)").as("p99_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  // ---------------------------------------------------------------------
   // q24 — ranking-distribution windows: decile (ntile), percent_rank
   // and cume_dist per market segment over account balance — the
   // customer-scoring family (every "top decile of customers" BI cut).
@@ -942,7 +966,10 @@ object Relational {
     "q21_range_window"      -> (q21 _),
     "q22_cdc_diff"          -> (q22 _),
     "q23_column_stats"      -> (q23 _),
-    "q24_rank_distribution" -> (q24 _))
+    "q24_rank_distribution" -> (q24 _),
+    // approximate by construction → deliberately NO oracle entry
+    // (rows-only driver check; error bound vs exact q12 in spec)
+    "q25_approx_quantiles"  -> (q25 _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary"   -> q01Sql,

@@ -262,6 +262,24 @@ class RelationalSpec extends AnyFunSuite with SparkSuite {
       s"ntile/percent_rank/cume_dist must share a single Window node:\n$plan")
   }
 
+  test("approx quantiles track the exact percentiles within rank tolerance") {
+    val exact = Relational.q12(spark, SF).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val approx = Relational.q25(spark, SF).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val (e50, e90, e99) = exact(r.getString(0))
+      // approx_percentile guarantees a rank within accuracy⁻¹·n of the
+      // target; l_quantity is integers 1..50, so a small rank slip can
+      // move the value by at most a few units — assert a loose but
+      // real value bound (exact interpolates, the sketch returns a
+      // data value, so ±1 covers the interpolation gap alone)
+      assert(math.abs(r.getDouble(1) - e50) <= 2, s"${r.getString(0)} p50 drifted")
+      assert(math.abs(r.getDouble(2) - e90) <= 2, s"${r.getString(0)} p90 drifted")
+      assert(math.abs(r.getDouble(3) - e99) <= 2, s"${r.getString(0)} p99 drifted")
+    }
+  }
+
   test("CDC diff classifies every derived change and nothing else") {
     val rows = Relational.q22(spark, SF).collect()
     val keys = Tables.load(spark, SF, "customer")
