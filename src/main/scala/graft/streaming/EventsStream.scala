@@ -195,4 +195,46 @@ object EventsStream {
         && col("c_us") <= col("v_us") + 600000000L)
       .select("user_id", "click_id", "view_id", "click_sec", "view_sec")
   }
+
+  /** The static dimension for stream enrichment: user → market
+    * segment (customer keyed by user_id). */
+  private def userSegments(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+
+  /** STREAM-STATIC enrichment join — the third Structured Streaming
+    * join shape (alongside the stream-stream interval join and the
+    * windowed aggs): each streaming event is enriched against a
+    * broadcast dimension, then counted per (segment, hour). This is
+    * the 100 TB enrichment shape — the dimension is loaded once per
+    * microbatch and broadcast, the stream never shuffles for the join,
+    * and no join state accumulates (static side is bounded, so unlike
+    * stream-stream there is nothing to watermark away). Unmatched
+    * users degrade to an explicit 'UNKNOWN' segment rather than
+    * silently dropping events. */
+  def enrichedAgg(spark: SparkSession, dir: String, queryName: String): StreamingQuery = {
+    eventsSource(spark, dir)
+      .join(broadcast(userSegments(spark, dir)), Seq("user_id"), "left")
+      .withColumn("segment", coalesce(col("segment"), lit("UNKNOWN")))
+      .groupBy(window(col("ts_utc"), "1 hour"), col("segment"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        (unix_timestamp(col("window.start")).cast("long") / 3600).cast("long").as("bucket_hr"),
+        col("segment"), col("n_events"))
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Batch twin of [[enrichedAgg]]: same broadcast enrichment + hour
+    * bucket over the batch events frame. */
+  def enrichedBatchEquivalent(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.loadEvents(spark, dir)
+      .join(broadcast(userSegments(spark, dir)), Seq("user_id"), "left")
+      .withColumn("segment", coalesce(col("segment"), lit("UNKNOWN")))
+      .groupBy(expr("(sec - pmod(sec, 3600)) div 3600").as("bucket_hr"), col("segment"))
+      .agg(count(lit(1)).as("n_events"))
 }

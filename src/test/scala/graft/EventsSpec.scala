@@ -275,6 +275,24 @@ class EventsSpec extends AnyFunSuite with SparkSuite {
       "distance-to-last-KEPT accumulates past the gap at every second event")
   }
 
+  test("stream-static enrichment join equals the batch enrichment") {
+    val q = EventsStream.enrichedAgg(spark, SF, "stream_enriched_out")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("stream_enriched_out")
+      .select("bucket_hr", "segment", "n_events")
+      .collect().map(_.toSeq).toSet
+    val batch = EventsStream.enrichedBatchEquivalent(spark, SF)
+      .select("bucket_hr", "segment", "n_events")
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    // non-vacuous: real segments must appear (every test user_id has a
+    // customer row, so nothing should fall into UNKNOWN here)
+    val segs = streamed.map(_(1).asInstanceOf[String])
+    assert(segs.nonEmpty && !segs.contains("UNKNOWN"),
+      s"every event user must enrich against the dimension: $segs")
+  }
+
   test("gap fill densifies every type over the global span and conserves counts") {
     try {
       val rows = Events.gapFill(spark, SF).collect()
