@@ -41,6 +41,54 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("winnowing equals an independent scalar reference on random repeated-token docs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // tiny vocabulary with punctuation/case noise → repeated grams and
+    // genuine equal-hash ties, the cases where the packed tie-break
+    // and distinct-ing could silently diverge from the reference
+    val vocab = Seq("the", "cat", "sat", "on", "Mat,", "DOG!", "9lives", "the")
+    val docGen = for {
+      n <- Gen.choose(3, 30)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    val texts = (0 until 40).map(i =>
+      docGen.pureApply(Gen.Parameters.default, Seed(0xBEEF + i)))
+
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def scalarFps(text: String): Set[Long] = {
+      val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      if (toks.length < 3) Set.empty
+      else {
+        val enc = (1 to toks.length - 2).map { i =>
+          val h = java.lang.Long.parseLong(
+            md5hex(s"${toks(i - 1)} ${toks(i)} ${toks(i + 1)}").take(12), 16)
+          h * 1024 + (1023 - i % 1024)
+        }
+        val wins = (1 to math.max(1, enc.length - TextAnalysis.winnowW + 1))
+          .map(j => enc.slice(j - 1, j - 1 + TextAnalysis.winnowW).min / 1024)
+        wins.toSet
+      }
+    }
+
+    val dir = java.nio.file.Files.createTempDirectory("winnow_prop").toString
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.winnowSets(spark, dir)
+      .select(col("doc_id"), col("fps")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val want = scalarFps(t)
+      if (want.isEmpty) assert(!got.contains(i.toLong), s"doc $i should be filtered")
+      else assert(got(i.toLong) === want, s"doc $i fps diverge for text: $t")
+    }
+  }
+
   test("winnowing covers short docs: 3-5 tokens yield exactly one fingerprint") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("winnow_short").toString
