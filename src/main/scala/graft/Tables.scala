@@ -37,11 +37,42 @@ object Tables {
     * native scan and must NOT be force-repartitioned. Metadata-only
     * (the listing is already cached by the read) — no full RDD
     * conversion per query build the way df.rdd.getNumPartitions would
-    * force. */
-  private def balance(spark: SparkSession, df: DataFrame): DataFrame = {
+    * force.
+    *
+    * The verdict is CACHED per (session, path): at a 100 TB table with
+    * millions of files, re-walking `inputFiles` + per-file
+    * `getFileStatus` on every query build is pure wasted driver work —
+    * the decision depends only on the listing and session confs, and a
+    * table that grows enough to change it within one session would be
+    * re-read through a fresh session (or an explicit [[load]]) anyway.
+    * The outer map is WEAK on the session so stopped test/notebook
+    * sessions don't accumulate. */
+  private val balanceCache =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]]()
+
+  /** Listing-walk counter — spec probe for the one-walk-per-path
+    * guarantee (TablesSpec); no production reads. */
+  private[graft] val listingWalks = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def balance(spark: SparkSession, df: DataFrame, cacheKey: String): DataFrame = {
+    val perPath = balanceCache.synchronized {
+      var m = balanceCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+        balanceCache.put(spark, m)
+      }
+      m
+    }
+    val spread: Boolean = perPath.computeIfAbsent(cacheKey, _ => needsSpread(spark, df))
+    if (spread) df.repartition(spark.sparkContext.defaultParallelism) else df
+  }
+
+  private def needsSpread(spark: SparkSession, df: DataFrame): Boolean = {
+    listingWalks.incrementAndGet()
     val target = spark.sparkContext.defaultParallelism
     val files = df.inputFiles
-    if (files.length >= target) df
+    if (files.length >= target) false
     else {
       val hconf = spark.sparkContext.hadoopConfiguration
       val sqlConf = spark.sessionState.conf
@@ -53,12 +84,12 @@ object Tables {
       val bytesPerCore = (sizes.sum + files.length * openCost) / target.max(1)
       val maxSplit = sqlConf.filesMaxPartitionBytes.min(openCost.max(bytesPerCore)).max(1L)
       val splits = sizes.map(len => ((len + maxSplit - 1) / maxSplit).max(1L)).sum
-      if (splits < target) df.repartition(target) else df
+      splits < target
     }
   }
 
   def loadBalanced(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    balance(spark, load(spark, sfDir, name))
+    balance(spark, load(spark, sfDir, name), s"$sfDir/$name.parquet")
 
   /** `events.ts` is nanosecond-precision parquet, which Spark 4 refuses
     * to convert to TimestampType. Declaring ts as LongType in an
@@ -82,7 +113,7 @@ object Tables {
         org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000000000)) div 1000000000"))
 
   def loadEvents(spark: SparkSession, sfDir: String): DataFrame =
-    balance(spark, eventsRaw(spark, sfDir))
+    balance(spark, eventsRaw(spark, sfDir), s"$sfDir/events.parquet#nanos")
 
   /** Register every table as a temp view so the ad-hoc `spark.sql`
     * surface (reference's Glue/Athena step, README.md:64-78) works

@@ -247,13 +247,29 @@ object Dedup {
       .filter(col("containment") >= containmentThreshold)
       .orderBy("doc_a", "doc_b")
 
-  /** Exact directed-containment oracle: same inverted-index algebra in
-    * DuckDB, both directions from the one undirected intersection. */
+  /** Directed-containment oracle: same inverted-index algebra in
+    * DuckDB, both directions from the one undirected intersection — and
+    * the SAME hot-shingle candidate cap as the operator (a pair is a
+    * candidate only if it shares ≥1 shingle with DF ≤ maxDf; the
+    * intersection count itself stays exact over ALL shingles).
+    * Containment's 0.5 threshold over a short-doc denominator makes an
+    * all-hot-overlap pair far more reportable than under jaccard ≥ 0.8,
+    * so the oracle must encode the operator's recall semantics rather
+    * than pretend the cap doesn't exist. At the shipped scales the cap
+    * never fires (max shingle DF ≤ 64), so capped and uncapped agree —
+    * the mirror exists so a templated corpus can't silently diverge. */
   val containmentSql: String =
     s"""WITH $docShinglesSqlCte,
+       |df_t AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+       |cold AS (SELECT doc_id, s FROM sh JOIN df_t USING (s)
+       |         WHERE df <= $defaultMaxShingleDf),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+       |  FROM cold a JOIN cold b ON a.s = b.s AND a.doc_id < b.doc_id),
        |inter AS (
        |  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS n_inter
        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  JOIN cand ON cand.doc_i = a.doc_id AND cand.doc_j = b.doc_id
        |  GROUP BY 1, 2),
        |both_dirs AS (
        |  SELECT doc_i AS doc_a, doc_j AS doc_b, n_inter / sa.n AS containment
@@ -276,10 +292,12 @@ object Dedup {
   // segment counts and the duplicated fraction plus a keep flag
   // (drop when ≥ half the doc is corpus-duplicated text).
   //
-  // Scale shape: segments travel as 8-byte xxhash64 keys (the string
-  // oracle would catch a collision); one map-side-combined groupBy
-  // computes each hash's distinct-doc count, one equi-join re-attaches
-  // it, one groupBy on doc_id folds back to per-doc rows. No
+  // Scale shape: segments travel as 12-byte (xxhash64, crc32) keys —
+  // a cross-doc false merge needs a simultaneous collision in BOTH
+  // hashes on the same distinct-segment pair, so the string-keyed
+  // oracle's one-sided asymmetry is moot at any corpus size; one
+  // map-side-combined groupBy computes each key's distinct-doc count,
+  // one equi-join re-attaches it, one groupBy on doc_id folds back. No
   // self-join, no quadratic term anywhere: cost is linear in corpus
   // token count.
   //
@@ -309,14 +327,15 @@ object Dedup {
       .filter(col("nt") > 0)
       .withColumn("seg_idx",
         explode(expr(s"sequence(0, cast((nt + ${segTokens - 1}) div $segTokens AS int) - 1)")))
+      .withColumn("seg", concat_ws(" ",
+        slice(col("toks"), col("seg_idx") * segTokens + 1, lit(segTokens))))
       .select(col("doc_id"),
         least(lit(segTokens), col("nt") - col("seg_idx") * segTokens).as("w"),
-        xxhash64(concat_ws(" ",
-          slice(col("toks"), col("seg_idx") * segTokens + 1, lit(segTokens)))).as("h"))
+        xxhash64(col("seg")).as("h"), crc32(col("seg")).as("h2"))
       .persist()
-    val segDocs = segs.groupBy("h")
+    val segDocs = segs.groupBy("h", "h2")
       .agg(countDistinct(col("doc_id")).as("nd"))
-    segs.join(segDocs, Seq("h"))
+    segs.join(segDocs, Seq("h", "h2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_segs"),
         sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_segs"),

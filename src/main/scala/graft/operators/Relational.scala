@@ -860,6 +860,14 @@ object Relational {
   // Expand + two-level hash aggregate — one scan, not one per column;
   // stats tables like this are what feed join-reorder and
   // broadcast-threshold decisions at 100 TB.
+  //
+  // At 100 TB, exact NDV on a high-cardinality column is a full
+  // shuffle of every distinct value per column (the Expand multiplies
+  // the scan 4×) — q26_column_stats_approx is this query's sketch
+  // twin (HLL++-backed approx_count_distinct, one pass, NO Expand, no
+  // distinct shuffle) and the variant a real ANALYZE would run; same
+  // exact-vs-sketch pairing as q12/q25 quantiles and
+  // events_hll_distinct.
   // ---------------------------------------------------------------------
   def q23(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.loadBalanced(spark, dir, "lineitem")
@@ -869,6 +877,48 @@ object Relational {
         countDistinct(col("l_quantity")).as("ndv_quantity"),
         countDistinct(col("l_extendedprice")).as("ndv_extendedprice"),
         countDistinct(col("l_discount")).as("ndv_discount"),
+        min(col("l_orderkey")).cast("double").as("min_orderkey"),
+        max(col("l_orderkey")).cast("double").as("max_orderkey"),
+        min(col("l_quantity")).cast("double").as("min_quantity"),
+        max(col("l_quantity")).cast("double").as("max_quantity"),
+        min(col("l_extendedprice")).cast("double").as("min_extendedprice"),
+        max(col("l_extendedprice")).cast("double").as("max_extendedprice"),
+        min(col("l_discount")).cast("double").as("min_discount"),
+        max(col("l_discount")).cast("double").as("max_discount"))
+      .select(col("n_rows"), expr(
+        """stack(4,
+          |  'l_orderkey', ndv_orderkey, min_orderkey, max_orderkey,
+          |  'l_quantity', ndv_quantity, min_quantity, max_quantity,
+          |  'l_extendedprice', ndv_extendedprice, min_extendedprice, max_extendedprice,
+          |  'l_discount', ndv_discount, min_discount, max_discount)
+          |AS (col_name, ndv, min_val, max_val)""".stripMargin))
+      .select("col_name", "n_rows", "ndv", "min_val", "max_val")
+      .orderBy("col_name")
+  }
+
+  // ---------------------------------------------------------------------
+  // q26 — q23's sketch twin: approx_count_distinct (HyperLogLog++,
+  // relative sd 1%) replaces the exact multi-distinct. The plan
+  // difference is the whole point: q23's exact NDVs force an Expand
+  // (4× the scanned rows) feeding a distinct-key shuffle per column,
+  // while the HLL sketches fold into ONE ordinary partial/final hash
+  // aggregate — bounded memory per executor, a few-KB sketch per
+  // column crossing the wire, no distinct shuffle at all. That is the
+  // only ANALYZE shape that survives a 100 TB fact with a
+  // high-cardinality key. Approximate by construction → rows-only
+  // driver check; RelationalSpec asserts each sketch NDV within 5× the
+  // configured 1% rsd of q23's exact value (and min/max/count exact).
+  // ---------------------------------------------------------------------
+  private[graft] val ndvRsd = 0.01
+
+  def q26(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.loadBalanced(spark, dir, "lineitem")
+    li.agg(
+        count(lit(1)).as("n_rows"),
+        approx_count_distinct(col("l_orderkey"), ndvRsd).as("ndv_orderkey"),
+        approx_count_distinct(col("l_quantity"), ndvRsd).as("ndv_quantity"),
+        approx_count_distinct(col("l_extendedprice"), ndvRsd).as("ndv_extendedprice"),
+        approx_count_distinct(col("l_discount"), ndvRsd).as("ndv_discount"),
         min(col("l_orderkey")).cast("double").as("min_orderkey"),
         max(col("l_orderkey")).cast("double").as("max_orderkey"),
         min(col("l_quantity")).cast("double").as("min_quantity"),
@@ -969,7 +1019,8 @@ object Relational {
     "q24_rank_distribution" -> (q24 _),
     // approximate by construction → deliberately NO oracle entry
     // (rows-only driver check; error bound vs exact q12 in spec)
-    "q25_approx_quantiles"  -> (q25 _))
+    "q25_approx_quantiles"  -> (q25 _),
+    "q26_column_stats_approx" -> (q26 _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary"   -> q01Sql,

@@ -44,7 +44,10 @@ object EventsStream {
         count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
       .select(
-        (unix_timestamp(col("window.start")).cast("long") / 3600).cast("long").as("bucket_hr"),
+        // integer arithmetic end-to-end, like the batch twin
+        // (Events.scala:30) — the double-division idiom agreed only
+        // because window.start is hour-aligned
+        expr("unix_timestamp(window.start) div 3600").as("bucket_hr"),
         col("event_type"), col("n_events"), col("sum_value"))
       .writeStream
       .format("memory")
@@ -219,7 +222,7 @@ object EventsStream {
       .groupBy(window(col("ts_utc"), "1 hour"), col("segment"))
       .agg(count(lit(1)).as("n_events"))
       .select(
-        (unix_timestamp(col("window.start")).cast("long") / 3600).cast("long").as("bucket_hr"),
+        expr("unix_timestamp(window.start) div 3600").as("bucket_hr"),
         col("segment"), col("n_events"))
       .writeStream
       .format("memory")

@@ -75,6 +75,39 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("containment recall under the DF cap: an all-hot-overlap pair is dropped by design") {
+    import spark.implicits._
+    // The documented recall trade (Dedup.containmentSql scaladoc): a
+    // SHORT doc made entirely of boilerplate shares only HOT shingles
+    // with its containing superset, so the capped operator cannot see
+    // the pair — and the DuckDB oracle mirrors the same cap, so the two
+    // stay in agreement rather than silently diverging on templated
+    // corpora. Containment is the axis where this matters: the short
+    // doc's denominator makes the uncapped score a full 1.0.
+    val boiler = "all rights reserved by the operator"
+    val carriers = (1L to 12L).map(i =>
+      (i, s"unique lead$i $boiler unique tail${i}a tail${i}b tail${i}c"))
+    val short = (100L, boiler)
+    val long = (101L, s"$boiler plus a genuinely unique continuation sentence here")
+    graft.functions.GraftFunctions.register(spark)
+    val docs = (carriers :+ short :+ long).toDF("doc_id", "text")
+      .withColumn("sh", org.apache.spark.sql.functions.expr(
+        s"shingles3(${Dedup.toksSpark})"))
+      .select("doc_id", "sh")
+    def pairs(maxDf: Long): Set[(Long, Long)] =
+      Dedup.containmentCapped(docs, maxDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // uncapped: short ⊂ long -> containment(100 -> 101) = 1.0 reported
+    assert(pairs(Long.MaxValue).contains((100L, 101L)),
+      "uncapped containment must report the embedded short doc")
+    // capped at 8: every shingle of the short doc has DF 14 > 8, so the
+    // pair shares no cold shingle and is invisible — intended recall
+    // semantics, matched by the capped oracle
+    assert(!pairs(8L).contains((100L, 101L)),
+      "capped containment must drop the all-hot-overlap pair by design")
+    spark.catalog.clearCache()
+  }
+
   test("simhash banding: 6x10-bit bands find the same hamming<=3 pairs as 4x15") {
     val p4 = Dedup.simhashPairs(spark, SF)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

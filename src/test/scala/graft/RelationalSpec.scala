@@ -280,6 +280,30 @@ class RelationalSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("approx NDV tracks exact column stats within the HLL error bound") {
+    val exact = Relational.q23(spark, SF).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = Relational.q26(spark, SF).collect()
+    assert(approx.length === exact.size)
+    approx.foreach { r =>
+      val e = exact(r.getString(0))
+      // count/min/max are exact aggregates in both variants
+      assert(r.getLong(1) === e.getLong(1), s"${r.getString(0)} n_rows")
+      assert(r.getDouble(3) === e.getDouble(3), s"${r.getString(0)} min")
+      assert(r.getDouble(4) === e.getDouble(4), s"${r.getString(0)} max")
+      // HLL++ with rsd=1%: assert within 5 standard errors — a bound a
+      // correct sketch exceeds with probability < 1e-6 per column
+      val rel = math.abs(r.getLong(2).toDouble / e.getLong(2) - 1.0)
+      assert(rel <= 5 * Relational.ndvRsd,
+        s"${r.getString(0)} ndv off by ${100 * rel}% (sketch ${r.getLong(2)} vs exact ${e.getLong(2)})")
+    }
+    // the sketch plan must not carry q23's Expand (the 4× row blowup
+    // that makes exact multi-distinct infeasible at 100 TB)
+    val plan = Relational.q26(spark, SF).queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Expand"), s"approx NDV must plan without Expand:\n$plan")
+  }
+
   test("CDC diff classifies every derived change and nothing else") {
     val rows = Relational.q22(spark, SF).collect()
     val keys = Tables.load(spark, SF, "customer")
