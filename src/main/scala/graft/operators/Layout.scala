@@ -69,9 +69,103 @@ object Layout {
        |FROM b ORDER BY event_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // layout_compact — the OPTIMIZE pass that makes the Z-order layout
+  // operational on a real lake: rewrite however many (typically small,
+  // ingest-fragmented) files a table currently has into few
+  // target-size files range-partitioned by Z-value. Scale shape: the
+  // whole rewrite is ONE range shuffle (repartitionByRange on zval —
+  // LayoutSpec asserts the single Exchange) + an in-partition sort, so
+  // compacting a 100 TB table costs one pass; every file then covers a
+  // narrow Z range, i.e. a small rectangle of (user, hour) space that
+  // min/max stats prune on either dimension. Streaming ingest creates
+  // the small-file problem continuously; this is the periodic pass
+  // that repairs it.
+  //
+  // The catalog query performs the REAL round-trip — write the
+  // compacted files to a scratch dir, read them back — and returns
+  // per-Z-bucket content stats (row count + integer column checksums)
+  // computed from the READ-BACK data. The DuckDB oracle computes the
+  // same frame from the raw events table, so any row lost, duplicated
+  // or corrupted by the physical rewrite shows up as a bucket whose
+  // stats diverge: the unchanged-rows gate the operator must pass.
+  // Checksums stay in integer domain end-to-end (sums of event_id /
+  // user_id / sec) — a float sum would make the oracle compare depend
+  // on addition order.
+  // ---------------------------------------------------------------------
+  private[graft] def withZval(df: DataFrame): DataFrame =
+    df.withColumn("zx", expr("pmod(user_id, 256)"))
+      .withColumn("zy", expr("pmod((sec - pmod(sec, 3600)) div 3600, 256)"))
+      .withColumn("zval", expr(zExpr("zx", "zy", "div")))
+
+  /** Rewrite the frame into `nFiles` Z-clustered parquet files under
+    * `outPath`: one range shuffle, one in-partition sort, no other
+    * exchange. Returns the frame whose write plan the spec audits. */
+  private[graft] def compactPlan(df: DataFrame, nFiles: Int): DataFrame =
+    withZval(df)
+      .repartitionByRange(nFiles, col("zval"))
+      .sortWithinPartitions("zval")
+
+  /** File count for a target size from driver-side metadata — the same
+    * listing idiom as Tables.balance (metadata-only, no data read). */
+  private[graft] def targetFileCount(spark: SparkSession, df: DataFrame,
+      targetBytes: Long): Int = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val total = df.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(hconf).getFileStatus(p).getLen
+    }.sum
+    math.max(1, math.ceil(total.toDouble / targetBytes.max(1L)).toInt)
+  }
+
+  /** Physical compaction: write `df` as `nFiles` Z-clustered files. */
+  private[graft] def compactFiles(df: DataFrame, outPath: String, nFiles: Int): Unit =
+    compactPlan(df, nFiles)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props", "zval")
+      .write.mode("overwrite").parquet(outPath)
+
+  def compact(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_layout_compact").getPath
+    compactFiles(Tables.loadEvents(spark, dir), scratch, zFileBuckets.toInt)
+    // verification frame from the READ-BACK files — sec re-derived the
+    // same way loadEvents derives it, zval re-interleaved from scratch
+    withZval(spark.read.parquet(scratch)
+        .withColumn("sec", expr("(ts - pmod(ts, 1000000000)) div 1000000000"))
+        .drop("zval"))
+      .withColumn("file_bucket", expr(s"zval div $zBucketWidth"))
+      .groupBy("file_bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("event_id")).as("sum_event_id"),
+        sum(col("user_id")).as("sum_user_id"),
+        sum(col("sec")).as("sum_sec"),
+        min(col("zval")).as("min_zval"),
+        max(col("zval")).as("max_zval"))
+      .orderBy("file_bucket")
+  }
+
+  val compactSql: String = {
+    val sec = "CAST(floor(epoch(ts)) AS BIGINT)"
+    s"""WITH b AS (SELECT event_id, user_id, $sec AS sec,
+       |  ((user_id % 256) + 256) % 256 AS zx,
+       |  ((($sec // 3600) % 256) + 256) % 256 AS zy
+       |  FROM events),
+       |z AS (SELECT event_id, user_id, sec,
+       |  ${zExpr("zx", "zy", "//")} AS zval FROM b)
+       |SELECT zval // $zBucketWidth AS file_bucket,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+       |  CAST(sum(user_id) AS BIGINT) AS sum_user_id,
+       |  CAST(sum(sec) AS BIGINT) AS sum_sec,
+       |  min(zval) AS min_zval, max(zval) AS max_zval
+       |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "layout_zorder" -> (zorder _))
+    "layout_zorder" -> (zorder _),
+    "layout_compact" -> (compact _))
 
   val oracles: Map[String, String] = Map(
-    "layout_zorder" -> zorderSql)
+    "layout_zorder" -> zorderSql,
+    "layout_compact" -> compactSql)
 }

@@ -330,13 +330,23 @@ object Similarity {
     // re-execute per consumer without the persist (same rationale as
     // ivfIndex's centroids; callers release via clearCache)
     val codebook = pqCodebook(e).persist()
-    val codes = pqCodes(e, codebook)
-      .select("vec_id", "code0", "code1", "code2", "code3")
-
+    val postings = lists.select("vec_id", "cluster", "norm")
+      .join(pqCodes(e, codebook)
+        .select("vec_id", "code0", "code1", "code2", "code3"), Seq("vec_id"))
     val q = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"))
       .persist()
+    adcTopK(q, codebook, centroids, postings)
+  }
+
+  /** The query-time half of IVF-PQ, shared verbatim by the inline
+    * (train-per-call) and served (artifacts-at-rest) paths: per-query
+    * ADC table + coarse probes against the broadcast codebook/
+    * centroids, then candidate scoring from the probed postings' 2 B
+    * codes only — raw corpus embeddings are never touched here. */
+  private def adcTopK(q: DataFrame, codebook: DataFrame,
+      centroids: DataFrame, postings: DataFrame): DataFrame = {
     // per-query ADC table: qtab[block][code] = dot(q_block, c_block)
     val sq = s"slice(q_emb, 1 + block * $pqSubDim, $pqSubDim)"
     val sc = s"slice(c_emb, 1 + block * $pqSubDim, $pqSubDim)"
@@ -367,8 +377,7 @@ object Similarity {
     // the raw candidate embedding is never read past the encode stage
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))
-    lists.select("vec_id", "cluster", "norm")
-      .join(codes, Seq("vec_id"))
+    postings
       .join(broadcast(probes), Seq("cluster"))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("adot",
@@ -378,6 +387,60 @@ object Similarity {
       .filter(col("rank") <= 10)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("score"))
       .orderBy("query_id", "rank")
+  }
+
+  // ---------------------------------------------------------------------
+  // sim_ann_ivfpq_served — the production serving mode the inline
+  // query's comments promise: train ONCE, persist the index as parquet
+  // artifacts, and serve top-k from the artifacts without ever
+  // scanning the corpus embeddings again. Artifacts:
+  //   centroids/  16 rows (cluster, centroid)        — broadcast side
+  //   codebook/   16 rows (code, c_emb)              — broadcast side
+  //   postings/   1 row per vector (vec_id, norm, 4 codes),
+  //               PARTITIONED BY cluster — a probe reads ~nprobe/K of
+  //               the files via partition pruning, which at 100 TB is
+  //               the difference between an index lookup and a scan.
+  // The serve plan touches `embeddings` exactly once: the probe-set
+  // filter that yields the query vectors (SimilaritySpec asserts the
+  // single scan, and that served output == inline output row-for-row).
+  // ---------------------------------------------------------------------
+  private[graft] def buildIvfPqIndex(spark: SparkSession, dir: String,
+      indexDir: String): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.loadBalanced(spark, dir, "embeddings")
+      .withColumn("norm", expr("vec_norm(embedding)"))
+      .select("vec_id", "embedding", "norm")
+    val (centroids, lists) = ivfIndex(e)
+    val codebook = pqCodebook(e).persist()
+    centroids.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    codebook.write.mode("overwrite").parquet(s"$indexDir/codebook")
+    lists.select("vec_id", "cluster", "norm")
+      .join(pqCodes(e, codebook)
+        .select("vec_id", "code0", "code1", "code2", "code3"), Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$indexDir/postings")
+  }
+
+  /** Serve top-k from a built index: corpus side = artifacts only. */
+  private[graft] def ivfPqServe(spark: SparkSession, dir: String,
+      indexDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    val codebook = spark.read.parquet(s"$indexDir/codebook")
+    val postings = spark.read.parquet(s"$indexDir/postings")
+    val q = Tables.loadBalanced(spark, dir, "embeddings")
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        expr("vec_norm(embedding)").as("q_norm"))
+      .persist()
+    adcTopK(q, codebook, centroids, postings)
+  }
+
+  def ivfPqServed(spark: SparkSession, dir: String): DataFrame = {
+    val indexDir = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_ivfpq_index").getPath
+    buildIvfPqIndex(spark, dir, indexDir)
+    ivfPqServe(spark, dir, indexDir)
   }
 
   /** Ascending-index dot-product fold over one 16-dim sub-block, both
@@ -426,6 +489,7 @@ object Similarity {
     "sim_ann_lsh"     -> (annLsh _),
     "sim_ann_ivf"     -> (ivfTopK _),
     "sim_ann_ivfpq"   -> (ivfPqTopK _),
+    "sim_ann_ivfpq_served" -> (ivfPqServed _),
     "vec_pq_assign"   -> (pqAssign _))
 
   /** The three ANN variants (sim_ann_lsh, sim_ann_ivf, sim_ann_ivfpq)

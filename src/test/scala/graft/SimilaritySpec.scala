@@ -145,6 +145,38 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("served IVF-PQ equals the inline query and never re-scans the corpus") {
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_spec").toFile
+    try {
+      Similarity.buildIvfPqIndex(spark, SF, indexDir.getPath)
+      spark.catalog.clearCache() // index build persists are done with
+      val served = Similarity.ivfPqServe(spark, SF, indexDir.getPath)
+      // identical algebra from at-rest artifacts: output must match the
+      // inline (train-per-call) query row for row — which also carries
+      // the planted-recall guarantee over to the served path unchanged
+      val inline = Similarity.ivfPqTopK(spark, SF).collect().toSeq
+      assert(served.collect().toSeq === inline,
+        "served top-k must be identical to the inline query")
+      // the serving property that matters at 100 TB: the corpus
+      // embeddings table appears in the plan exactly once — the
+      // probe-set (query) scan; candidates come from the postings
+      // artifacts (2 B codes + norm), never the raw vectors
+      val plan = served.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val scans = "embeddings\\.parquet".r.findAllIn(plan).length
+      assert(scans === 1, s"serve plan must scan embeddings once, found $scans:\n$plan")
+      assert(plan.contains("postings"), "candidates must come from the postings artifact")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(indexDir)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("PQ: codes in range, seeds self-quantize at zero error") {
     import org.apache.spark.sql.functions._
     val out = Similarity.pqAssign(spark, SF).collect()
