@@ -5,7 +5,7 @@ import java.time.LocalDate
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.RetailPipeline
-import graft.pipeline.{LogNotifier, Notifier, Readiness, RunConfig}
+import graft.pipeline.{FileNotifier, HttpNotifier, LogNotifier, Notifier, Readiness, RunConfig}
 import graft.sources.{CsvTableReader, OutputWriter}
 
 /** The end-to-end daily pipeline as one process (reference entry point
@@ -20,15 +20,39 @@ import graft.sources.{CsvTableReader, OutputWriter}
   *
   * Usage:
   *   --date YYYY-MM-DD --out PATH [--mode faithful|corrected]
-  *   [--single-file] and either --in-dir DIR (readiness-gated, files
-  *   named {table}_YYYYMMDD.csv) or five explicit --calendar/
-  *   --inventory/--product/--sales/--store paths.
+  *   [--single-file] [--alert-webhook URL] [--alert-dir PATH] and
+  *   either --in-dir DIR (readiness-gated, files named
+  *   {table}_YYYYMMDD.csv) or five explicit --calendar/--inventory/
+  *   --product/--sales/--store paths. Scheduling + alerting contract:
+  *   RUNBOOK.md.
   */
 object RetailEtlApp {
 
   def main(args: Array[String]): Unit = {
-    val exit = run(args.toSeq, LogNotifier)
+    val (notifier, rest) = notifierFromArgs(args.toSeq)
+    val exit = run(rest, notifier)
     if (exit != 0) sys.exit(exit)
+  }
+
+  /** Alert-transport selection (C7, see RUNBOOK.md): `--alert-webhook
+    * URL` POSTs the alert JSON (HttpNotifier); `--alert-dir PATH`
+    * writes durable JSONL (FileNotifier). Both → webhook with the
+    * JSONL dir as its fallback; neither → stderr. */
+  private[graft] def notifierFromArgs(args: Seq[String]): (Notifier, Seq[String]) = {
+    def extract(flag: String, as: Seq[String]): (Option[String], Seq[String]) = {
+      val i = as.indexOf(flag)
+      if (i >= 0 && i + 1 < as.length) (Some(as(i + 1)), as.patch(i, Nil, 2))
+      else (None, as)
+    }
+    val (hook, r1) = extract("--alert-webhook", args)
+    val (dir, r2) = extract("--alert-dir", r1)
+    val base: Notifier = dir
+      .map(d => new FileNotifier(new org.apache.hadoop.conf.Configuration(), d): Notifier)
+      .getOrElse(LogNotifier)
+    val chosen: Notifier = hook
+      .map(u => new HttpNotifier(java.net.URI.create(u), fallback = base): Notifier)
+      .getOrElse(base)
+    (chosen, r2)
   }
 
   /** Factored for tests: returns an exit code instead of calling

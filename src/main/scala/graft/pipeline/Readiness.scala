@@ -61,15 +61,78 @@ object Readiness {
 
 /** Failure alerting seam (reference C7 — the SES email at AWS
   * SES.py:31-51, triggered from Lambda Function.py:46-47). The engine
-  * ships the logging impl; transports like SES stay out of scope. */
+  * ships three transports — stderr, durable JSONL, HTTP webhook — all
+  * emitting the same JSON payload; anything heavier (SES itself,
+  * PagerDuty, Slack) subscribes to the webhook or tails the JSONL. */
 trait Notifier {
   def notifyMissing(date: LocalDate, missing: Set[String]): Unit
+}
+
+/** Shared alert payload: ONE wire format across every transport, so a
+  * consumer can switch transports without re-parsing. */
+private[pipeline] object AlertJson {
+  def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    } + "\""
+
+  def readinessMissing(date: LocalDate, missing: Set[String]): String =
+    s"""{"kind":"readiness_missing","date":${jsonStr(date.toString)},"missing":[${
+      missing.toSeq.sorted.map(jsonStr).mkString(",")}]}"""
 }
 
 object LogNotifier extends Notifier {
   def notifyMissing(date: LocalDate, missing: Set[String]): Unit =
     System.err.println(
       s"[readiness] input files missing for $date: ${missing.toSeq.sorted.mkString(", ")}")
+}
+
+/** Webhook transport: POST the alert JSON to a configured endpoint —
+  * the out-of-process analog of the reference's SES email (AWS
+  * SES.py:31-51) without an SDK dependency (JDK HttpClient only; the
+  * receiving side is whatever the deployment points it at: an SES
+  * forwarder, Slack incoming webhook, PagerDuty events API).
+  *
+  * Delivery is BEST-EFFORT BY DESIGN: an alerting outage must degrade
+  * the alert, never escalate it into a pipeline failure — a thrown
+  * exception here would replace "inputs missing" (actionable) with
+  * "monitoring down" (masking the original condition). Non-2xx or
+  * transport errors log the failure and fall back to the wrapped
+  * notifier, so the alert always lands SOMEWHERE (pair with
+  * [[FileNotifier]] for a durable fallback). */
+final class HttpNotifier(
+    endpoint: java.net.URI,
+    timeout: java.time.Duration = java.time.Duration.ofSeconds(5),
+    fallback: Notifier = LogNotifier) extends Notifier {
+
+  private lazy val client = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(timeout).build()
+
+  def notifyMissing(date: LocalDate, missing: Set[String]): Unit = {
+    val body = AlertJson.readinessMissing(date, missing)
+    val req = java.net.http.HttpRequest.newBuilder(endpoint)
+      .timeout(timeout)
+      .header("Content-Type", "application/json")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+      .build()
+    val delivered =
+      try {
+        val rsp = client.send(req,
+          java.net.http.HttpResponse.BodyHandlers.discarding())
+        val ok = rsp.statusCode() >= 200 && rsp.statusCode() < 300
+        if (!ok) System.err.println(
+          s"[notify] webhook $endpoint returned ${rsp.statusCode()}")
+        ok
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[notify] webhook $endpoint failed: $e")
+          false
+      }
+    if (!delivered) fallback.notifyMissing(date, missing)
+  }
 }
 
 /** Durable alert channel: writes each alert as its OWN single-line
@@ -85,20 +148,11 @@ object LogNotifier extends Notifier {
   * dependencies. Alerts survive the JVM, unlike stderr. */
 final class FileNotifier(conf: Configuration, dir: String) extends Notifier {
 
-  private def jsonStr(s: String): String =
-    "\"" + s.flatMap {
-      case '"'           => "\\\""
-      case '\\'          => "\\\\"
-      case c if c < ' '  => f"\\u${c.toInt}%04x"
-      case c             => c.toString
-    } + "\""
-
   def notifyMissing(date: LocalDate, missing: Set[String]): Unit = {
     val d = new Path(dir)
     val fs = d.getFileSystem(conf)
     fs.mkdirs(d)
-    val line = s"""{"kind":"readiness_missing","date":${jsonStr(date.toString)},"missing":[${
-      missing.toSeq.sorted.map(jsonStr).mkString(",")}]}""" + "\n"
+    val line = AlertJson.readinessMissing(date, missing) + "\n"
     val p = new Path(d, s"alert-$date-${java.util.UUID.randomUUID()}.jsonl")
     // create(overwrite=false): a UUID collision must fail loudly, not
     // clobber another alert

@@ -200,6 +200,85 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(!parsed.columns.contains("_corrupt_record"), "no malformed lines")
   }
 
+  test("http notifier POSTs the shared alert JSON to the configured webhook") {
+    import graft.pipeline.HttpNotifier
+    val received = new java.util.concurrent.LinkedBlockingQueue[(String, String)]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/hook", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      received.put((ex.getRequestHeaders.getFirst("Content-Type"), body))
+      ex.sendResponseHeaders(200, -1)
+      ex.close()
+    })
+    server.start()
+    try {
+      val uri = java.net.URI.create(
+        s"http://127.0.0.1:${server.getAddress.getPort}/hook")
+      new HttpNotifier(uri).notifyMissing(
+        LocalDate.parse("2024-01-08"), Set("sales", "calendar"))
+      val (ctype, body) = received.poll(10, java.util.concurrent.TimeUnit.SECONDS)
+      assert(ctype === "application/json")
+      // same wire format as the JSONL transport — one payload contract
+      assert(body ===
+        """{"kind":"readiness_missing","date":"2024-01-08","missing":["calendar","sales"]}""")
+    } finally server.stop(0)
+  }
+
+  test("http notifier degrades to the fallback, never throws, on transport failure") {
+    import graft.pipeline.{HttpNotifier, Notifier}
+    val fellBack = new java.util.concurrent.atomic.AtomicReference[Set[String]](null)
+    val fallback = new Notifier {
+      def notifyMissing(date: LocalDate, missing: Set[String]): Unit =
+        fellBack.set(missing)
+    }
+    // a port nothing listens on: connection refused. An alerting outage
+    // must degrade the alert, not escalate into a pipeline failure.
+    val dead = java.net.URI.create("http://127.0.0.1:1/hook")
+    new HttpNotifier(dead, java.time.Duration.ofMillis(500), fallback)
+      .notifyMissing(LocalDate.parse("2024-01-08"), Set("sales"))
+    assert(fellBack.get() === Set("sales"), "alert must land on the fallback transport")
+
+    // non-2xx responses are failures too (a 500 from the hook must not
+    // silently swallow the alert)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/hook", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.sendResponseHeaders(500, -1); ex.close()
+    })
+    server.start()
+    try {
+      fellBack.set(null)
+      val uri = java.net.URI.create(
+        s"http://127.0.0.1:${server.getAddress.getPort}/hook")
+      new HttpNotifier(uri, java.time.Duration.ofSeconds(5), fallback)
+        .notifyMissing(LocalDate.parse("2024-01-09"), Set("store"))
+      assert(fellBack.get() === Set("store"), "5xx must route to the fallback")
+    } finally server.stop(0)
+  }
+
+  test("alert-transport flags select the notifier and are stripped from the args") {
+    import graft.app.RetailEtlApp
+    import graft.pipeline.{FileNotifier, HttpNotifier, LogNotifier}
+    val base = Seq("--date", "2024-01-08", "--out", "/tmp/x")
+    val (n0, r0) = RetailEtlApp.notifierFromArgs(base)
+    assert(n0 eq LogNotifier)
+    assert(r0 === base)
+    val (n1, r1) = RetailEtlApp.notifierFromArgs(
+      base ++ Seq("--alert-webhook", "http://127.0.0.1:9/hook"))
+    assert(n1.isInstanceOf[HttpNotifier])
+    assert(r1 === base, "transport flags must not leak into RunConfig.parse")
+    val (n2, r2) = RetailEtlApp.notifierFromArgs(
+      Seq("--alert-dir", "/tmp/alerts") ++ base)
+    assert(n2.isInstanceOf[FileNotifier])
+    assert(r2 === base)
+    val (n3, r3) = RetailEtlApp.notifierFromArgs(
+      Seq("--alert-webhook", "http://127.0.0.1:9/h", "--alert-dir", "/tmp/a") ++ base)
+    assert(n3.isInstanceOf[HttpNotifier], "webhook wins, JSONL dir becomes its fallback")
+    assert(r3 === base)
+  }
+
   test("catalog fact table: queryable by name, reruns keep earlier dates") {
     import graft.sources.OutputWriter
     val table = "graft_weekly_fact_spec"
