@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Multimodal, Relational, Similarity}
+
+/** Quantitative gates for the catalog entries that are approximate BY
+  * CONSTRUCTION and therefore carry no SQL oracle (the driver records
+  * a rows-only check for them). Each entry here pairs the approximate
+  * query with its exact twin and a floor/bound; `graft.Quality` (a
+  * main) evaluates all of them and writes the per-round
+  * `QUALITY_r{N}.json` artifact, so the no-oracle rows are gated by a
+  * recorded number, not just a local ScalaTest run.
+  *
+  * The ANN recall gates run on the planted-cluster fixture rather than
+  * the table embeddings: the synthetic table vectors are near-uniform,
+  * so corpus recall there is data-limited (≈ fraction scanned) and
+  * cannot discriminate a working index from a random scan. The fixture
+  * plants 10 tight clusters (member-member cosine ≈ 0.985) in a
+  * 1500-vector uniform background; each cluster's id-multiple-of-50
+  * member is a query whose TRUE top-10 is its 10 fellow members.
+  * SimilaritySpec asserts the same floors on the same fixture. */
+object QualityHarness {
+
+  /** One evaluated gate: `value` compared against `floor` (higher is
+    * better — error metrics are recorded as their complement's bound
+    * via `direction`). */
+  final case class Gate(
+      entry: String, metric: String, value: Double,
+      floor: Double, higherIsBetter: Boolean) {
+    def pass: Boolean = if (higherIsBetter) value >= floor else value <= floor
+  }
+
+  /** Deterministic planted-cluster corpus — shared by SimilaritySpec
+    * and the Quality artifact so the recorded floor and the spec floor
+    * gate the identical computation. */
+  def plantedCorpus(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    def gauss(dim: Int): Array[Float] =
+      Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val clustered = (0 until 10).flatMap { k =>
+      val center = gauss(64)
+      (0 until 11).map { m =>
+        val v = center.zip(gauss(64)).map { case (c, n) => c + 0.12f * n }
+        (50L * k + m, v)
+      }
+    }
+    // odd ids are never % 50 == 0, so the background contributes no queries
+    val background = (0 until 1500).map(i => (1001L + 2 * i, gauss(64)))
+    (clustered ++ background).toDF("vec_id", "embedding")
+  }
+
+  /** Mean per-query recall of `ann` against each planted query's true
+    * cluster (its 10 fellow members). */
+  def recallOnPlanted(ann: Array[org.apache.spark.sql.Row]): Double = {
+    val truth = (0 until 10).map { k =>
+      val q = 50L * k
+      q -> ((q + 1) to (q + 10)).toSet
+    }.toMap
+    val found = ann.filter(_.getLong(0) < 1000)
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val hit = truth.map { case (q, ns) =>
+      ns.count(found.getOrElse(q, Set.empty).contains).toDouble / ns.size
+    }
+    hit.sum / hit.size
+  }
+
+  /** Evaluate every no-oracle gate. `sfDir` feeds the sketch-vs-exact
+    * pairs; the ANN recalls use the planted fixture (see scaladoc). */
+  def gates(spark: SparkSession, sfDir: String): Seq[Gate] = {
+    val planted = plantedCorpus(spark)
+    def recall(rows: Array[org.apache.spark.sql.Row]): Double =
+      recallOnPlanted(rows)
+
+    val lsh = Gate("sim_ann_lsh", "planted_recall_at_10",
+      recall(Similarity.annLshOver(planted).collect()), 0.6, higherIsBetter = true)
+    val ivf = Gate("sim_ann_ivf", "planted_recall_at_10",
+      recall(Similarity.ivfTopKOver(planted).collect()), 0.6, higherIsBetter = true)
+    val ivfpq = Gate("sim_ann_ivfpq", "planted_recall_at_10",
+      recall(Similarity.ivfPqTopKOver(planted).collect()), 0.5, higherIsBetter = true)
+    spark.catalog.clearCache()
+
+    // served == inline is an EXACT property (same algebra over at-rest
+    // artifacts): gate the row-identity fraction at 1.0, which carries
+    // the inline recall floor over to the served path by construction
+    val inline = Similarity.ivfPqTopK(spark, sfDir).collect().toSeq
+    spark.catalog.clearCache()
+    val served = Similarity.ivfPqServed(spark, sfDir).collect().toSeq
+    spark.catalog.clearCache()
+    val servedGate = Gate("sim_ann_ivfpq_served", "served_equals_inline",
+      if (served == inline && served.nonEmpty) 1.0 else 0.0, 1.0,
+      higherIsBetter = true)
+
+    // HLL distinct: worst-group relative error vs the exact twin
+    val hllExact = graft.operators.Events.exactDistinct(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val hllErr = graft.operators.Events.hllDistinct(spark, sfDir).collect()
+      .map { r =>
+        val ex = hllExact((r.getLong(0), r.getString(1)))
+        math.abs(r.getLong(2).toDouble - ex) / math.max(1.0, ex.toDouble)
+      }.max
+    val hll = Gate("events_hll_distinct", "max_group_rel_error",
+      hllErr, 0.05, higherIsBetter = false)
+
+    // approx quantiles: worst absolute value drift vs exact q12
+    val qExact = Relational.q12(spark, sfDir).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val qErr = Relational.q25(spark, sfDir).collect().map { r =>
+      qExact(r.getString(0)).zip(Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+        .map { case (e, a) => math.abs(e - a) }.max
+    }.max
+    val q25 = Gate("q25_approx_quantiles", "max_abs_value_drift", qErr, 2.0,
+      higherIsBetter = false)
+
+    // approx NDV: worst relative error vs exact q23 (5x the 1% rsd)
+    val ndvExact = Relational.q23(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val ndvErr = Relational.q26(spark, sfDir).collect().map { r =>
+      math.abs(r.getLong(2).toDouble / ndvExact(r.getString(0)) - 1.0)
+    }.max
+    val q26 = Gate("q26_column_stats_approx", "max_rel_ndv_error", ndvErr,
+      5 * Relational.ndvRsd, higherIsBetter = false)
+
+    // the video-decode stub has no quality axis (documented no-JDK-codec
+    // seam); its gate is determinism of the stubbed features across runs
+    def stubSig(): Seq[Seq[Any]] =
+      Multimodal.decodeStub(spark, sfDir).collect().toSeq.map(_.toSeq)
+    val stub = Gate("mm_decode_stub", "deterministic_across_runs",
+      if (stubSig() == stubSig()) 1.0 else 0.0, 1.0, higherIsBetter = true)
+
+    spark.catalog.clearCache()
+    Seq(lsh, ivf, ivfpq, servedGate, hll, q25, q26, stub)
+  }
+}
+
+/** Emit the no-oracle quality artifact: `Quality <sfDir> <outFile>`. */
+object Quality {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outFile) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val gs = QualityHarness.gates(spark, sfDir)
+    val json = gs.map { g =>
+      f""""${g.entry}": {"metric": "${g.metric}", "value": ${g.value}%.6f, """ +
+        f""""${if (g.higherIsBetter) "floor" else "bound"}": ${g.floor}%.6f, """ +
+        s""""pass": ${g.pass}}"""
+    }.mkString("{\n  ", ",\n  ", "\n}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    println(json)
+    val failed = gs.filterNot(_.pass).map(_.entry)
+    spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[quality] FAILED gates: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
+  }
+}

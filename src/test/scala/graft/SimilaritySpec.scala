@@ -40,46 +40,26 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(recall > 0.07, s"recall $recall not better than random scan")
   }
 
-  /** Planted-cluster fixture: the table embeddings are near-uniform, so
-    * corpus recall there is data-limited (≈ fraction scanned) and does
-    * not discriminate a working ANN from a random scan. Here 10 tight
-    * clusters (11 members each, member-member cosine ≈ 0.985) sit in a
-    * 1500-vector uniform background; each cluster's id-multiple-of-50
-    * member is a query whose true top-10 IS its 10 fellow members.
-    * A working ANN must recall most of them; a random scan of the same
-    * fraction would find 3.5% (LSH) / 25% (IVF). */
-  private def plantedCorpus: org.apache.spark.sql.DataFrame = {
-    import spark.implicits._
-    val rnd = new scala.util.Random(7L)
-    def gauss(dim: Int): Array[Float] =
-      Array.fill(dim)(rnd.nextGaussian().toFloat)
-    val clustered = (0 until 10).flatMap { k =>
-      val center = gauss(64)
-      (0 until 11).map { m =>
-        val v = center.zip(gauss(64)).map { case (c, n) => c + 0.12f * n }
-        (50L * k + m, v)
-      }
-    }
-    // odd ids are never % 50 == 0, so the background contributes no queries
-    val background = (0 until 1500).map(i => (1001L + 2 * i, gauss(64)))
-    (clustered ++ background).toDF("vec_id", "embedding")
-  }
+  /** Planted-cluster fixture + recall — shared with the QUALITY
+    * artifact (QualityHarness scaladoc has the construction). */
+  private def plantedCorpus: org.apache.spark.sql.DataFrame =
+    QualityHarness.plantedCorpus(spark)
 
-  private def recallOnPlanted(ann: Array[org.apache.spark.sql.Row]): Double = {
+  private def recallOnPlanted(ann: Array[org.apache.spark.sql.Row]): Double =
+    recallChecked(ann)
+
+  /** The harness assumes each planted query's true top-10 is its own
+    * cluster; verify that assumption against the EXACT scorer here so
+    * the shared recall stays honest. */
+  private def recallChecked(ann: Array[org.apache.spark.sql.Row]): Double = {
     val exact = Similarity.cosineTopKOver(plantedCorpus).collect()
       .filter(_.getLong(0) < 1000)   // planted queries only
       .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
     assert(exact.size === 10)
-    // sanity: the true top-10 of a planted query is its own cluster
     exact.foreach { case (q, ns) =>
       assert(ns === ((q until q + 11).toSet - q), s"query $q true top-10 not its cluster")
     }
-    val found = ann.filter(_.getLong(0) < 1000)
-      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-    val hit = exact.map { case (q, ns) =>
-      ns.count(found.getOrElse(q, Set.empty).contains).toDouble / ns.size
-    }
-    hit.sum / hit.size
+    QualityHarness.recallOnPlanted(ann)
   }
 
   test("LSH recall on planted clusters discriminates from a random scan") {
