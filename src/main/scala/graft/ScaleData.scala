@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Derived benchmark datasets — `BenchData <baseSfDir> <outRoot>`.
+  * Generates two variants of the driver's sf0.1 tables under
+  * `<outRoot>` (conventionally `target/benchdata`, git-ignored):
+  *
+  *  - `skew0.1/` — same tables, two planted skews:
+  *      * lineitem: ~2% of all rows remapped onto ONE (part, store)
+  *        cell (keys 1/1). The faithful pipeline's date-less
+  *        sales⋈inventory join (reference semantics,
+  *        Data Transformation.py:50) then fans that cell out to
+  *        tens of millions of rows landing in a single shuffle
+  *        partition — the classic hot-key join a 100 TB retail fact
+  *        hits on its flagship store. SkewBench measures plain vs
+  *        AQE-skew-split vs SkewJoin.saltedBy on exactly this join.
+  *      * events: ~20% of rows remapped onto one hot user — the
+  *        per-user window/sessionize straggler case.
+  *    All other tables are byte-identical copies, serving as controls.
+  *
+  *  - `sf1/` — 10× scale-up: every fact AND its dimensions replicated
+  *    10 times with a consistent key offset (1e8) per replica, so
+  *    referential integrity and per-key densities match the base —
+  *    each replica is a shifted clone, which scales row counts without
+  *    distorting join fan-outs. Replicated documents get a per-replica
+  *    suffix token, making each base doc a 10-clone NEAR-duplicate
+  *    group — deliberately: a 10× web corpus is near-dup-rich, and the
+  *    dedup tier should be measured against that shape, not against
+  *    10× unique text. region/nation stay fixed (dims that don't scale
+  *    with SF in TPC-H either).
+  *
+  * Deterministic throughout (hash-derived skew membership, fixed
+  * offsets) — two runs produce identical data.
+  */
+object BenchData {
+
+  private val KeyOff = 100000000L // > any base key at sf0.1
+  private val Reps = 10
+
+  def main(args: Array[String]): Unit = {
+    val Array(baseDir, outRoot) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    writeSkew(spark, baseDir, s"$outRoot/skew0.1")
+    writeSf1(spark, baseDir, s"$outRoot/sf1")
+    spark.stop()
+  }
+
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events")
+      spark.read.schema(Tables.eventsSchema).parquet(s"$dir/events.parquet")
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  private def write(df: DataFrame, dir: String, name: String, parts: Int): Unit =
+    df.repartition(parts).write.mode("overwrite").parquet(s"$dir/$name.parquet")
+
+  private[graft] def skewLineitem(li: DataFrame): DataFrame = {
+    // ~2% of rows → the (1, 1) cell; hash-derived so membership is
+    // deterministic and spread uniformly over the table
+    val hot = pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(50)) === 0
+    li.withColumn("l_partkey", when(hot, lit(1L)).otherwise(col("l_partkey")))
+      .withColumn("l_suppkey", when(hot, lit(1L)).otherwise(col("l_suppkey")))
+  }
+
+  private[graft] def skewEvents(ev: DataFrame): DataFrame =
+    ev.withColumn("user_id",
+      when(pmod(xxhash64(col("event_id")), lit(5)) === 0, lit(42L))
+        .otherwise(col("user_id")))
+
+  private def writeSkew(spark: SparkSession, base: String, out: String): Unit = {
+    write(skewLineitem(load(spark, base, "lineitem")), out, "lineitem", 8)
+    write(skewEvents(load(spark, base, "events")), out, "events", 4)
+    for (t <- Tables.names if t != "lineitem" && t != "events")
+      write(load(spark, base, t), out, t, 2)
+  }
+
+  /** Replicate with `rep * KeyOff` added to every column in `keys`. */
+  private def replicate(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val r = df.withColumn("__rep", explode(expr(s"sequence(0, ${Reps - 1})")))
+    keys.foldLeft(r)((d, k) =>
+      d.withColumn(k, col(k) + col("__rep").cast("long") * KeyOff))
+  }
+
+  private def writeSf1(spark: SparkSession, base: String, out: String): Unit = {
+    write(load(spark, base, "region"), out, "region", 1)
+    write(load(spark, base, "nation"), out, "nation", 1)
+    write(replicate(load(spark, base, "customer"), Seq("c_custkey"))
+      .drop("__rep"), out, "customer", 4)
+    write(replicate(load(spark, base, "supplier"), Seq("s_suppkey"))
+      .drop("__rep"), out, "supplier", 2)
+    write(replicate(load(spark, base, "part"), Seq("p_partkey"))
+      .drop("__rep"), out, "part", 4)
+    write(replicate(load(spark, base, "orders"), Seq("o_orderkey", "o_custkey"))
+      .drop("__rep"), out, "orders", 8)
+    write(replicate(load(spark, base, "lineitem"),
+      Seq("l_orderkey", "l_partkey", "l_suppkey")).drop("__rep"), out, "lineitem", 32)
+    write(replicate(load(spark, base, "events"), Seq("event_id", "user_id"))
+      .drop("__rep"), out, "events", 8)
+    write(replicate(load(spark, base, "documents"), Seq("doc_id"))
+      // rep 0 keeps the original text; later replicas append a distinct token →
+      // 10-clone near-dup groups (see scaladoc)
+      .withColumn("text",
+        when(col("__rep") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" rep"), col("__rep"))))
+      .withColumn("n_chars", length(col("text")))
+      .drop("__rep"), out, "documents", 8)
+    write(replicate(load(spark, base, "embeddings"), Seq("vec_id"))
+      .drop("__rep"), out, "embeddings", 4)
+  }
+}

@@ -828,7 +828,10 @@ object Dedup {
   // miss 2.5e-6) off a longer signature, same plan shape.
   // ---------------------------------------------------------------------
   private[graft] val lshPlantStride = 20L
-  private[graft] val lshPlantOffset = 1000000L
+  // 2^40: far above any realistic id space (the sf1 scale-up bench
+  // replicates ids at 1e8 offsets and tripped the collision guard at
+  // the old 1e6), while vec_id + offset stays well inside Long
+  private[graft] val lshPlantOffset = 1L << 40
 
   /** Derived dedup corpus: every vec_id % 20 == 0 vector re-emitted as
     * vec_id + 1e6 with coordinate (vec_id % 64) zeroed — cosine to its

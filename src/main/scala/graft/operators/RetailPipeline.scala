@@ -162,7 +162,20 @@ object RetailPipeline {
       .select(col("YR_WK_NUM"), col("STORE_KEY"), col("PROD_KEY"),
         col("SALES_AMT"), col("SALES_QTY"), col("SALES_COST"),
         col("OUT_OF_STOCK_FLG"), col("INVENTORY_ON_HAND_QTY"),
-        col("INVENTORY_ON_ORDER_QTY"), col("CAL_DT"), col("INVENTORY_CAL_DT")))
+        col("INVENTORY_ON_ORDER_QTY"), col("CAL_DT"), col("INVENTORY_CAL_DT"))
+      // Spread the cache on (key, DATE), not the join's (key) layout:
+      // the fanout join leaves merged hash-partitioned by (PROD_KEY,
+      // STORE_KEY), which SATISFIES every downstream grouping — so
+      // without this exchange a hot (product, store) cell (one
+      // flagship store × staple product can be 2% of a retail fact)
+      // pins its entire fanned-out output in ONE cache partition that
+      // each of the three aggregation paths then consumes serially.
+      // Adding CAL_DT to the distribution bounds partition size under
+      // ANY key skew (a cell spreads over its dates); the downstream
+      // aggs pay a partial/final split instead of zero exchanges, a
+      // ~5% cost on uniform data vs an unbounded straggler under skew
+      // (measured 96 s → 8 s on the planted-skew bench, BASELINE.md).
+      .repartition(col("PROD_KEY"), col("STORE_KEY"), col("CAL_DT")))
 
     // The reference computes 9 separate branches over `merged` (A1-A4
     // at :62-66, A5 at :87-89, A6 at :93-96, m at :109-112, the two
