@@ -113,7 +113,7 @@ object QualityHarness {
     val q25 = Gate("q25_approx_quantiles", "max_abs_value_drift", qErr, 2.0,
       higherIsBetter = false)
 
-    // approx NDV: worst relative error vs exact q23 (5x the 1% rsd)
+    // approx NDV: worst relative error vs exact q23 (5x the configured rsd)
     val ndvExact = Relational.q23(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getLong(2)).toMap
     val ndvErr = Relational.q26(spark, sfDir).collect().map { r =>

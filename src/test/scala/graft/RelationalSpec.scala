@@ -291,7 +291,7 @@ class RelationalSpec extends AnyFunSuite with SparkSuite {
       assert(r.getLong(1) === e.getLong(1), s"${r.getString(0)} n_rows")
       assert(r.getDouble(3) === e.getDouble(3), s"${r.getString(0)} min")
       assert(r.getDouble(4) === e.getDouble(4), s"${r.getString(0)} max")
-      // HLL++ with rsd=1%: assert within 5 standard errors — a bound a
+      // HLL++ at the configured rsd: within 5 standard errors — a bound a
       // correct sketch exceeds with probability < 1e-6 per column
       val rel = math.abs(r.getLong(2).toDouble / e.getLong(2) - 1.0)
       assert(rel <= 5 * Relational.ndvRsd,
