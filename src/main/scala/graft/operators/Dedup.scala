@@ -749,18 +749,31 @@ object Dedup {
   private[graft] val normSql =
     "sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b))"
 
-  /** G(G+1)/2 = 36 buckets at the default — ≥ local[32]'s cores; a
-    * 1000-executor deployment would pick G ≈ 64..1024 (2k..500k
-    * buckets) to match its parallelism and memory budget. */
-  private[graft] val defaultPairBlocks = 8
+  /** Default G adapts to the session's parallelism: G(G+1)/2 buckets
+    * should comfortably exceed the core count or the pair scan runs on
+    * a handful of straggler tasks (at local[32] the old fixed G=8 gave
+    * 36 coarse buckets → ~1 bucket/core with no slack; G=16 gives 136).
+    * Replication cost is only n·G rows — trivial against the n²/2 dot
+    * products it spreads — so target ~4 buckets per core and floor at
+    * 8. A 1000-executor deployment lands at G ≈ 256 (≈33k buckets)
+    * automatically, and callers with a memory budget can still pass an
+    * explicit G. Results are G-invariant (every unordered pair meets in
+    * exactly one bucket for ANY G — spec-asserted). Local timing is
+    * G-insensitive (measured 40±2 s at sf1 for G ∈ {8,16,24}: one JVM
+    * is memory-bandwidth-bound, not scheduling-bound); the knob's
+    * payoff is real-cluster task granularity and per-task memory. */
+  private[graft] def defaultPairBlocks(spark: SparkSession): Int = {
+    val p = spark.sparkContext.defaultParallelism
+    math.max(8, math.ceil(math.sqrt(8.0 * p)).toInt)
+  }
 
   def embeddingCosine(spark: SparkSession, dir: String): DataFrame =
     embeddingCosineAllPairs(spark, dir, threshold = 0.45)
 
   private[graft] def embeddingCosineAllPairs(spark: SparkSession, dir: String,
-      threshold: Double, nBlocks: Int = defaultPairBlocks): DataFrame = {
+      threshold: Double, nBlocks: Int = -1): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val g = nBlocks
+    val g = if (nBlocks > 0) nBlocks else defaultPairBlocks(spark)
     // vec_dot/vec_norm are native codegen'd expressions
     // (graft.functions.DotProductFloat) — same ascending-index IEEE
     // summation as the zip_with/aggregate composition and the oracle's

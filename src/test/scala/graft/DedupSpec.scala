@@ -358,5 +358,12 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     val block = Dedup.embeddingCosineAllPairs(spark, SF, threshold = -1.0).count()
     assert(block === n * (n - 1) / 2,
       s"blocked join generated $block pairs for n=$n (want ${n * (n - 1) / 2})")
+    // G-invariance: the adaptive default must return the identical pair
+    // set as any explicit block count (every pair meets in exactly one
+    // bucket for ANY G)
+    val atG3 = Dedup.embeddingCosineAllPairs(spark, SF, threshold = 0.45, nBlocks = 3)
+      .collect().map(_.toSeq)
+    val atDefault = Dedup.embeddingCosine(spark, SF).collect().map(_.toSeq)
+    assert(atDefault.sameElements(atG3), "pair results must be G-invariant")
   }
 }
