@@ -1064,9 +1064,12 @@ object Dedup {
   // shape: the posting join shuffles 16-char keys; candidate volume is
   // O(near-dups), tiny next to the corpus, so carrying both texts
   // through the one dedup exchange is cheaper than two join-backs
-  // against the full corpus; verification is a map-side O(len²) DP
-  // per candidate (bounded: docs are capped-length fields, and a
-  // banded early-exit variant drops in if a corpus carries long docs).
+  // against the full corpus; verification is the THRESHOLD form of
+  // the DP — levenshtein(l, r, k) computes only the 2k+1-wide band and
+  // bails to -1 past k, O(len·k) instead of O(len²) per candidate
+  // (~14× fewer DP cells at k=10 over ~300-char docs; identical kept
+  // pairs and distances, since every kept distance is ≤ k by
+  // definition — the unbounded DuckDB oracle agrees on exactly those).
   // ---------------------------------------------------------------------
   private[graft] val levBlockChars = 16
   private[graft] val levMaxDist = 10
@@ -1092,8 +1095,8 @@ object Dedup {
   def levenshteinPairs(spark: SparkSession, dir: String): DataFrame =
     levCandidates(
         Tables.loadBalanced(spark, dir, "documents").select("doc_id", "text"))
-      .withColumn("lev_dist", levenshtein(col("text_i"), col("text_j")))
-      .filter(col("lev_dist") <= levMaxDist)
+      .withColumn("lev_dist", levenshtein(col("text_i"), col("text_j"), levMaxDist))
+      .filter(col("lev_dist") =!= -1)
       .select(col("doc_i"), col("doc_j"), col("lev_dist"),
         length(col("text_i")).as("len_i"), length(col("text_j")).as("len_j"))
       .orderBy("doc_i", "doc_j")
