@@ -443,18 +443,25 @@ object Similarity {
     * maintenance artifact (RUNBOOK.md) — not a per-query retrain.
     * Contract: the corpus under `dir` is immutable between builds;
     * callers with a mutating corpus rebuild via [[buildIvfPqIndex]]. */
+  /** Bump whenever the index-building algebra changes (training,
+    * codebook, postings layout): a marker from an older format must
+    * force a rebuild, or serving would silently read artifacts the
+    * current code never produced. */
+  private val indexFormatVersion = 1
+
   def ivfPqServed(spark: SparkSession, dir: String): DataFrame = {
     val key = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
     val indexDir = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_ivfpq_index_$key").getPath
     val marker = new java.io.File(indexDir, "_built_for")
+    val stamp = s"$dir#v$indexFormatVersion"
     val fresh = marker.exists() && new String(
       java.nio.file.Files.readAllBytes(marker.toPath),
-      java.nio.charset.StandardCharsets.UTF_8) == dir
+      java.nio.charset.StandardCharsets.UTF_8) == stamp
     if (!fresh) {
       buildIvfPqIndex(spark, dir, indexDir)
       java.nio.file.Files.write(marker.toPath,
-        dir.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+        stamp.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     }
     ivfPqServe(spark, dir, indexDir)
   }
