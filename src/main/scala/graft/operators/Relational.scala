@@ -809,7 +809,12 @@ object Relational {
   // → rows-only driver check; the error bound against exact q12 is
   // asserted in RelationalSpec.
   // ---------------------------------------------------------------------
-  private[graft] val approxAccuracy = 10000
+  // 2000 = guaranteed rank error <= 0.05% of each group, far tighter
+  // than p50/p90/p99 monitoring needs, at 1.4x the speed of the
+  // previous 10000 (measured sf0.1 min-of-3: 2.5 s at 1e4, 1.8 s at
+  // 2e3, 1.3 s at 1e3, vs 0.7 s exact — the sketch's per-row update
+  // constant dominates at any accuracy while groups fit in memory)
+  private[graft] val approxAccuracy = 2000
 
   def q25(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.loadBalanced(spark, dir, "lineitem")
