@@ -147,9 +147,13 @@ object Quality {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val gs = QualityHarness.gates(spark, sfDir)
+    // JSON demands '.' decimal separators; the f-interpolator follows the
+    // JVM default locale, so format explicitly under Locale.ROOT
+    def num(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.6f", Double.box(d))
     val json = gs.map { g =>
-      f""""${g.entry}": {"metric": "${g.metric}", "value": ${g.value}%.6f, """ +
-        f""""${if (g.higherIsBetter) "floor" else "bound"}": ${g.floor}%.6f, """ +
+      s""""${g.entry}": {"metric": "${g.metric}", "value": ${num(g.value)}, """ +
+        s""""${if (g.higherIsBetter) "floor" else "bound"}": ${num(g.floor)}, """ +
         s""""pass": ${g.pass}}"""
     }.mkString("{\n  ", ",\n  ", "\n}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")

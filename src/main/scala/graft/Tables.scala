@@ -55,6 +55,16 @@ object Tables {
     * guarantee (TablesSpec); no production reads. */
   private[graft] val listingWalks = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Drop cached spread verdicts for `path` (every conf variant) in
+    * `spark`'s cache — call after rewriting a table's files in place
+    * within one long-lived session (notebook compaction flows); a
+    * fresh session never needs it. */
+  def invalidateBalance(spark: SparkSession, path: String): Unit =
+    balanceCache.synchronized {
+      val m = balanceCache.get(spark)
+      if (m != null) { m.keySet.removeIf(_.startsWith(s"$path#")); () }
+    }
+
   private def balance(spark: SparkSession, df: DataFrame, cacheKey: String): DataFrame = {
     val perPath = balanceCache.synchronized {
       var m = balanceCache.get(spark)
@@ -64,7 +74,15 @@ object Tables {
       }
       m
     }
-    val spread: Boolean = perPath.computeIfAbsent(cacheKey, _ => needsSpread(spark, df))
+    // the verdict depends on parallelism and the split-sizing confs,
+    // so they are part of the key: changing them mid-session (notebook
+    // tuning) re-evaluates instead of serving a stale verdict. A
+    // rewrite of the files under an unchanged path still needs the
+    // explicit [[invalidateBalance]] hook.
+    val sqlConf = spark.sessionState.conf
+    val confKey = s"$cacheKey#${spark.sparkContext.defaultParallelism}" +
+      s"#${sqlConf.filesMaxPartitionBytes}#${sqlConf.filesOpenCostInBytes}"
+    val spread: Boolean = perPath.computeIfAbsent(confKey, _ => needsSpread(spark, df))
     if (spread) df.repartition(spark.sparkContext.defaultParallelism) else df
   }
 

@@ -41,7 +41,13 @@ object RetailEtlApp {
   private[graft] def notifierFromArgs(args: Seq[String]): (Notifier, Seq[String]) = {
     def extract(flag: String, as: Seq[String]): (Option[String], Seq[String]) = {
       val i = as.indexOf(flag)
-      if (i >= 0 && i + 1 < as.length) (Some(as(i + 1)), as.patch(i, Nil, 2))
+      // a flag-shaped next token means the value is MISSING, not a URL/
+      // path: leave the args untouched so RunConfig.parse rejects the
+      // stray flag with exit 1 rather than silently swallowing the
+      // following option (`--alert-webhook --alert-dir /x` must fail,
+      // not drop the durable transport)
+      if (i >= 0 && i + 1 < as.length && !as(i + 1).startsWith("--"))
+        (Some(as(i + 1)), as.patch(i, Nil, 2))
       else (None, as)
     }
     val (hook, r1) = extract("--alert-webhook", args)

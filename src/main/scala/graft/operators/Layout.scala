@@ -125,23 +125,38 @@ object Layout {
       .write.mode("overwrite").parquet(outPath)
 
   def compact(spark: SparkSession, dir: String): DataFrame = {
-    val scratch = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_layout_compact").getPath
-    compactFiles(Tables.loadEvents(spark, dir), scratch, zFileBuckets.toInt)
-    // verification frame from the READ-BACK files — sec re-derived the
-    // same way loadEvents derives it, zval re-interleaved from scratch
-    withZval(spark.read.parquet(scratch)
-        .withColumn("sec", expr("(ts - pmod(ts, 1000000000)) div 1000000000"))
-        .drop("zval"))
-      .withColumn("file_bucket", expr(s"zval div $zBucketWidth"))
-      .groupBy("file_bucket")
-      .agg(count(lit(1)).as("n_rows"),
-        sum(col("event_id")).as("sum_event_id"),
-        sum(col("user_id")).as("sum_user_id"),
-        sum(col("sec")).as("sum_sec"),
-        min(col("zval")).as("min_zval"),
-        max(col("zval")).as("max_zval"))
-      .orderBy("file_bucket")
+    // per-call scratch: a fixed shared path races concurrent runs on
+    // one host (e.g. Verify and Bench) between the write and the
+    // read-back, and leaks files; the stats frame is tiny (one row per
+    // file bucket), so materialize it eagerly and delete the scratch
+    // before returning
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_layout_compact_").toFile
+    try {
+      compactFiles(Tables.loadEvents(spark, dir), scratch.getPath, zFileBuckets.toInt)
+      // verification frame from the READ-BACK files — sec re-derived the
+      // same way loadEvents derives it, zval re-interleaved from scratch
+      val stats = withZval(spark.read.parquet(scratch.getPath)
+          .withColumn("sec", expr("(ts - pmod(ts, 1000000000)) div 1000000000"))
+          .drop("zval"))
+        .withColumn("file_bucket", expr(s"zval div $zBucketWidth"))
+        .groupBy("file_bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("event_id")).as("sum_event_id"),
+          sum(col("user_id")).as("sum_user_id"),
+          sum(col("sec")).as("sum_sec"),
+          min(col("zval")).as("min_zval"),
+          max(col("zval")).as("max_zval"))
+        .orderBy("file_bucket")
+      val spark2 = stats.sparkSession
+      import scala.jdk.CollectionConverters._
+      spark2.createDataFrame(stats.collect().toSeq.asJava, stats.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(scratch)
+    }
   }
 
   val compactSql: String = {

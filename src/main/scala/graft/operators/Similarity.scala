@@ -449,19 +449,41 @@ object Similarity {
     * current code never produced. */
   private val indexFormatVersion = 1
 
+  /** Serializes in-JVM first-callers (a FileLock is per-JVM and throws
+    * on overlap, so the monitor must take the collision first). */
+  private val servedBuildLock = new Object
+
   def ivfPqServed(spark: SparkSession, dir: String): DataFrame = {
     val key = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
     val indexDir = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_ivfpq_index_$key").getPath
     val marker = new java.io.File(indexDir, "_built_for")
     val stamp = s"$dir#v$indexFormatVersion"
-    val fresh = marker.exists() && new String(
+    def fresh: Boolean = marker.exists() && new String(
       java.nio.file.Files.readAllBytes(marker.toPath),
       java.nio.charset.StandardCharsets.UTF_8) == stamp
-    if (!fresh) {
-      buildIvfPqIndex(spark, dir, indexDir)
-      java.nio.file.Files.write(marker.toPath,
-        stamp.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    // The build writes three directories and a marker — not atomic, so
+    // two first-callers (two processes serving the same corpus, or two
+    // threads in one session) must serialize or one reads half-built
+    // artifacts. In-JVM: object monitor; cross-process: an advisory
+    // lock file beside the index. The marker is re-checked under the
+    // lock so the losing waiter skips the rebuild. (Two DIFFERENT
+    // format versions racing on one host still conflict — that is a
+    // mixed-binary deployment, out of contract.)
+    if (!fresh) servedBuildLock.synchronized {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(indexDir))
+      val ch = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(indexDir, "_build_lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val lock = ch.lock()
+      try {
+        if (!fresh) {
+          buildIvfPqIndex(spark, dir, indexDir)
+          java.nio.file.Files.write(marker.toPath,
+            stamp.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+        }
+      } finally { lock.release(); ch.close() }
     }
     ivfPqServe(spark, dir, indexDir)
   }

@@ -277,6 +277,16 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
       Seq("--alert-webhook", "http://127.0.0.1:9/h", "--alert-dir", "/tmp/a") ++ base)
     assert(n3.isInstanceOf[HttpNotifier], "webhook wins, JSONL dir becomes its fallback")
     assert(r3 === base)
+    // a flag-shaped "value" is a missing value: the transport flag must
+    // stay in the args (RunConfig.parse then exits 1) instead of
+    // swallowing the next option and silently dropping its transport
+    val bad = Seq("--alert-webhook", "--alert-dir", "/tmp/a") ++ base
+    val (n4, r4) = RetailEtlApp.notifierFromArgs(bad)
+    assert(n4.isInstanceOf[FileNotifier],
+      "the well-formed --alert-dir must still be honored")
+    assert(r4.contains("--alert-webhook"),
+      "the valueless flag must survive for parse to reject")
+    assert(RetailEtlApp.run(r4, n4) === 1, "valueless transport flag → exit 1")
   }
 
   test("catalog fact table: queryable by name, reruns keep earlier dates") {

@@ -33,6 +33,19 @@ class TablesSpec extends AnyFunSuite with SparkSuite {
     assert(after - warm <= 1, "only the new path may walk")
   }
 
+  test("invalidateBalance forces a fresh walk for a rewritten path") {
+    Tables.loadBalanced(spark, SF, "nation")
+    val warm = Tables.listingWalks.get()
+    Tables.loadBalanced(spark, SF, "nation")
+    assert(Tables.listingWalks.get() === warm, "warm path must not re-walk")
+    // a compaction flow that rewrites files under the same path calls
+    // this hook; the next load must re-derive the spread verdict
+    Tables.invalidateBalance(spark, s"$SF/nation.parquet")
+    Tables.loadBalanced(spark, SF, "nation")
+    assert(Tables.listingWalks.get() === warm + 1,
+      "invalidated path must walk exactly once more")
+  }
+
   test("cached balance still spreads an unsplittable small input") {
     // the decision itself must survive caching: tiny single-row-group
     // parquet at local[4] should come back repartitioned to cluster
