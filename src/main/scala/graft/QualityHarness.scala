@@ -132,6 +132,67 @@ object QualityHarness {
     spark.catalog.clearCache()
     Seq(lsh, ivf, ivfpq, servedGate, hll, q25, q26, stub)
   }
+
+  /** ANN recall against the exact brute-force top-10 over a REAL
+    * corpus (`corpusDir/embeddings.parquet`) — the planted fixture
+    * proves the index machinery discriminates; these rows prove it on
+    * the sf-scaled corpus shape (at sf1: clone-rich, 10 near-identical
+    * members per base vector — the neighbor structure a web-scale
+    * near-dup corpus actually has). Gate entries are suffixed with
+    * `@tag` so they coexist with the planted rows in one artifact. */
+  def corpusGates(spark: SparkSession, corpusDir: String, tag: String): Seq[Gate] = {
+    val corpus = Tables.loadBalanced(spark, corpusDir, "embeddings")
+    def topSets(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
+      rows.groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val exact = topSets(Similarity.cosineTopKOver(corpus).collect())
+    spark.catalog.clearCache()
+    def recallVsExact(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val found = topSets(rows)
+      val per = exact.map { case (q, ns) =>
+        ns.count(found.getOrElse(q, Set.empty).contains).toDouble / ns.size
+      }
+      per.sum / per.size
+    }
+    def gate(name: String, df: DataFrame, floor: Double): Gate = {
+      val g = Gate(s"$name@$tag", s"corpus_recall_vs_exact_at_10",
+        recallVsExact(df.collect()), floor, higherIsBetter = true)
+      spark.catalog.clearCache()
+      g
+    }
+    Seq(
+      gate("sim_ann_lsh", Similarity.annLshOver(corpus), 0.6),
+      gate("sim_ann_ivf", Similarity.ivfTopKOver(corpus), 0.6),
+      gate("sim_ann_ivfpq", Similarity.ivfPqTopKOver(corpus), 0.5))
+  }
+
+  /** Evaluate all gates and write the JSON artifact; returns the
+    * failed entries. Shared by `graft.Quality` (explicit run) and
+    * `graft.Verify` (per-round regeneration beside the correctness
+    * dump, so the no-oracle entries never ship on a stale gate). When
+    * `annCorpusDir` is set, the sf-scaled corpus recall rows are
+    * appended. */
+  def writeArtifact(spark: SparkSession, sfDir: String, outFile: String,
+      annCorpusDir: Option[String]): Seq[String] = {
+    val gs = gates(spark, sfDir) ++
+      annCorpusDir.toSeq.flatMap { d =>
+        val tag = new java.io.File(d).getName
+        corpusGates(spark, d, tag)
+      }
+    // JSON demands '.' decimal separators; the f-interpolator follows
+    // the JVM default locale, so format explicitly under Locale.ROOT
+    def num(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.6f", Double.box(d))
+    val json = gs.map { g =>
+      s""""${g.entry}": {"metric": "${g.metric}", "value": ${num(g.value)}, """ +
+        s""""${if (g.higherIsBetter) "floor" else "bound"}": ${num(g.floor)}, """ +
+        s""""pass": ${g.pass}}"""
+    }.mkString("{\n  ", ",\n  ", "\n}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outFile), json + "\n"): Unit
+    println(json)
+    gs.filterNot(_.pass).map(_.entry)
+  }
 }
 
 /** Emit the no-oracle quality artifact: `Quality <sfDir> <outFile>`. */
@@ -146,19 +207,8 @@ object Quality {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val gs = QualityHarness.gates(spark, sfDir)
-    // JSON demands '.' decimal separators; the f-interpolator follows the
-    // JVM default locale, so format explicitly under Locale.ROOT
-    def num(d: Double): String =
-      String.format(java.util.Locale.ROOT, "%.6f", Double.box(d))
-    val json = gs.map { g =>
-      s""""${g.entry}": {"metric": "${g.metric}", "value": ${num(g.value)}, """ +
-        s""""${if (g.higherIsBetter) "floor" else "bound"}": ${num(g.floor)}, """ +
-        s""""pass": ${g.pass}}"""
-    }.mkString("{\n  ", ",\n  ", "\n}")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
-    println(json)
-    val failed = gs.filterNot(_.pass).map(_.entry)
+    val failed = QualityHarness.writeArtifact(spark, sfDir, outFile,
+      sys.env.get("SPARK_GRAFT_QUALITY_ANN_DIR"))
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[quality] FAILED gates: ${failed.mkString(", ")}")
