@@ -106,6 +106,26 @@ object Layout {
       .repartitionByRange(nFiles, col("zval"))
       .sortWithinPartitions("zval")
 
+  /** Schema-preserving Z-cluster plan over two arbitrary non-negative
+    * integer dimension columns: bucket both mod 256, interleave, ONE
+    * range shuffle over (leadingKeys…, zval) plus the in-partition
+    * sort, then project the scratch columns away. `leadingKeys` puts a
+    * table's partition column first in the range key so each task
+    * writes into few partition directories (files stay clustered
+    * per-partition). Used by the fact-table maintenance rewrite
+    * (OutputWriter.compactFactTable). */
+  private[graft] def zClusterPlan(df: DataFrame, xCol: String, yCol: String,
+      nFiles: Int, leadingKeys: Seq[String] = Nil): DataFrame = {
+    val z = df
+      .withColumn("__zx", pmod(col(xCol).cast("long"), lit(256L)))
+      .withColumn("__zy", pmod(col(yCol).cast("long"), lit(256L)))
+      .withColumn("__zval", expr(zExpr("__zx", "__zy", "div")))
+    val keys = leadingKeys.map(col) :+ col("__zval")
+    z.repartitionByRange(nFiles, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .drop("__zx", "__zy", "__zval")
+  }
+
   /** File count for a target size from driver-side metadata — the same
     * listing idiom as Tables.balance (metadata-only, no data read). */
   private[graft] def targetFileCount(spark: SparkSession, df: DataFrame,

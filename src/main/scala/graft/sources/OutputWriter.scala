@@ -1,7 +1,9 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.{col, current_date, lit}
+
+import graft.operators.Layout
 
 /** Sinks (reference operators S3 + S7, SURVEY §2.1).
   *
@@ -76,6 +78,56 @@ object OutputWriter {
         .partitionBy("date")
         .format("parquet")
         .saveAsTable(table)
+    }
+  }
+
+  /** Maintenance rewrite of a [[writeFactTable]] catalog table: the
+    * daily dynamic-overwrite appends leave each date partition with
+    * one file per shuffle task, and a year of daily runs is thousands
+    * of small files; this rewrites the table's files Z-clustered on
+    * (STORE_KEY, PROD_KEY) at a target file size — the same layout
+    * operator the events tier ships (`layout_zorder`/`layout_compact`,
+    * operators/Layout.scala) applied to the engine's own output, so a
+    * store- or product-filtered scan over the fact table prunes files
+    * by min/max footer stats and the date partition column keeps its
+    * static pruning.
+    *
+    * Self-overwrite: Spark refuses an insertInto whose plan reads the
+    * target table, so the clustered frame is checkpointed first (the
+    * rewrite is a maintenance pass — the extra materialization is the
+    * cost of an atomic-per-partition in-place rewrite without a second
+    * table swap). `nFilesOverride` pins the file count for tests;
+    * production sizes from bytes via [[Layout.targetFileCount]]. */
+  def compactFactTable(spark: SparkSession, table: String,
+      targetBytes: Long = 128L << 20,
+      nFilesOverride: Option[Int] = None): Unit = {
+    val t = spark.table(table)
+    val cols = t.columns
+    val nFiles = nFilesOverride.getOrElse(
+      Layout.targetFileCount(spark, t, targetBytes))
+    val plan = Layout.zClusterPlan(t, "STORE_KEY", "PROD_KEY", nFiles,
+      leadingKeys = Seq("date"))
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft_fact_compact_ckpt_")
+    val prevCkpt = Option(spark.sparkContext.getCheckpointDir).flatten
+    spark.sparkContext.setCheckpointDir(ckptDir.toString)
+    try {
+      val staged = plan.checkpoint(eager = true)
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try staged.select(cols.map(col).toIndexedSeq: _*)
+        .write.mode(SaveMode.Overwrite).insertInto(table)
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    } finally {
+      prevCkpt.foreach(spark.sparkContext.setCheckpointDir)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(ckptDir.toFile)
     }
   }
 
