@@ -90,6 +90,21 @@ object RetailEtlApp {
     }
   }
 
+  /** Spark-free validation of a complete CLI argument vector: the
+    * transport flags extracted, `--in-dir` split off, the remainder
+    * through RunConfig.parse. This is the contract probe the deploy
+    * artifacts (deploy/airflow, deploy/cron) are tested against in
+    * PipelineSpec, so a DAG edit that drifts from the CLI fails the
+    * build instead of the 02:17 run. */
+  private[graft] def validateArgs(args: Seq[String]): Either[String, RunConfig] = {
+    val (_, rest0) = notifierFromArgs(args)
+    val i = rest0.indexOf("--in-dir")
+    val (inDir, rest) =
+      if (i >= 0 && i + 1 < rest0.length) (Some(rest0(i + 1)), rest0.patch(i, Nil, 2))
+      else (None, rest0)
+    parseWithDir(rest, inDir).map(_._1)
+  }
+
   /** --in-dir replaces the five per-table flags; splice placeholder
     * inputs so RunConfig.parse's completeness check passes, then let
     * the readiness gate fill in the real paths. Mixing --in-dir with an

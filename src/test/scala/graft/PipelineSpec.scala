@@ -317,4 +317,95 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
       s"date filter should prune partitions:\n$plan")
     spark.sql(s"DROP TABLE $table")
   }
+
+  test("deploy artifacts: scheduler args satisfy the CLI contract") {
+    import graft.app.RetailEtlApp
+    def slurp(p: String): String = {
+      val f = new java.io.File(p)
+      assert(f.isFile, s"$p must exist")
+      new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+    }
+    // Airflow DAG: the literal application_args block, templates bound
+    val dag = slurp("deploy/airflow/graft_retail_dag.py")
+    assert(dag.contains("java_class=\"graft.app.RetailEtlApp\""),
+      "DAG must submit the engine's entry class")
+    val block = dag.split("application_args=\\[")(1).split("\\]")(0)
+    val args = "\"([^\"]*)\"".r.findAllMatchIn(block).map(_.group(1))
+      .map { case "{{ ds }}" => "2024-01-08"; case s => s }.toSeq
+    val parsed = RetailEtlApp.validateArgs(args)
+    assert(parsed.isRight, s"DAG args must satisfy the CLI contract: $parsed")
+    assert(parsed.toOption.get.date.toString === "2024-01-08")
+    assert(parsed.toOption.get.mode === "faithful")
+
+    // cron line: tokens after the jar, shell plumbing stripped
+    val cron = slurp("deploy/cron/graft_retail.cron")
+    val line = cron.linesIterator
+      .filter(l => l.trim.nonEmpty && !l.trim.startsWith("#")).mkString(" ")
+      .replaceAll("\"\\$\\(date[^)]*\\)\"", "2024-01-08")
+    val toks = line.split("\\s+").toSeq.filter(t => t.nonEmpty && t != "\\")
+    val jarIdx = toks.indexWhere(_.endsWith("graft.jar"))
+    assert(jarIdx > 0, "cron line must spark-submit the jar")
+    val cronArgs = toks.drop(jarIdx + 1).takeWhile(t => !t.startsWith(">>"))
+    val cronParsed = RetailEtlApp.validateArgs(cronArgs)
+    assert(cronParsed.isRight, s"cron args must satisfy the CLI contract: $cronParsed")
+  }
+
+  test("compactFactTable: rows survive, files shrink, store ranges prune") {
+    import graft.sources.OutputWriter
+    import org.apache.spark.sql.functions._
+    val table = "graft_fact_compact_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(wh)
+    // 16 stores × 16 products spread over the 0..255 bucket domain so
+    // the Z-curve's high bits interleave BOTH dimensions (store-only or
+    // low-valued keys would put every split boundary on product bits);
+    // fragment each date into 16 files — the post-daily-runs shape
+    def day(seed: Int) = spark.range(16 * 16 * 8).select(
+      (col("id") % 16 * 16).as("STORE_KEY"),
+      (col("id") / 16 % 16 * 16 + 7).cast("long").as("PROD_KEY"),
+      ((col("id") * 31 + seed) % 997).as("sales_qty"))
+      .repartition(16)
+    OutputWriter.writeFactTable(day(1), table, "2024-01-08")
+    OutputWriter.writeFactTable(day(2), table, "2024-01-09")
+    def files(date: String): Seq[java.io.File] =
+      Option(new java.io.File(wh, s"date=$date").listFiles()).getOrElse(Array())
+        .filter(f => f.getName.endsWith(".parquet")).toSeq
+    def checksum(): Seq[org.apache.spark.sql.Row] =
+      spark.table(table).groupBy("date")
+        .agg(count(lit(1)).as("n"), sum(col("STORE_KEY") * 100000 +
+          col("PROD_KEY") * 1000 + col("sales_qty")).as("ck"))
+        .orderBy("date").collect().toSeq
+    val before = checksum()
+    assert(files("2024-01-08").size >= 16, "fixture must start fragmented")
+
+    // refresh() — the overwrite invalidates cached file listings
+    OutputWriter.compactFactTable(spark, table, nFilesOverride = Some(16))
+    spark.catalog.refreshTable(table)
+
+    assert(checksum() === before, "compaction must not alter rows")
+    val f8 = files("2024-01-08")
+    assert(f8.size <= 10, s"each date dir must shrink (got ${f8.size} files)")
+    // the pruning payoff: per-file STORE_KEY footer ranges must be
+    // narrow enough that a single-store predicate skips most files —
+    // the skip a min/max-stats reader (parquet row groups, Delta/
+    // Iceberg file stats) performs mechanically
+    val ranges = f8.map { f =>
+      val r = spark.read.parquet(f.getPath)
+        .agg(min("STORE_KEY"), max("STORE_KEY")).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val stores = (0 until 16).map(_ * 16L)
+    val coverage = stores.map(s =>
+      ranges.count { case (lo, hi) => lo <= s && s <= hi }).sum.toDouble /
+      (stores.size * ranges.size)
+    assert(coverage <= 0.6,
+      s"store ranges must localize: avg file-coverage $coverage, ranges $ranges")
+    spark.sql(s"DROP TABLE $table")
+  }
 }
