@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.streaming.{EventsStream, SessionStream}
+
+/** Streaming-on-skew benchmark — `StreamSkewBench <uniformDir>` with
+  * the skewed twin from `SPARK_GRAFT_SKEW_DIR` (default the BenchData
+  * `skew0.1` variant, whose events put ~20% of all rows on ONE hot
+  * user). The batch skew tier (graft.SkewBench) covered joins and
+  * aggregations; this covers the STATEFUL STREAMING face of the same
+  * data: `flatMapGroupsWithState` sessionization groups by user, so
+  * the hot user concentrates a fifth of every micro-batch in a single
+  * group whose fold runs serially inside one task — the streaming
+  * analog of a straggler. The question this answers with numbers: does
+  * a hot key stall the watermark or blow up state, or does the
+  * per-batch time stay within the uniform band?
+  *
+  * Protocol: events are re-written as k time-range files with
+  * ascending mtimes (the file source orders batches by mtime;
+  * time-ordered batches keep the 0-second watermark honest, same
+  * idiom as SessionStreamSpec), then streamed with
+  * maxFilesPerTrigger=1 so every file is its own micro-batch.
+  * Recorded per run: per-batch trigger-execution millis, per-batch
+  * state rows, emitted rows, wall seconds. The windowed tumbling agg
+  * (time-keyed state — a hot USER does not skew it) runs as the
+  * control. One JSON line on stdout, same contract as graft.Bench.
+  */
+object StreamSkewBench {
+
+  def main(args: Array[String]): Unit = {
+    val uniformDir = args(0) // extra args (verify.sh's outDir) ignored
+    val skewDir = sys.env.getOrElse("SPARK_GRAFT_SKEW_DIR", "target/benchdata/skew0.1")
+    val splits = sys.env.getOrElse("SPARK_GRAFT_STREAM_SPLITS", "8").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    /** Rewrite `dir`'s events as `k` single-file time slices with
+      * ascending mtimes under a fresh temp dir. */
+    def timeSplit(dir: String, k: Int): String = {
+      val ev = Tables.loadEvents(spark, dir)
+      val mm = ev.agg(min("sec"), max("sec")).head()
+      val (minS, maxS) = (mm.getLong(0), mm.getLong(1))
+      val width = math.max(1L, (maxS - minS) / k + 1)
+      val out = Files.createTempDirectory("graft_stream_skew_in")
+      val base = System.currentTimeMillis() - 600000
+      (0 until k).foreach { i =>
+        val lo = minS + i * width
+        val hi = minS + (i + 1) * width
+        val tmp = Files.createTempDirectory("graft_stream_skew_part")
+        ev.filter(col("sec") >= lo && col("sec") < hi)
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp)
+          .filter(_.toString.endsWith(".parquet")).findFirst().get()
+        val dst = out.resolve(f"p$i%02d.parquet")
+        Files.move(part, dst): Unit
+        dst.toFile.setLastModified(base + i * 1000L): Unit
+      }
+      out.toString
+    }
+
+    def num(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+
+    /** (per-batch trigger ms, per-batch state rows, wall s, out rows) */
+    def runTimed(start: () => StreamingQuery, sink: String)
+        : (Seq[Long], Seq[Long], Double, Long) = {
+      val t0 = System.nanoTime()
+      val q = start()
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val prog = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+      val trig = prog.map(p =>
+        Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(-1L))
+      val state = prog.map(p =>
+        p.stateOperators.headOption.map(_.numRowsTotal).getOrElse(-1L))
+      val outRows = spark.table(sink).count()
+      spark.sql(s"DROP VIEW IF EXISTS $sink"): Unit
+      (trig, state, wall, outRows)
+    }
+
+    def sessionRun(tag: String, dir: String): String = {
+      val in = timeSplit(dir, splits)
+      val (trig, state, wall, outRows) = runTimed(
+        () => SessionStream.run(spark, in, s"graft_sskew_$tag",
+          maxFilesPerTrigger = Some(1)),
+        s"graft_sskew_$tag")
+      s""""session_$tag": {"batch_ms": [${trig.mkString(",")}], """ +
+        s""""state_rows": [${state.mkString(",")}], """ +
+        s""""wall_s": ${num(wall)}, "out_rows": $outRows}"""
+    }
+
+    def tumblingRun(tag: String, dir: String): String = {
+      val (_, _, wall, outRows) = runTimed(
+        () => EventsStream.tumblingAgg(spark, dir, s"graft_tskew_$tag"),
+        s"graft_tskew_$tag")
+      s""""tumbling_$tag": {"wall_s": ${num(wall)}, "out_rows": $outRows}"""
+    }
+
+    val parts = Seq(
+      sessionRun("uniform", uniformDir), sessionRun("skew", skewDir),
+      tumblingRun("uniform", uniformDir), tumblingRun("skew", skewDir))
+    println(parts.mkString(s"""{"metric": "stream_skew", """, ", ", "}"))
+    spark.stop()
+  }
+}

@@ -22,13 +22,25 @@ object EventsStream {
     * rename — Spark disallows redefining one). events.ts is nanosecond
     * parquet → read as long, rebuild a microsecond TimestampType for
     * event-time semantics. */
-  private def rawEventsSource(spark: SparkSession, dir: String): DataFrame =
-    // explicit nanos-as-long schema (no session-wide legacy conf)
-    spark.readStream
-      .schema(graft.Tables.eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+  private def rawEventsSource(spark: SparkSession, dir: String): DataFrame = {
+    // explicit nanos-as-long schema (no session-wide legacy conf).
+    // Layout-aware source: the streaming file source needs a DIRECTORY
+    // base path, so a directory-layout table (every Spark-written
+    // table) streams directly, while the single-file testdata layout
+    // streams its parent through a name filter. The earlier
+    // unconditional pathGlobFilter=events.parquet only matched the
+    // single-file shape and turned a directory-layout table into a
+    // silently EMPTY stream — the worst failure mode a source can
+    // have, hence the one metadata probe here.
+    val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val isDir = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(p).isDirectory
+    val reader = spark.readStream.schema(graft.Tables.eventsSchema)
+    val src =
+      if (isDir) reader.parquet(p.toString)
+      else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
+    src.withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+  }
 
   /** Watermarked shared source for the window/dedup shapes. */
   private def eventsSource(spark: SparkSession, dir: String): DataFrame =
