@@ -5,7 +5,7 @@ import java.time.LocalDate
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.RetailPipeline
-import graft.pipeline.{FileNotifier, HttpNotifier, LogNotifier, Notifier, Readiness, RunConfig}
+import graft.pipeline.{FileNotifier, HttpNotifier, LogNotifier, Notifier, Readiness, RunConfig, SmtpNotifier}
 import graft.sources.{CsvTableReader, OutputWriter}
 
 /** The end-to-end daily pipeline as one process (reference entry point
@@ -20,7 +20,8 @@ import graft.sources.{CsvTableReader, OutputWriter}
   *
   * Usage:
   *   --date YYYY-MM-DD --out PATH [--mode faithful|corrected]
-  *   [--single-file] [--alert-webhook URL] [--alert-dir PATH] and
+  *   [--single-file] [--alert-webhook URL] [--alert-smtp
+  *   host:port:from:to] [--alert-dir PATH] and
   *   either --in-dir DIR (readiness-gated, files named
   *   {table}_YYYYMMDD.csv) or five explicit --calendar/--inventory/
   *   --product/--sales/--store paths. Scheduling + alerting contract:
@@ -35,9 +36,10 @@ object RetailEtlApp {
   }
 
   /** Alert-transport selection (C7, see RUNBOOK.md): `--alert-webhook
-    * URL` POSTs the alert JSON (HttpNotifier); `--alert-dir PATH`
-    * writes durable JSONL (FileNotifier). Both → webhook with the
-    * JSONL dir as its fallback; neither → stderr. */
+    * URL` POSTs the alert JSON (HttpNotifier); `--alert-smtp
+    * host:port:from:to` emails it (SmtpNotifier — the SES analog);
+    * `--alert-dir PATH` writes durable JSONL (FileNotifier). Multiple
+    * flags chain as fallbacks in that order; none → stderr. */
   private[graft] def notifierFromArgs(args: Seq[String]): (Notifier, Seq[String]) = {
     def extract(flag: String, as: Seq[String]): (Option[String], Seq[String]) = {
       val i = as.indexOf(flag)
@@ -52,13 +54,28 @@ object RetailEtlApp {
     }
     val (hook, r1) = extract("--alert-webhook", args)
     val (dir, r2) = extract("--alert-dir", r1)
+    // --alert-smtp host:port:from:to (the SES-analog transport). A
+    // value that doesn't parse is treated like a missing value — the
+    // flag stays in the args and RunConfig.parse fails with exit 1,
+    // instead of silently dropping the transport.
+    val smtpRe = "([^:]+):(\\d+):([^:]+):([^:]+)".r
+    val (smtpRaw, r3a) = extract("--alert-smtp", r2)
+    val (smtp, r3) = smtpRaw match {
+      case Some(smtpRe(h, p, f, t)) => (Some((h, p.toInt, f, t)), r3a)
+      case Some(_)                  => (None, r2) // malformed: leave args intact
+      case None                     => (None, r3a)
+    }
+    // fallback chain: webhook → smtp → durable JSONL → stderr
     val base: Notifier = dir
       .map(d => new FileNotifier(new org.apache.hadoop.conf.Configuration(), d): Notifier)
       .getOrElse(LogNotifier)
-    val chosen: Notifier = hook
-      .map(u => new HttpNotifier(java.net.URI.create(u), fallback = base): Notifier)
+    val mail: Notifier = smtp
+      .map { case (h, p, f, t) => new SmtpNotifier(h, p, f, t, fallback = base): Notifier }
       .getOrElse(base)
-    (chosen, r2)
+    val chosen: Notifier = hook
+      .map(u => new HttpNotifier(java.net.URI.create(u), fallback = mail): Notifier)
+      .getOrElse(mail)
+    (chosen, r3)
   }
 
   /** Factored for tests: returns an exit code instead of calling

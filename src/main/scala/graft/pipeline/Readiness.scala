@@ -135,6 +135,78 @@ final class HttpNotifier(
   }
 }
 
+/** SMTP transport — the LITERAL analog of the reference's SES email
+  * (AWS SES.py:31-51: subject + body to an ops recipient) as a
+  * dependency-free minimal SMTP client over a raw socket (EHLO,
+  * MAIL FROM, RCPT TO, DATA, QUIT — RFC 5321's required core). The
+  * alert body is the same JSON payload every other transport emits.
+  *
+  * Scope: PLAINTEXT submission to a relay that accepts it — the
+  * localhost MTA / in-VPC relay topology the port-25 path assumes.
+  * Authenticated TLS submission is deliberately out: that's a mail
+  * library's job, and the webhook → mail-gateway path (RUNBOOK.md)
+  * already covers managed providers. Best-effort like every transport
+  * here: any SMTP failure logs and falls back, never throws. */
+final class SmtpNotifier(
+    host: String, port: Int, from: String, to: String,
+    timeout: java.time.Duration = java.time.Duration.ofSeconds(5),
+    fallback: Notifier = LogNotifier) extends Notifier {
+
+  private def expect(in: java.io.BufferedReader, want: Set[Int]): Unit = {
+    var line = in.readLine()
+    if (line == null) sys.error("SMTP connection closed")
+    // multiline replies: "250-..." continues, "250 ..." terminates
+    while (line.length >= 4 && line.charAt(3) == '-') {
+      val next = in.readLine()
+      if (next == null) sys.error("SMTP connection closed mid-reply")
+      line = next
+    }
+    val code = line.take(3).toInt
+    if (!want(code)) sys.error(s"unexpected SMTP reply: $line")
+  }
+
+  def notifyMissing(date: LocalDate, missing: Set[String]): Unit = {
+    val body = AlertJson.readinessMissing(date, missing)
+    val delivered =
+      try {
+        val sock = new java.net.Socket()
+        try {
+          sock.connect(new java.net.InetSocketAddress(host, port),
+            timeout.toMillis.toInt)
+          sock.setSoTimeout(timeout.toMillis.toInt)
+          val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+            sock.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+          val out = new java.io.OutputStreamWriter(
+            sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8)
+          def send(cmd: String, want: Set[Int]): Unit = {
+            out.write(cmd + "\r\n"); out.flush(); expect(in, want)
+          }
+          expect(in, Set(220))
+          send("EHLO graft", Set(250))
+          send(s"MAIL FROM:<$from>", Set(250))
+          send(s"RCPT TO:<$to>", Set(250, 251))
+          send("DATA", Set(354))
+          val msg = Seq(
+            s"From: $from", s"To: $to",
+            s"Subject: [retail-etl] inputs missing for $date",
+            "MIME-Version: 1.0", "Content-Type: application/json", "",
+            body).mkString("\r\n")
+          // dot-stuff: a body line starting '.' must not terminate DATA
+          out.write(msg.replace("\r\n.", "\r\n..") + "\r\n.\r\n")
+          out.flush()
+          expect(in, Set(250))
+          send("QUIT", Set(221))
+          true
+        } finally sock.close()
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[notify] smtp $host:$port failed: $e")
+          false
+      }
+    if (!delivered) fallback.notifyMissing(date, missing)
+  }
+}
+
 /** Durable alert channel: writes each alert as its OWN single-line
   * JSONL file under a directory on any Hadoop-visible filesystem
   * (local, HDFS, s3a — the same reach as the readiness scan itself).

@@ -258,6 +258,64 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     } finally server.stop(0)
   }
 
+  test("smtp notifier delivers the alert payload over a raw SMTP session") {
+    import graft.pipeline.SmtpNotifier
+    val server = new java.net.ServerSocket(0)
+    val got = new java.lang.StringBuilder
+    val t = new Thread(() => {
+      val s = server.accept()
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        s.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+      val out = new java.io.OutputStreamWriter(
+        s.getOutputStream, java.nio.charset.StandardCharsets.UTF_8)
+      def reply(r: String): Unit = { out.write(r + "\r\n"); out.flush() }
+      reply("220 fake ESMTP")
+      var inData = false
+      var line = in.readLine()
+      while (line != null) {
+        if (inData) {
+          if (line == ".") { inData = false; reply("250 queued") }
+          else { got.append(line).append('\n'); () }
+        } else line.takeWhile(_ != ' ') match {
+          case "DATA" => inData = true; reply("354 go ahead")
+          case "QUIT" => reply("221 bye")
+          case "EHLO" => reply("250-fake hello"); reply("250 OK") // multiline
+          case _      => reply("250 OK")
+        }
+        line = in.readLine()
+      }
+      s.close()
+    })
+    t.start()
+    try {
+      new SmtpNotifier("127.0.0.1", server.getLocalPort, "etl@example.com",
+        "oncall@example.com")
+        .notifyMissing(LocalDate.parse("2024-01-09"), Set("store", "sales"))
+      t.join(5000)
+      val msg = got.toString
+      assert(msg.contains("Subject: [retail-etl] inputs missing for 2024-01-09"))
+      assert(msg.contains("From: etl@example.com") && msg.contains("To: oncall@example.com"))
+      assert(msg.contains("\"kind\":\"readiness_missing\"") &&
+        msg.contains("\"sales\"") && msg.contains("\"store\""),
+        s"payload must be the shared alert JSON:\n$msg")
+    } finally server.close()
+  }
+
+  test("smtp notifier degrades to the fallback on connection failure") {
+    import graft.pipeline.{Notifier, SmtpNotifier}
+    val fellBack = new java.util.concurrent.atomic.AtomicReference(Set.empty[String])
+    val fallback = new Notifier {
+      def notifyMissing(date: LocalDate, missing: Set[String]): Unit =
+        fellBack.set(missing)
+    }
+    // a ServerSocket opened and closed: the port is now refusing
+    val dead = { val s = new java.net.ServerSocket(0); val p = s.getLocalPort; s.close(); p }
+    new SmtpNotifier("127.0.0.1", dead, "a@x", "b@x",
+      java.time.Duration.ofSeconds(2), fallback)
+      .notifyMissing(LocalDate.parse("2024-01-09"), Set("calendar"))
+    assert(fellBack.get() === Set("calendar"), "refused connection must route to fallback")
+  }
+
   test("alert-transport flags select the notifier and are stripped from the args") {
     import graft.app.RetailEtlApp
     import graft.pipeline.{FileNotifier, HttpNotifier, LogNotifier}
@@ -277,6 +335,19 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
       Seq("--alert-webhook", "http://127.0.0.1:9/h", "--alert-dir", "/tmp/a") ++ base)
     assert(n3.isInstanceOf[HttpNotifier], "webhook wins, JSONL dir becomes its fallback")
     assert(r3 === base)
+    // --alert-smtp host:port:from:to selects the mail transport; it
+    // outranks the JSONL dir and yields to the webhook
+    val (n5, r5) = RetailEtlApp.notifierFromArgs(
+      Seq("--alert-smtp", "127.0.0.1:2525:etl@x:ops@x") ++ base)
+    assert(n5.isInstanceOf[graft.pipeline.SmtpNotifier])
+    assert(r5 === base)
+    // malformed smtp spec: flag survives so RunConfig.parse exits 1
+    val (n6, r6) = RetailEtlApp.notifierFromArgs(
+      Seq("--alert-smtp", "no-port-here") ++ base)
+    assert(n6 eq LogNotifier)
+    assert(r6.contains("--alert-smtp"), "malformed spec must fail parse, not vanish")
+    assert(RetailEtlApp.run(r6, n6) === 1)
+
     // a flag-shaped "value" is a missing value: the transport flag must
     // stay in the args (RunConfig.parse then exits 1) instead of
     // swallowing the next option and silently dropping its transport
