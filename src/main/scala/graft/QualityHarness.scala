@@ -77,8 +77,11 @@ object QualityHarness {
       recall(Similarity.annLshOver(planted).collect()), 0.6, higherIsBetter = true)
     val ivf = Gate("sim_ann_ivf", "planted_recall_at_10",
       recall(Similarity.ivfTopKOver(planted).collect()), 0.6, higherIsBetter = true)
+    // floor raised 0.5 → 0.8 once the exact-refine stage landed: ADC
+    // quantization now costs shortlist membership only, so planted
+    // recall matches plain IVF's (measured 1.0 on the fixture)
     val ivfpq = Gate("sim_ann_ivfpq", "planted_recall_at_10",
-      recall(Similarity.ivfPqTopKOver(planted).collect()), 0.5, higherIsBetter = true)
+      recall(Similarity.ivfPqTopKOver(planted).collect()), 0.8, higherIsBetter = true)
     spark.catalog.clearCache()
 
     // served == inline is an EXACT property (same algebra over at-rest
@@ -163,7 +166,10 @@ object QualityHarness {
     Seq(
       gate("sim_ann_lsh", Similarity.annLshOver(corpus), 0.6),
       gate("sim_ann_ivf", Similarity.ivfTopKOver(corpus), 0.6),
-      gate("sim_ann_ivfpq", Similarity.ivfPqTopKOver(corpus), 0.5))
+      // 0.5 → 0.8 with the refine stage (measured 0.95 at sf1 vs plain
+      // IVF's 0.97 coarse ceiling; the floor keeps margin for corpora
+      // with different clone structure)
+      gate("sim_ann_ivfpq", Similarity.ivfPqTopKOver(corpus), 0.8))
   }
 
   /** Evaluate all gates and write the JSON artifact; returns the

@@ -268,27 +268,31 @@ object Similarity {
         .cast("int").as("code"), col("embedding").as("c_emb"))
 
   /** Per-vector block codes + per-block squared distances:
-    * (vec_id, code0..3, d0..3), unordered. Shared by the encoding
-    * query (projects + rounds) and the IVF-PQ ADC scorer (codes only).
+    * (vec_id, code0..B-1, d0..B-1), unordered. Shared by the encoding
+    * query (projects + rounds, at the documented 4-block layout) and
+    * the IVF-PQ ADC scorer (codes only, at its own finer block count).
     * In a 100 TB deployment this frame is materialized at rest next to
-    * the inverted file — 2 B per vector — not recomputed per query. */
-  private def pqCodes(e: DataFrame, codebook: DataFrame): DataFrame = {
-    val sx = s"slice(embedding, 1 + block * $pqSubDim, $pqSubDim)"
-    val sc = s"slice(c_emb, 1 + block * $pqSubDim, $pqSubDim)"
+    * the inverted file — blocks/2 bytes per vector — not recomputed
+    * per query. */
+  private def pqCodes(e: DataFrame, codebook: DataFrame,
+      blocks: Int = pqBlocks): DataFrame = {
+    val subDim = planeDim / blocks
+    val sx = s"slice(embedding, 1 + block * $subDim, $subDim)"
+    val sc = s"slice(c_emb, 1 + block * $subDim, $subDim)"
     val scored = e.select("vec_id", "embedding").crossJoin(broadcast(codebook))
-      .withColumn("block", explode(expr(s"sequence(0, ${pqBlocks - 1})")))
+      .withColumn("block", explode(expr(s"sequence(0, ${blocks - 1})")))
       .withColumn("d",
         expr(s"vec_dot($sx, $sx) + vec_dot($sc, $sc) - 2 * vec_dot($sx, $sc)"))
     // two-level argmin: per (vector, block) first — the ordering struct
     // is never null there, keeping min_by semantics trivial — then a
-    // tiny 4-rows-per-vector pivot to columns
+    // tiny blocks-rows-per-vector pivot to columns
     val perBlock = scored.groupBy("vec_id", "block")
       .agg(min_by(col("code"), struct(col("d"), col("code"))).as("bcode"),
         min(col("d")).as("bd"))
     def blockAgg(b: Int): Seq[org.apache.spark.sql.Column] = Seq(
       first(when(col("block") === b, col("bcode")), ignoreNulls = true).as(s"code$b"),
       first(when(col("block") === b, col("bd")), ignoreNulls = true).as(s"d$b"))
-    val aggs = (0 until pqBlocks).flatMap(blockAgg)
+    val aggs = (0 until blocks).flatMap(blockAgg)
     perBlock.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -304,17 +308,25 @@ object Similarity {
   // ---------------------------------------------------------------------
   // sim_ann_ivfpq — the composed 100 TB ANN shape: IVF coarse pruning
   // (scan ~nprobe/K of the corpus) × PQ asymmetric-distance scoring
-  // (rank candidates from 2 B codes + a per-query 4×16 lookup table,
-  // never touching raw candidate vectors). This is the FAISS
+  // (shortlist candidates from 4 B codes + a per-query 8×16 lookup
+  // table, never touching raw candidate vectors) × an exact refine of
+  // the per-query shortlist. The scan/shortlist half is the FAISS
   // IVFADC layout (Jégou et al., "Product Quantization for Nearest
   // Neighbor Search"): approx dot(q, x) = Σ_b qtab[b][code_b(x)],
   // where qtab[b][c] = dot(q_b, codebook[c]_b) is computed ONCE per
-  // query against the broadcast codebook. Scores are approximate by
-  // construction (quantized corpus side, exact stored norms) → no SQL
+  // query against the broadcast codebook. The refine half is FAISS's
+  // IndexRefineFlat composition: the top `RefineC` candidates per
+  // query by ADC score are re-ranked with the TRUE cosine against
+  // their raw vectors, so quantization costs shortlist membership
+  // only, never final ordering — emitted scores are exact, the same
+  // contract the LSH and IVF variants keep. Recall is approximate by
+  // construction (coarse pruning + shortlist truncation) → no SQL
   // oracle; recall against the exact baseline is asserted on the
-  // planted-cluster fixture in SimilaritySpec. At rest, `lists`
-  // (cluster ids) and `codes` (2 B/vector) are materialized once —
-  // the per-query cost is the probed lists' code scan only.
+  // planted-cluster fixture in SimilaritySpec and on the sf-scaled
+  // corpus in QualityHarness.corpusGates. At rest, `lists` (cluster
+  // ids) and `codes` (4 B/vector) are materialized once — the
+  // per-query cost is the probed lists' code scan plus a RefineC-row
+  // raw-vector fetch (a point lookup at 100 TB, not a scan).
   // ---------------------------------------------------------------------
   def ivfPqTopK(spark: SparkSession, dir: String): DataFrame =
     ivfPqTopKOver(Tables.loadBalanced(spark, dir, "embeddings"))
@@ -329,10 +341,10 @@ object Similarity {
     // LINEAGE is a full-corpus filter/TakeOrdered scan that would
     // re-execute per consumer without the persist (same rationale as
     // ivfIndex's centroids; callers release via clearCache)
-    val codebook = pqCodebook(e).persist()
-    val postings = lists.select("vec_id", "cluster", "norm")
-      .join(pqCodes(e, codebook)
-        .select("vec_id", "code0", "code1", "code2", "code3"), Seq("vec_id"))
+    val codebook = ivfPqCodebook(e).persist()
+    val postings = lists.select("vec_id", "cluster", "norm", "embedding")
+      .join(pqCodes(e, codebook, ivfPqBlocks)
+        .select("vec_id", ivfCodeCols: _*), Seq("vec_id"))
     val q = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"))
@@ -340,18 +352,57 @@ object Similarity {
     adcTopK(q, codebook, centroids, postings)
   }
 
+  /** The IVF-PQ scan path quantizes finer than the standalone
+    * `vec_pq_assign` layout: 8 blocks of 8 dims over a 64-entry
+    * codebook (6-bit codes) vs 4 blocks over 16. Measured recall@10
+    * vs the exact baseline on the clone-rich sf1 corpus — where too
+    * many candidates collapse onto identical code tuples and the
+    * shortlist truncates on an arbitrary tie-break — climbs each
+    * step: 0.73 (pure 4×16 ADC ranking) → 0.89 (+ exact refine of
+    * the ADC top-40) → 0.92 (8 blocks) → 0.94 (64-entry codebook) →
+    * 0.95 (RefineC 200), against plain IVF's 0.97 coarse-pruning
+    * ceiling with the identical nprobe=4/K=16 probe stage. */
+  private val ivfPqBlocks = 8
+  private def ivfCodeCols: Seq[String] = (0 until ivfPqBlocks).map(b => s"code$b")
+
+  /** Codebook size for the IVF-PQ scan path: 64 entries (6-bit codes)
+    * vs vec_pq_assign's documented 16. The codebook is a hash-ordered
+    * deterministic corpus sample (the same seeding idiom as
+    * ivfIndex) — the %-comb pattern vec_pq_assign uses cannot yield
+    * 64 qualifying rows on the small verification corpora. The +77
+    * hash offset decorrelates this sample from the IVF coarse seeds
+    * so a codebook entry is not systematically a centroid. */
+  private val ivfPqK = 64
+  private def ivfPqCodebook(e: DataFrame): DataFrame =
+    e.orderBy(pmod(xxhash64(col("vec_id") + 77), lit(1000003)), col("vec_id"))
+      .limit(ivfPqK)
+      .select((row_number().over(Window.orderBy("vec_id")) - 1)
+        .cast("int").as("code"), col("embedding").as("c_emb"))
+
+  /** ADC shortlist size per query: the refine stage re-ranks this many
+    * candidates exactly (FAISS refine k_factor = RefineC/k = 20 —
+    * sized for a clone-rich corpus where ADC ties run deep). A
+    * true neighbor only needs to land in the ADC top-RefineC to
+    * survive — the exact re-rank repairs any ordering error inside
+    * the shortlist — and the cost is a RefineC-row-per-query
+    * raw-vector lookup, invisible next to the probed-list code scan. */
+  private val RefineC = 200
+
   /** The query-time half of IVF-PQ, shared verbatim by the inline
     * (train-per-call) and served (artifacts-at-rest) paths: per-query
     * ADC table + coarse probes against the broadcast codebook/
-    * centroids, then candidate scoring from the probed postings' 2 B
-    * codes only — raw corpus embeddings are never touched here. */
+    * centroids, then candidate SHORTLISTING from the probed postings'
+    * 4 B codes (raw corpus embeddings never enter the candidate
+    * shuffle), then an exact re-rank of the tiny shortlist against the
+    * postings' raw-vector column — a per-id fetch, not a scan. */
   private def adcTopK(q: DataFrame, codebook: DataFrame,
       centroids: DataFrame, postings: DataFrame): DataFrame = {
     // per-query ADC table: qtab[block][code] = dot(q_block, c_block)
-    val sq = s"slice(q_emb, 1 + block * $pqSubDim, $pqSubDim)"
-    val sc = s"slice(c_emb, 1 + block * $pqSubDim, $pqSubDim)"
+    val subDim = planeDim / ivfPqBlocks
+    val sq = s"slice(q_emb, 1 + block * $subDim, $subDim)"
+    val sc = s"slice(c_emb, 1 + block * $subDim, $subDim)"
     val qtab = q.crossJoin(broadcast(codebook))
-      .withColumn("block", explode(expr(s"sequence(0, ${pqBlocks - 1})")))
+      .withColumn("block", explode(expr(s"sequence(0, ${ivfPqBlocks - 1})")))
       .withColumn("qd", expr(s"vec_dot($sq, $sc)"))
       .groupBy("query_id", "block")
       .agg(array_sort(collect_list(struct(col("code"), col("qd")))).as("cw"))
@@ -373,16 +424,38 @@ object Similarity {
       .select("query_id", "q_norm", "cluster")
       .join(qtab, Seq("query_id"))
 
-    // candidates: probed lists only; score from codes + table lookups —
-    // the raw candidate embedding is never read past the encode stage
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("vec_id"))
-    postings
+    // candidates: probed lists only; ADC-rank from codes + table
+    // lookups and keep the top RefineC per query. Column pruning keeps
+    // the wide raw-vector column out of this branch entirely — the
+    // candidate shuffle moves (ids, norm, 8 codes), ~4 B of payload
+    // per vector, exactly the IVFADC scan cost.
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adot").desc, col("vec_id"))
+    val adcSum = ivfCodeCols.zipWithIndex
+      .map { case (c, b) => s"qtab[$b][$c]" }.mkString(" + ")
+    val shortlist = postings
+      .select("cluster", ("vec_id" +: "norm" +: ivfCodeCols): _*)
       .join(broadcast(probes), Seq("cluster"))
       .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("adot",
-        expr("qtab[0][code0] + qtab[1][code1] + qtab[2][code2] + qtab[3][code3]"))
-      .withColumn("score", round(col("adot") / (col("q_norm") * col("norm")), 6))
+      .withColumn("adot", expr(adcSum))
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= RefineC)
+      .select("query_id", "q_norm", "vec_id", "norm")
+
+    // refine: exact cosine over the shortlist's raw vectors. The
+    // shortlist (queries × RefineC rows) broadcasts; the postings
+    // raw-vector fetch joins against it reading only (vec_id,
+    // embedding) — at rest the postings are cluster-partitioned, so
+    // this is an id lookup within the already-probed lists. Emitted
+    // scores are TRUE cosines: quantization decides shortlist
+    // membership, never the reported score or final order.
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    postings.select("vec_id", "embedding")
+      .join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(q.select(col("query_id"), col("q_emb"))), Seq("query_id"))
+      .withColumn("score",
+        round(expr("vec_dot(q_emb, embedding)") / (col("q_norm") * col("norm")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 10)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("score"))
@@ -396,10 +469,15 @@ object Similarity {
   // scanning the corpus embeddings again. Artifacts:
   //   centroids/  16 rows (cluster, centroid)        — broadcast side
   //   codebook/   16 rows (code, c_emb)              — broadcast side
-  //   postings/   1 row per vector (vec_id, norm, 4 codes),
-  //               PARTITIONED BY cluster — a probe reads ~nprobe/K of
-  //               the files via partition pruning, which at 100 TB is
-  //               the difference between an index lookup and a scan.
+  //   postings/   1 row per vector (vec_id, norm, 4 codes, raw
+  //               embedding), PARTITIONED BY cluster — a probe reads
+  //               ~nprobe/K of the files via partition pruning, which
+  //               at 100 TB is the difference between an index lookup
+  //               and a scan. Parquet is columnar, so the ADC scan
+  //               reads only the 4 B codes + norm; the raw-vector
+  //               column is fetched ONLY by the refine stage's
+  //               RefineC-row-per-query lookup (the IVFFlat-beside-
+  //               codes storage FAISS's refine wrappers use).
   // The serve plan touches `embeddings` exactly once: the probe-set
   // filter that yields the query vectors (SimilaritySpec asserts the
   // single scan, and that served output == inline output row-for-row).
@@ -411,12 +489,12 @@ object Similarity {
       .withColumn("norm", expr("vec_norm(embedding)"))
       .select("vec_id", "embedding", "norm")
     val (centroids, lists) = ivfIndex(e)
-    val codebook = pqCodebook(e).persist()
+    val codebook = ivfPqCodebook(e).persist()
     centroids.write.mode("overwrite").parquet(s"$indexDir/centroids")
     codebook.write.mode("overwrite").parquet(s"$indexDir/codebook")
-    lists.select("vec_id", "cluster", "norm")
-      .join(pqCodes(e, codebook)
-        .select("vec_id", "code0", "code1", "code2", "code3"), Seq("vec_id"))
+    lists.select("vec_id", "cluster", "norm", "embedding")
+      .join(pqCodes(e, codebook, ivfPqBlocks)
+        .select("vec_id", ivfCodeCols: _*), Seq("vec_id"))
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$indexDir/postings")
   }
@@ -446,8 +524,9 @@ object Similarity {
   /** Bump whenever the index-building algebra changes (training,
     * codebook, postings layout): a marker from an older format must
     * force a rebuild, or serving would silently read artifacts the
-    * current code never produced. */
-  private val indexFormatVersion = 1
+    * current code never produced. v3: postings carry the raw-vector
+    * column for the exact refine stage; v4: finer 8-block, 64-entry codes. */
+  private val indexFormatVersion = 4
 
   /** Serializes in-JVM first-callers (a FileLock is per-JVM and throws
     * on overlap, so the monitor must take the collision first). */

@@ -101,12 +101,32 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
   test("IVF-PQ recall on planted clusters discriminates from a random scan") {
     val corpus = plantedCorpus
     val recall = recallOnPlanted(Similarity.ivfPqTopKOver(corpus).collect())
-    // same nprobe=4/16 coarse stage as plain IVF, but candidates are
-    // ranked from 2 B PQ codes via the ADC table, so quantization can
-    // cost some in-list recall on top of the coarse pruning. Planted
-    // members are near-duplicates of their query — the ADC ranking must
-    // still put most of them in the top-10.
-    assert(recall > 0.5, s"IVF-PQ planted recall $recall (random scan ≈ 0.25)")
+    // same nprobe=4/16 coarse stage as plain IVF; candidates are
+    // SHORTLISTED from PQ codes via the ADC table, then the shortlist
+    // is re-ranked exactly — quantization costs shortlist membership
+    // only, so planted recall must match plain IVF's floor (measured
+    // 1.0 on the fixture).
+    assert(recall > 0.8, s"IVF-PQ planted recall $recall (random scan ≈ 0.25)")
+  }
+
+  test("IVF-PQ refine emits true cosine scores, never quantized ones") {
+    val exact = Similarity.cosineTopK(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val ann = Similarity.ivfPqTopK(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3))
+    // Any (query, neighbor) pair the exact baseline also ranked must
+    // carry the identical exact cosine — the refine stage's contract:
+    // IVF-PQ is approximate in RECALL, never in score (the same
+    // property the LSH and IVF specs assert).
+    var overlap = 0
+    ann.foreach { case (key, score) =>
+      exact.get(key).foreach { es =>
+        overlap += 1
+        assert(es === score, s"score mismatch for $key")
+      }
+    }
+    assert(overlap > 0, "no overlapping pairs — refine property untested")
+    spark.catalog.clearCache()
   }
 
   test("IVF-PQ output is well-formed: dense ranks, descending scores, no self-match") {
