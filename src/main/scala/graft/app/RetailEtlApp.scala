@@ -20,12 +20,14 @@ import graft.sources.{CsvTableReader, OutputWriter}
   *
   * Usage:
   *   --date YYYY-MM-DD --out PATH [--mode faithful|corrected]
-  *   [--single-file] [--alert-webhook URL] [--alert-smtp
+  *   [--single-file] [--compact] [--alert-webhook URL] [--alert-smtp
   *   host:port:from:to] [--alert-dir PATH] and
   *   either --in-dir DIR (readiness-gated, files named
   *   {table}_YYYYMMDD.csv) or five explicit --calendar/--inventory/
-  *   --product/--sales/--store paths. Scheduling + alerting contract:
-  *   RUNBOOK.md.
+  *   --product/--sales/--store paths. `--compact` appends the
+  *   Z-cluster small-file maintenance rewrite of the output root
+  *   (weekly cron line, not the daily one). Scheduling + alerting
+  *   contract: RUNBOOK.md.
   */
 object RetailEtlApp {
 
@@ -147,8 +149,13 @@ object RetailEtlApp {
       .getOrCreate()
 
   private def execute(conf: RunConfig): Unit = {
-    val out = build(session(conf), conf)
+    val spark = session(conf)
+    val out = build(spark, conf)
     OutputWriter.writeFact(out, conf.out, conf.date.toString, conf.singleFile)
+    // end-of-run maintenance (opt-in): Z-cluster the whole output root
+    // into target-size files. Scheduled weekly in RUNBOOK.md — daily
+    // runs skip it, so the flag lives on the cron line, not here.
+    if (conf.compact) OutputWriter.compactFactPath(spark, conf.out)
   }
 
   /** Read the five tables and build the weekly fact; also registers

@@ -245,24 +245,32 @@ final case class RunConfig(
     inputs: Map[String, String],
     out: String,
     mode: String = "faithful",
-    singleFile: Boolean = false)
+    singleFile: Boolean = false,
+    compact: Boolean = false)
 
 object RunConfig {
 
   /** Parse `--date YYYY-MM-DD --calendar P --inventory P --product P
     * --sales P --store P --out P [--mode faithful|corrected]
-    * [--single-file]`. Either a config or an error message. */
+    * [--single-file] [--compact]`. Either a config or an error
+    * message. `--compact` runs the end-of-run Z-cluster maintenance
+    * rewrite of the whole output root
+    * (OutputWriter.compactFactPath) — the weekly small-file repair
+    * pass, not part of the daily contract. */
   def parse(args: Seq[String]): Either[String, RunConfig] = {
     val flags = Readiness.tables.map("--" + _) ++ Set("--date", "--out", "--mode")
-    def loop(rest: List[String], acc: Map[String, String], single: Boolean)
-        : Either[String, (Map[String, String], Boolean)] = rest match {
-      case Nil => Right((acc, single))
-      case "--single-file" :: tl => loop(tl, acc, single = true)
+    def loop(rest: List[String], acc: Map[String, String],
+        single: Boolean, compact: Boolean)
+        : Either[String, (Map[String, String], Boolean, Boolean)] = rest match {
+      case Nil => Right((acc, single, compact))
+      case "--single-file" :: tl => loop(tl, acc, single = true, compact)
+      case "--compact" :: tl     => loop(tl, acc, single, compact = true)
       case f :: v :: tl if flags(f) && !v.startsWith("--") =>
-        loop(tl, acc + (f.drop(2) -> v), single)
+        loop(tl, acc + (f.drop(2) -> v), single, compact)
       case f :: _ => Left(s"unrecognized or valueless argument: $f")
     }
-    loop(args.toList, Map.empty, single = false).flatMap { case (kv, single) =>
+    loop(args.toList, Map.empty, single = false, compact = false)
+      .flatMap { case (kv, single, compact) =>
       for {
         date <- kv.get("date").toRight("missing --date")
           .flatMap(d => scala.util.Try(LocalDate.parse(d)).toEither
@@ -277,7 +285,7 @@ object RunConfig {
           if (missing.isEmpty) Right(())
           else Left(s"missing input flags: ${missing.toSeq.sorted.map("--" + _).mkString(" ")}")
         }
-      } yield RunConfig(date, inputs, out, mode, single)
+      } yield RunConfig(date, inputs, out, mode, single, compact)
     }
   }
 }

@@ -100,8 +100,49 @@ object OutputWriter {
     * production sizes from bytes via [[Layout.targetFileCount]]. */
   def compactFactTable(spark: SparkSession, table: String,
       targetBytes: Long = 128L << 20,
-      nFilesOverride: Option[Int] = None): Unit = {
-    val t = spark.table(table)
+      nFilesOverride: Option[Int] = None): Unit =
+    zClusterStaged(spark, spark.table(table), targetBytes, nFilesOverride) {
+      staged =>
+        val key = "spark.sql.sources.partitionOverwriteMode"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, "dynamic")
+        try staged.write.mode(SaveMode.Overwrite).insertInto(table)
+        finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None    => spark.conf.unset(key)
+        }
+    }
+
+  /** Path twin of [[compactFactTable]] for [[writeFact]] outputs (a
+    * date-partitioned parquet root with no catalog entry) — the shape
+    * `RetailEtlApp --out` produces. Same one-range-shuffle Z-cluster
+    * rewrite; the write-back is a dynamic-partition-overwrite path
+    * write instead of an insertInto, so only the partitions the staged
+    * frame carries are replaced (all of them here, but a crash between
+    * write and commit never takes out dates the rewrite hadn't
+    * reached). Wired to the app's `--compact` end-of-run maintenance
+    * flag (RUNBOOK.md schedules it weekly, not per-daily-run). */
+  def compactFactPath(spark: SparkSession, path: String,
+      targetBytes: Long = 128L << 20,
+      nFilesOverride: Option[Int] = None): Unit =
+    zClusterStaged(spark, spark.read.parquet(path), targetBytes, nFilesOverride) {
+      staged =>
+        staged.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("date")
+          .parquet(path)
+    }
+
+  /** The shared half of the two maintenance rewrites: Z-cluster `t`
+    * on (STORE_KEY, PROD_KEY) under its date partitions, checkpoint
+    * the plan (self-overwrite: Spark refuses a write whose plan reads
+    * the target, so the lineage must be severed through a
+    * materialization first), and hand the column-aligned result to
+    * the caller's write-back. The scratch checkpoint dir is per-call
+    * and removed afterwards. */
+  private def zClusterStaged(spark: SparkSession, t: DataFrame,
+      targetBytes: Long, nFilesOverride: Option[Int])
+      (writeBack: DataFrame => Unit): Unit = {
     val cols = t.columns
     val nFiles = nFilesOverride.getOrElse(
       Layout.targetFileCount(spark, t, targetBytes))
@@ -113,15 +154,7 @@ object OutputWriter {
     spark.sparkContext.setCheckpointDir(ckptDir.toString)
     try {
       val staged = plan.checkpoint(eager = true)
-      val key = "spark.sql.sources.partitionOverwriteMode"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "dynamic")
-      try staged.select(cols.map(col).toIndexedSeq: _*)
-        .write.mode(SaveMode.Overwrite).insertInto(table)
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
-      }
+      writeBack(staged.select(cols.map(col).toIndexedSeq: _*))
     } finally {
       prevCkpt.foreach(spark.sparkContext.setCheckpointDir)
       def rm(f: java.io.File): Unit = {
