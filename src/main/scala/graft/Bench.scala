@@ -34,16 +34,22 @@ object Bench {
     // Timed reps, keep the min: single-shot numbers swing several
     // seconds with GC/JIT phase noise even after warmup, and the round-1
     // driver bench recorded a 97 s outlier on a query that runs in 3 s
-    // here — min-of-3 rides out transient host contention that can span
-    // two consecutive reps. A failed rep must NOT contribute its
-    // time-to-failure — a broken query would otherwise read as a
-    // performance win — so failures record -1.
-    // malformed/zero values must not crash the bench or make every
-    // query read as the -1 failure sentinel
+    // here. Reps are INTERLEAVED as full catalog passes (pass 1 runs
+    // every query once, then pass 2, ...) rather than back-to-back per
+    // query: back-to-back reps all land inside the same host-contention
+    // window, which is exactly how six of the first eight round benches
+    // picked up unexplained multi-x spikes on untouched queries —
+    // separating a query's reps by a whole catalog pass (minutes) makes
+    // the min robust to any contention burst shorter than a pass.
+    // A failed rep must NOT contribute its time-to-failure — a broken
+    // query would otherwise read as a performance win — so failures
+    // record -1. malformed/zero values must not crash the bench or make
+    // every query read as the -1 failure sentinel
     val nReps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
-    val results = selected.map { case (name, fn) =>
-      val reps = (1 to nReps).flatMap { _ =>
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+    (1 to nReps).foreach { _ =>
+      selected.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         // noop sink materializes every output column; count() would let
         // Catalyst prune the expensive expressions right out of the plan.
@@ -54,9 +60,11 @@ object Bench {
         // cache teardown of this query's persist()s happens OUTSIDE the
         // timed window so the next query isn't charged for it
         spark.catalog.clearCache()
-        if (ok) Some(elapsed) else None
+        if (ok) times(name) = elapsed :: times.getOrElse(name, Nil)
       }
-      name -> (if (reps.nonEmpty) reps.min else -1.0)
+    }
+    val results = selected.map { case (name, _) =>
+      name -> times.get(name).map(_.min).getOrElse(-1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

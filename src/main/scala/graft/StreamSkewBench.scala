@@ -42,6 +42,11 @@ object StreamSkewBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // recentProgress keeps only this many entries (default 100);
+      // with one micro-batch per split, fewer than `splits` would
+      // silently truncate the per-batch metric arrays below.
+      .config("spark.sql.streaming.numRecentProgressUpdates",
+        math.max(100, splits * 2))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -61,8 +66,10 @@ object StreamSkewBench {
         ev.filter(col("sec") >= lo && col("sec") < hi)
           .select("event_id", "ts", "user_id", "event_type", "value", "props")
           .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = Files.list(tmp)
-          .filter(_.toString.endsWith(".parquet")).findFirst().get()
+        val listing = Files.list(tmp)
+        val part =
+          try listing.filter(_.toString.endsWith(".parquet")).findFirst().get()
+          finally listing.close()
         val dst = out.resolve(f"p$i%02d.parquet")
         Files.move(part, dst): Unit
         dst.toFile.setLastModified(base + i * 1000L): Unit

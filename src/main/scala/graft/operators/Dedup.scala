@@ -292,9 +292,13 @@ object Dedup {
   // segment counts and the duplicated fraction plus a keep flag
   // (drop when ≥ half the doc is corpus-duplicated text).
   //
-  // Scale shape: segments travel as 12-byte (xxhash64, crc32) keys —
-  // a cross-doc false merge needs a simultaneous collision in BOTH
-  // hashes on the same distinct-segment pair, so the string-keyed
+  // Scale shape: segments travel as 16-byte keys — xxhash64 of the
+  // segment paired with a salted second xxhash64 (the same
+  // two-independent-64-bit-lanes idiom as text_fingerprint's 128-bit
+  // content hash) — a cross-doc false merge needs a simultaneous
+  // collision in BOTH lanes on the same distinct-segment pair
+  // (~2^-128 per pair, negligible at any corpus size), so the
+  // string-keyed
   // oracle's one-sided asymmetry is moot at any corpus size; one
   // map-side-combined groupBy computes each key's distinct-doc count,
   // one equi-join re-attaches it, one groupBy on doc_id folds back. No
@@ -331,7 +335,10 @@ object Dedup {
         slice(col("toks"), col("seg_idx") * segTokens + 1, lit(segTokens))))
       .select(col("doc_id"),
         least(lit(segTokens), col("nt") - col("seg_idx") * segTokens).as("w"),
-        xxhash64(col("seg")).as("h"), crc32(col("seg")).as("h2"))
+        xxhash64(col("seg")).as("h"),
+        // second lane: salt folded in as an extra hashed column, so the
+        // pair forms an effectively independent 128-bit segment key
+        xxhash64(lit("graft_seg_salt"), col("seg")).as("h2"))
       .persist()
     val segDocs = segs.groupBy("h", "h2")
       .agg(countDistinct(col("doc_id")).as("nd"))

@@ -139,7 +139,12 @@ object OutputWriter {
     * the target, so the lineage must be severed through a
     * materialization first), and hand the column-aligned result to
     * the caller's write-back. The scratch checkpoint dir is per-call
-    * and removed afterwards. */
+    * and removed afterwards — UNLESS the session had no checkpoint dir
+    * before this call: Spark offers no way to unset one, so deleting
+    * the scratch dir would leave the context pointing at a removed
+    * path and break a later unrelated `.checkpoint()` in the same
+    * session. In that case the (empty-after-use) temp dir is left in
+    * place for OS tmp cleanup to reclaim. */
   private def zClusterStaged(spark: SparkSession, t: DataFrame,
       targetBytes: Long, nFilesOverride: Option[Int])
       (writeBack: DataFrame => Unit): Unit = {
@@ -156,11 +161,23 @@ object OutputWriter {
       val staged = plan.checkpoint(eager = true)
       writeBack(staged.select(cols.map(col).toIndexedSeq: _*))
     } finally {
-      prevCkpt.foreach(spark.sparkContext.setCheckpointDir)
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      prevCkpt match {
+        case Some(dir) =>
+          spark.sparkContext.setCheckpointDir(dir)
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+          }
+          rm(ckptDir.toFile)
+        case None =>
+          // keep the dir valid — the context still points at it (see
+          // the Scaladoc); only the per-call checkpoint contents go.
+          Option(ckptDir.toFile.listFiles).foreach(_.foreach { f =>
+            def rm(g: java.io.File): Unit = {
+              Option(g.listFiles).foreach(_.foreach(rm)); g.delete(): Unit
+            }
+            rm(f)
+          })
       }
-      rm(ckptDir.toFile)
     }
   }
 

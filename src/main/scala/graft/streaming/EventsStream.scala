@@ -33,8 +33,19 @@ object EventsStream {
     // silently EMPTY stream — the worst failure mode a source can
     // have, hence the one metadata probe here.
     val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
-    val isDir = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .getFileStatus(p).isDirectory
+    val isDir =
+      try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).isDirectory
+      catch {
+        case e: java.io.FileNotFoundException =>
+          // fail-fast is deliberate (the alternative was a silently
+          // empty stream), but name the layout contract instead of
+          // surfacing a bare Hadoop FNFE from deep in the source.
+          throw new IllegalArgumentException(
+            s"events source expects '$dir/events.parquet' as either a " +
+              "Spark-written parquet DIRECTORY or a single parquet FILE " +
+              s"inside $dir; neither exists", e)
+      }
     val reader = spark.readStream.schema(graft.Tables.eventsSchema)
     val src =
       if (isDir) reader.parquet(p.toString)

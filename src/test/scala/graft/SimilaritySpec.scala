@@ -154,8 +154,13 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
       val served = Similarity.ivfPqServe(spark, SF, indexDir.getPath)
       // identical algebra from at-rest artifacts: output must match the
       // inline (train-per-call) query row for row — which also carries
-      // the planted-recall guarantee over to the served path unchanged
-      val inline = Similarity.ivfPqTopK(spark, SF).collect().toSeq
+      // the planted-recall guarantee over to the served path unchanged.
+      // ivfPqTopKOver is used deliberately: the catalog's ivfPqTopK
+      // now reuses a fresh index itself, so only the corpus-
+      // parameterized form is guaranteed to train per call here.
+      val inline = Similarity
+        .ivfPqTopKOver(Tables.loadBalanced(spark, SF, "embeddings"))
+        .collect().toSeq
       assert(served.collect().toSeq === inline,
         "served top-k must be identical to the inline query")
       // the serving property that matters at 100 TB: the corpus
