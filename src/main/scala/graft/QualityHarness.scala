@@ -86,8 +86,14 @@ object QualityHarness {
 
     // served == inline is an EXACT property (same algebra over at-rest
     // artifacts): gate the row-identity fraction at 1.0, which carries
-    // the inline recall floor over to the served path by construction
-    val inline = Similarity.ivfPqTopK(spark, sfDir).collect().toSeq
+    // the inline recall floor over to the served path by construction.
+    // The inline side MUST be the corpus-parameterized ivfPqTopKOver
+    // (train-per-call, never consults the served-index marker) — the
+    // catalog entry ivfPqTopK serves from the at-rest index when one
+    // exists, which would turn this gate into served-vs-served: a
+    // tautology that passes straight through a serving-path regression.
+    val inline = Similarity.ivfPqTopKOver(
+      Tables.loadBalanced(spark, sfDir, "embeddings")).collect().toSeq
     spark.catalog.clearCache()
     val served = Similarity.ivfPqServed(spark, sfDir).collect().toSeq
     spark.catalog.clearCache()

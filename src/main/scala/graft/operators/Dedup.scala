@@ -336,8 +336,14 @@ object Dedup {
       .select(col("doc_id"),
         least(lit(segTokens), col("nt") - col("seg_idx") * segTokens).as("w"),
         xxhash64(col("seg")).as("h"),
-        // second lane: salt folded in as an extra hashed column, so the
-        // pair forms an effectively independent 128-bit segment key
+        // second lane: the salt shifts xxhash64's effective seed (Spark
+        // chains multi-arg xxhash64 through the seed), giving a
+        // seed-DECORRELATED companion, not an independent hash — XXH64
+        // admits seed-independent collision constructions, so the joint
+        // bound is heuristically ~2^-128 per pair for non-adversarial
+        // corpora rather than a guarantee. Far beyond the old 32-bit
+        // crc32 lane either way; an adversarial-input deployment would
+        // swap h2 for a structurally different hash (sha2-derived).
         xxhash64(lit("graft_seg_salt"), col("seg")).as("h2"))
       .persist()
     val segDocs = segs.groupBy("h", "h2")

@@ -555,13 +555,36 @@ object Similarity {
     * on overlap, so the monitor must take the collision first). */
   private val servedBuildLock = new Object
 
+  /** Cheap content fingerprint of the embeddings table under `dir`:
+    * file count + total bytes + max mtime over the parquet path
+    * (file or directory layout). Driver-side metadata only — no data
+    * scan. Folded into the marker stamp so a REGENERATED corpus at
+    * the same path (the normal per-round workflow: testdata rewritten,
+    * sf1 rebuilt into the same target dir) invalidates the at-rest
+    * index instead of silently serving neighbors from the stale one.
+    * mtime granularity means a byte-identical rewrite also triggers a
+    * rebuild — the safe direction. */
+  private def corpusFingerprint(dir: String): String = {
+    val root = new java.io.File(dir, "embeddings.parquet")
+    def walk(f: java.io.File): Iterator[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).iterator.flatMap(_.iterator).flatMap(walk)
+      else Iterator.single(f)
+    val files = if (root.exists()) walk(root).toSeq else Seq.empty
+    val bytes = files.map(_.length()).sum
+    val mtime = files.foldLeft(0L)((m, f) => math.max(m, f.lastModified()))
+    s"n${files.size}b${bytes}m$mtime"
+  }
+
   /** (indexDir, marker file, expected marker content) for `dir` —
-    * the single definition of the served-index location contract. */
+    * the single definition of the served-index location contract.
+    * The stamp carries the corpus fingerprint: freshness means "built
+    * from THESE bytes", not just "built for this path". */
   private def servedIndexPath(dir: String): (String, java.io.File, String) = {
     val key = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
     val indexDir = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_ivfpq_index_$key").getPath
-    (indexDir, new java.io.File(indexDir, "_built_for"), s"$dir#v$indexFormatVersion")
+    (indexDir, new java.io.File(indexDir, "_built_for"),
+      s"$dir#v$indexFormatVersion#${corpusFingerprint(dir)}")
   }
 
   private def markerFresh(marker: java.io.File, stamp: String): Boolean =

@@ -182,6 +182,45 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("served index goes stale when the corpus at the same path is regenerated") {
+    // the round-9 marker keyed freshness on (dir path, format version)
+    // only — a corpus REGENERATED at the same path (the normal
+    // per-round workflow) would silently serve neighbors from the
+    // stale index. The stamp now carries a content fingerprint
+    // (file count + bytes + max mtime), so regeneration invalidates.
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft_fp_corpus").toFile
+    try {
+      val dst = new java.io.File(corpusDir, "embeddings.parquet")
+      java.nio.file.Files.copy(
+        new java.io.File(SF, "embeddings.parquet").toPath, dst.toPath): Unit
+      val dir = corpusDir.getPath
+      val before = Similarity.ivfPqServed(spark, dir).collect().toSeq
+      spark.catalog.clearCache()
+      assert(before.nonEmpty)
+      assert(Similarity.servedIndexIfFresh(dir).isDefined,
+        "index must be at rest and fresh right after the build")
+      // "regenerate" the corpus: same path, newer mtime — the cheapest
+      // observable consequence of any rewrite
+      assert(dst.setLastModified(dst.lastModified() + 60000))
+      assert(Similarity.servedIndexIfFresh(dir).isEmpty,
+        "a regenerated corpus must invalidate the at-rest index")
+      // and the serving entry transparently rebuilds: output identical
+      // (the bytes really are the same here), marker fresh again
+      val after = Similarity.ivfPqServed(spark, dir).collect().toSeq
+      spark.catalog.clearCache()
+      assert(after === before, "rebuild from identical bytes must reproduce the output")
+      assert(Similarity.servedIndexIfFresh(dir).isDefined)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(corpusDir)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("PQ: codes in range, seeds self-quantize at zero error") {
     import org.apache.spark.sql.functions._
     val out = Similarity.pqAssign(spark, SF).collect()
