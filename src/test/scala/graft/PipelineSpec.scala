@@ -479,4 +479,61 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
       s"store ranges must localize: avg file-coverage $coverage, ranges $ranges")
     spark.sql(s"DROP TABLE $table")
   }
+
+  test("lifecycle through main: daily run → --compact → next daily run → compact again") {
+    // The composed daily→maintenance→daily cycle the RUNBOOK schedules,
+    // driven through the REAL entry point (main returns normally on
+    // exit 0; a nonzero would sys.exit and kill the suite loudly —
+    // which is the right failure mode for a lifecycle regression).
+    // Also the only exercise of compactFactPath, the path twin of the
+    // unit-tested compactFactTable.
+    val fx = Files.createTempDirectory("graft_lifecycle_fx")
+    Seq("calendar", "inventory", "product", "sales", "store").foreach { t =>
+      Files.copy(fixtureDir.resolve(s"${t}_20240108.csv"),
+        fx.resolve(s"${t}_20240108.csv")): Unit
+      // week 2 feed: identical content, next Monday's filename — the
+      // readiness gate keys on the date in the NAME
+      Files.copy(fixtureDir.resolve(s"${t}_20240108.csv"),
+        fx.resolve(s"${t}_20240115.csv")): Unit
+    }
+    val out = Files.createTempDirectory("graft_lifecycle_out").toString
+
+    // day 1, weekly cron shape: daily build + end-of-run maintenance
+    RetailEtlApp.main(Array("--date", "2024-01-08", "--in-dir",
+      fx.toString, "--out", out, "--compact"))
+    def day(date: String) = spark.read.parquet(out)
+      .filter(s"date = '$date'")
+      .select("yr_wk_num", "total_sales_amt", "weeks_supply")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val d1 = day("2024-01-08")
+    // the hand-computed fixture oracle (same rows the faithful-mode
+    // test pins): compaction must round-trip them exactly
+    assert(d1.map(_(2)).toSeq === Seq(0.27, 0.53))
+    assert(d1.forall(r => r(0) === 202401 && r(1) === 300.0))
+    val d1Files = Option(new java.io.File(out, "date=2024-01-08")
+      .listFiles()).getOrElse(Array())
+      .count(_.getName.endsWith(".parquet"))
+    assert(d1Files === 1, s"maintenance must collapse small files (got $d1Files)")
+
+    // day 2, daily cron shape: no maintenance flag
+    RetailEtlApp.main(Array("--date", "2024-01-15", "--in-dir",
+      fx.toString, "--out", out))
+    assert(day("2024-01-15").map(_(2)).toSeq === Seq(0.27, 0.53))
+    assert(day("2024-01-08").toSeq === d1.toSeq,
+      "dynamic overwrite must leave the compacted prior day untouched")
+
+    // weekly maintenance over the now multi-date root
+    RetailEtlApp.main(Array("--date", "2024-01-15", "--in-dir",
+      fx.toString, "--out", out, "--compact"))
+    assert(day("2024-01-08").toSeq === d1.toSeq)
+    assert(day("2024-01-15").map(_(2)).toSeq === Seq(0.27, 0.53))
+
+    // read-back pruning over the compacted tree: a date predicate must
+    // still prune statically (the partition layout survived both
+    // maintenance rewrites)
+    val plan = spark.read.parquet(out).filter("date = '2024-01-08'")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || plan.contains("date=2024-01-08"),
+      s"date filter should prune partitions of the compacted root:\n$plan")
+  }
 }
