@@ -1,6 +1,29 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Fixed trivial probes re-timed at every pass boundary. Their code paths
+    * never change round-to-round, so they isolate AMBIENT host load from
+    * code regressions two ways:
+    *   - intra-run spread (max/min across this run's samples) flags a
+    *     contention BURST during the run;
+    *   - cross-round comparison of their absolute times (this artifact vs
+    *     the previous round's) flags a uniformly loaded host, which spread
+    *     alone cannot see.
+    * Seven of the first ten driver benches carried unexplained uniform
+    * inflation on untouched queries that cost a judge cycle each to
+    * adjudicate; the sentinels make the bench self-labeling. */
+  private val SentinelNames = Seq("dedup_exact", "mm_binary_meta")
+
+  /** Spread above this on a sentinel marks the run contended. Sentinels are
+    * sub-second scans, so steady-state jitter (GC phase, page cache) stays
+    * well inside 40%; a burst that inflates real queries shows up far above
+    * it. */
+  private val BurstSpreadPct = 40.0
+
+  private def jsonNum(v: Double): String =
+    if (v.isNaN || v.isInfinite) "null" else v.toString
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -25,8 +48,12 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
     }
+    // Sentinels run regardless of any subset filter (they are the run's
+    // noise floor, not part of the measured surface), but only if present
+    // in the catalog at all.
+    val sentinels = SentinelNames.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    selected.foreach { case (_, fn) =>
+    (selected ++ sentinels).foreach { case (_, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
       spark.catalog.clearCache()
@@ -67,20 +94,40 @@ object Bench {
     val nReps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
+    val sentinelTimes = scala.collection.mutable.Map.empty[String, List[Double]]
+
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                into: scala.collection.mutable.Map[String, List[Double]]): Unit = {
+      val t0 = System.nanoTime()
+      // noop sink materializes every output column; count() would let
+      // Catalyst prune the expensive expressions right out of the plan.
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // cache teardown of this query's persist()s happens OUTSIDE the
+      // timed window so the next query isn't charged for it
+      spark.catalog.clearCache()
+      if (ok) into(name) = elapsed :: into.getOrElse(name, Nil)
+    }
+
+    def probeSentinels(): Unit = sentinels.foreach { case (n, f) => timeOne(n, f, sentinelTimes) }
+
+    // Untimed sentinel warmup AT THE TARGET SF: the generic warmup above
+    // ran at warmDir, so the first probe would otherwise charge the target
+    // SF's cold page cache to the noise floor and false-flag a burst.
+    sentinels.foreach { case (_, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+    }
+    // One sentinel probe before the first pass and one after every pass:
+    // nReps passes -> nReps+1 samples per sentinel, bracketing the whole
+    // timed window so a burst inside ANY pass lands between two samples.
+    probeSentinels()
     (1 to nReps).foreach { _ =>
-      selected.foreach { case (name, fn) =>
-        val t0 = System.nanoTime()
-        // noop sink materializes every output column; count() would let
-        // Catalyst prune the expensive expressions right out of the plan.
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
-        val elapsed = (System.nanoTime() - t0) / 1e9
-        // cache teardown of this query's persist()s happens OUTSIDE the
-        // timed window so the next query isn't charged for it
-        spark.catalog.clearCache()
-        if (ok) times(name) = elapsed :: times.getOrElse(name, Nil)
-      }
+      selected.foreach { case (name, fn) => timeOne(name, fn, times) }
+      probeSentinels()
     }
     val results = selected.map { case (name, _) =>
       name -> times.get(name).map(_.min).getOrElse(-1.0)
@@ -90,7 +137,52 @@ object Bench {
     // total covers successful queries only; failures are visible as -1
     // per-query entries rather than shrinking the total
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Noise summary from the sentinel samples: worst per-sentinel spread
+    // (max/min - 1) across the run, and the burst verdict.
+    val sentinelJson = sentinels.map { case (n, _) =>
+      val samples = sentinelTimes.getOrElse(n, Nil).reverse
+      s"\"$n\":" + samples.map(jsonNum).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val spreadPct: Double = {
+      val spreads = sentinels.flatMap { case (n, _) =>
+        val s = sentinelTimes.getOrElse(n, Nil)
+        if (s.size >= 2 && s.min > 0) Some((s.max / s.min - 1.0) * 100.0) else None
+      }
+      if (spreads.isEmpty) -1.0 else spreads.max
+    }
+    val burst = spreadPct > BurstSpreadPct
+    val noiseJson =
+      s"""{"sentinels":$sentinelJson,"spread_pct":${jsonNum(spreadPct)},""" +
+        s""""burst_threshold_pct":$BurstSpreadPct,"burst":$burst}"""
+
+    // Complete artifact on disk. The driver's stdout capture keeps only the
+    // tail of the (long) JSON line, which truncated rounds 1-10 to a
+    // partial query table with the total cut off mid-number; this file is
+    // the authoritative record and includes every rep of every query.
+    val perRepJson = selected.map { case (name, _) =>
+      s"\"$name\":" + times.getOrElse(name, Nil).reverse.map(jsonNum).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val reportPath = java.nio.file.Paths.get("target", "bench_report.json")
+    val report =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":"$cpus",""" +
+        s""""reps":$nReps,"generated_at":"${java.time.Instant.now()}",""" +
+        s""""noise":$noiseJson,"queries":$qs,"per_rep":$perRepJson}"""
+    try {
+      java.nio.file.Files.createDirectories(reportPath.getParent)
+      java.nio.file.Files.write(reportPath,
+        report.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+      System.err.println(s"[bench] full report written to $reportPath")
+    } catch { case e: Throwable => System.err.println(s"[bench] report write failed: $e") }
+
+    // Stdout stays one JSON line (the driver contract), but key ORDER puts
+    // the big queries map first and the total + report pointer + noise
+    // verdict LAST, so a tail-truncated capture still carries the numbers
+    // that matter. JSON key order is semantically irrelevant, so a full
+    // capture parses identically.
+    println(
+      s"""{"queries":$qs,"sf":"$sfDir","reps":$nReps,"noise":$noiseJson,""" +
+        s""""report":"$reportPath","metric":"total","value":$total,"unit":"sec"}""")
     spark.stop()
   }
 }
