@@ -556,41 +556,63 @@ object Similarity {
   private val servedBuildLock = new Object
 
   /** Cheap content fingerprint of the embeddings table under `dir`:
-    * file count + total bytes + max mtime over the parquet path
-    * (file or directory layout). Driver-side metadata only — no data
-    * scan. Folded into the marker stamp so a REGENERATED corpus at
-    * the same path (the normal per-round workflow: testdata rewritten,
-    * sf1 rebuilt into the same target dir) invalidates the at-rest
-    * index instead of silently serving neighbors from the stale one.
-    * mtime granularity means a byte-identical rewrite also triggers a
-    * rebuild — the safe direction. */
-  private def corpusFingerprint(dir: String): String = {
+    * a hash folded over every file's (relative path, size, mtime),
+    * plus file count and total bytes, over the parquet path (file or
+    * directory layout). Driver-side metadata only — no data scan.
+    * Folded into the marker stamp so a REGENERATED corpus at the same
+    * path (the normal per-round workflow: testdata rewritten, sf1
+    * rebuilt into the same target dir) invalidates the at-rest index
+    * instead of silently serving neighbors from the stale one.
+    *
+    * Caveats, both conservative-by-construction:
+    *   - mtime has filesystem-dependent (>= millisecond) granularity,
+    *     so a rewrite is only GUARANTEED to re-fingerprint when some
+    *     file's mtime tick, size, or name changes; folding per-file
+    *     tuples (rather than one max-mtime) shrinks the blind spot to
+    *     "every file rewritten to identical name+size inside its own
+    *     mtime tick". A byte-identical rewrite normally re-fingerprints
+    *     too (mtimes advance) — the safe direction.
+    *   - `java.io.File` sees only local paths. A corpus on a non-local
+    *     filesystem (hdfs://, s3://) or an unreadable/empty dir yields
+    *     None = NEVER FRESH: the serving path rebuilds every call
+    *     rather than letting freshness silently degenerate to
+    *     path-only keying and serving a stale index. */
+  private def corpusFingerprint(dir: String): Option[String] = {
     val root = new java.io.File(dir, "embeddings.parquet")
     def walk(f: java.io.File): Iterator[java.io.File] =
       if (f.isDirectory) Option(f.listFiles()).iterator.flatMap(_.iterator).flatMap(walk)
       else Iterator.single(f)
     val files = if (root.exists()) walk(root).toSeq else Seq.empty
-    val bytes = files.map(_.length()).sum
-    val mtime = files.foldLeft(0L)((m, f) => math.max(m, f.lastModified()))
-    s"n${files.size}b${bytes}m$mtime"
+    if (files.isEmpty) None
+    else {
+      val bytes = files.map(_.length()).sum
+      val perFile = files
+        .map(f => s"${f.getPath.stripPrefix(root.getPath)}#${f.length()}#${f.lastModified()}")
+        .sorted
+      val h = Integer.toHexString(
+        scala.util.hashing.MurmurHash3.orderedHash(perFile))
+      Some(s"n${files.size}b${bytes}h$h")
+    }
   }
 
   /** (indexDir, marker file, expected marker content) for `dir` —
     * the single definition of the served-index location contract.
     * The stamp carries the corpus fingerprint: freshness means "built
-    * from THESE bytes", not just "built for this path". */
-  private def servedIndexPath(dir: String): (String, java.io.File, String) = {
+    * from THESE bytes", not just "built for this path". A corpus whose
+    * bytes can't be fingerprinted (non-local, empty) has stamp None:
+    * nothing matches it and nothing is ever stamped for it. */
+  private[graft] def servedIndexPath(dir: String): (String, java.io.File, Option[String]) = {
     val key = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
     val indexDir = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_ivfpq_index_$key").getPath
     (indexDir, new java.io.File(indexDir, "_built_for"),
-      s"$dir#v$indexFormatVersion#${corpusFingerprint(dir)}")
+      corpusFingerprint(dir).map(fp => s"$dir#v$indexFormatVersion#$fp"))
   }
 
-  private def markerFresh(marker: java.io.File, stamp: String): Boolean =
-    marker.exists() && new String(
+  private def markerFresh(marker: java.io.File, stamp: Option[String]): Boolean =
+    stamp.exists(s => marker.exists() && new String(
       java.nio.file.Files.readAllBytes(marker.toPath),
-      java.nio.charset.StandardCharsets.UTF_8) == stamp
+      java.nio.charset.StandardCharsets.UTF_8) == s)
 
   /** The index dir iff a current-format index for `dir` is at rest. */
   private[graft] def servedIndexIfFresh(dir: String): Option[String] = {
@@ -619,8 +641,11 @@ object Similarity {
       try {
         if (!fresh) {
           buildIvfPqIndex(spark, dir, indexDir)
-          java.nio.file.Files.write(marker.toPath,
-            stamp.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+          // An unfingerprintable corpus (stamp None) is never stamped:
+          // the freshly built index serves THIS call, but the next call
+          // rebuilds — rebuild-always beats serve-stale.
+          stamp.foreach(s => java.nio.file.Files.write(marker.toPath,
+            s.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit)
         }
       } finally { lock.release(); ch.close() }
     }

@@ -5,6 +5,11 @@ import graft.operators.Similarity
 
 class SimilaritySpec extends AnyFunSuite with SparkSuite {
 
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(): Unit
+  }
+
   test("brute-force top-k: 10 ranked neighbors per query, scores descending") {
     val rows = Similarity.cosineTopK(spark, SF).collect()
     val byQuery = rows.groupBy(_.getLong(0))
@@ -186,15 +191,15 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     // the round-9 marker keyed freshness on (dir path, format version)
     // only — a corpus REGENERATED at the same path (the normal
     // per-round workflow) would silently serve neighbors from the
-    // stale index. The stamp now carries a content fingerprint
-    // (file count + bytes + max mtime), so regeneration invalidates.
+    // stale index. The stamp now carries a content fingerprint (a hash
+    // over per-file name/size/mtime tuples), so regeneration invalidates.
     val corpusDir = java.nio.file.Files
       .createTempDirectory("graft_fp_corpus").toFile
+    val dir = corpusDir.getPath
     try {
       val dst = new java.io.File(corpusDir, "embeddings.parquet")
       java.nio.file.Files.copy(
         new java.io.File(SF, "embeddings.parquet").toPath, dst.toPath): Unit
-      val dir = corpusDir.getPath
       val before = Similarity.ivfPqServed(spark, dir).collect().toSeq
       spark.catalog.clearCache()
       assert(before.nonEmpty)
@@ -212,12 +217,75 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
       assert(after === before, "rebuild from identical bytes must reproduce the output")
       assert(Similarity.servedIndexIfFresh(dir).isDefined)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-      rm(corpusDir)
+      rmTree(corpusDir)
+      // the index built for this throwaway corpus lives under tmpdir,
+      // keyed by the random temp path — remove it too or every run leaks
+      // one graft_ivfpq_index_* directory
+      rmTree(new java.io.File(Similarity.servedIndexPath(dir)._1))
       spark.catalog.clearCache()
+    }
+  }
+
+  test("a marker from an older index format forces a transparent rebuild") {
+    // the upgrade path a served 100 TB index actually hits: the binary
+    // is upgraded (indexFormatVersion bumped), the at-rest index was
+    // written by the previous version. Simulated by rewriting the
+    // marker's "#v<N>#" to "#v0#" — exactly what a stale marker looks
+    // like to the new binary. Serving must notice, rebuild, and return
+    // identical output (same corpus bytes, same algebra).
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft_ver_corpus").toFile
+    val dir = corpusDir.getPath
+    try {
+      java.nio.file.Files.copy(
+        new java.io.File(SF, "embeddings.parquet").toPath,
+        new java.io.File(corpusDir, "embeddings.parquet").toPath): Unit
+      val before = Similarity.ivfPqServed(spark, dir).collect().toSeq
+      spark.catalog.clearCache()
+      assert(before.nonEmpty)
+      val (_, marker, stampOpt) = Similarity.servedIndexPath(dir)
+      val stamp = stampOpt.getOrElse(fail("local corpus must fingerprint"))
+      assert(stamp.matches(".*#v\\d+#.*"), s"stamp missing version segment: $stamp")
+      java.nio.file.Files.write(marker.toPath,
+        stamp.replaceFirst("#v\\d+#", "#v0#")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+      assert(Similarity.servedIndexIfFresh(dir).isEmpty,
+        "an old-format marker must read as stale")
+      val after = Similarity.ivfPqServed(spark, dir).collect().toSeq
+      spark.catalog.clearCache()
+      assert(after === before, "format-version rebuild must reproduce the output")
+      assert(Similarity.servedIndexIfFresh(dir).isDefined,
+        "rebuild must re-stamp at the current format version")
+    } finally {
+      rmTree(corpusDir)
+      rmTree(new java.io.File(Similarity.servedIndexPath(dir)._1))
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("an unfingerprintable corpus dir is never fresh, even with a colluding marker") {
+    // java.io.File cannot list a non-local corpus (hdfs://, s3://); the
+    // old fingerprint degenerated to the constant n0b0m0 there, so a
+    // marker stamped once would match forever and a regenerated remote
+    // corpus would serve stale. Now an empty/unresolvable listing means
+    // stamp None: no marker content can match, and serving never writes
+    // a marker for such a dir. Simulated with an empty local dir plus a
+    // marker hand-written with the exact stamp the old code would have
+    // produced.
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft_nofp_corpus").toFile   // no embeddings.parquet inside
+    val dir = corpusDir.getPath
+    val (indexDir, marker, stampOpt) = Similarity.servedIndexPath(dir)
+    try {
+      assert(stampOpt.isEmpty, "empty listing must not produce a stamp")
+      java.nio.file.Files.createDirectories(marker.toPath.getParent)
+      java.nio.file.Files.write(marker.toPath,
+        s"$dir#v4#n0b0m0".getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+      assert(Similarity.servedIndexIfFresh(dir).isEmpty,
+        "no marker content may ever read fresh for an unfingerprintable corpus")
+    } finally {
+      rmTree(corpusDir)
+      rmTree(new java.io.File(indexDir))
     }
   }
 
