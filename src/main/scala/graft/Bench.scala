@@ -69,11 +69,20 @@ object Bench {
     // serving path — the 100 TB-relevant steady state; the
     // train-per-call cost is recorded separately in BASELINE.md's
     // build/serve split.
+    // Prebuild elapsed goes into the report: when no fresh index was at
+    // rest this is the full train+build cost at this SF (the other half
+    // of the build/serve split BASELINE.md tracks); when one was fresh
+    // it is just the marker check (~ms), so the number also records
+    // WHICH case this run hit.
+    var ivfpqPrebuildS = -1.0
     if (selected.contains("sim_ann_ivfpq") || selected.contains("sim_ann_ivfpq_served")) {
       try {
+        val t0 = System.nanoTime()
         graft.operators.Similarity.ivfPqServed(spark, sfDir): Unit
+        ivfpqPrebuildS = (System.nanoTime() - t0) / 1e9
         System.err.println(
-          "[bench] ivfpq served index at rest: all sim_ann_ivfpq reps measure the serving path")
+          s"[bench] ivfpq served index at rest (prebuild ${ivfpqPrebuildS}s): " +
+            "all sim_ann_ivfpq reps measure the serving path")
       } catch { case e: Throwable => System.err.println(s"[bench] ivfpq prebuild: $e") }
       spark.catalog.clearCache()
     }
@@ -167,6 +176,7 @@ object Bench {
     val report =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":"$cpus",""" +
         s""""reps":$nReps,"generated_at":"${java.time.Instant.now()}",""" +
+        s""""ivfpq_prebuild_s":${jsonNum(ivfpqPrebuildS)},""" +
         s""""noise":$noiseJson,"queries":$qs,"per_rep":$perRepJson}"""
     try {
       java.nio.file.Files.createDirectories(reportPath.getParent)

@@ -132,8 +132,17 @@ object HeadToHeadData {
 
 object HeadToHead {
 
+  /** `HeadToHead <csvDir> <outBase> [faithful|corrected]` — the mode
+    * selects the engine pipeline under test (default faithful, the
+    * reference's own shape; corrected is the engine's daily-pre-agg
+    * scale answer, same CLI contract as the app's --mode flag). */
   def main(args: Array[String]): Unit = {
-    val Array(csvDir, outBase) = args
+    val (csvDir, outBase, mode) = args match {
+      case Array(c, o)    => (c, o, "faithful")
+      case Array(c, o, m) => (c, o, m)
+      case _ => sys.error("usage: HeadToHead <csvDir> <outBase> [faithful|corrected]")
+    }
+    require(Set("faithful", "corrected")(mode), s"bad mode '$mode'")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -147,7 +156,7 @@ object HeadToHead {
     def once(out: String): Double = {
       val t0 = System.nanoTime()
       val conf = graft.pipeline.RunConfig(
-        java.time.LocalDate.parse("2024-01-08"), inputs, out)
+        java.time.LocalDate.parse("2024-01-08"), inputs, out, mode = mode)
       val fact = graft.app.RetailEtlApp.build(spark, conf)
       graft.sources.OutputWriter.writeFact(fact, out, conf.date.toString)
       spark.catalog.clearCache()
@@ -158,7 +167,7 @@ object HeadToHead {
     val rows = spark.read.parquet(s"$outBase/run2").count()
     def num(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
-    println(s"""{"metric": "head_to_head_graft_faithful", """ +
+    println(s"""{"metric": "head_to_head_graft_$mode", """ +
       s""""cold_s": ${num(cold)}, "warm_s": ${num(warm)}, "rows": $rows}""")
     spark.stop()
   }

@@ -28,6 +28,62 @@ import graft.Tables
   */
 object Multimodal {
 
+  /** The JDK sound stack's public entry points — `AudioSystem.write`
+    * and `AudioSystem.getAudioInputStream` — run a SYNCHRONIZED
+    * provider lookup per call, and the read side discovers the right
+    * container parser by letting every non-matching reader THROW
+    * `UnsupportedAudioFileException` (AIFF and AU are registered ahead
+    * of WAV). Measured at 32 threads that costs ~700–1800 µs of
+    * thread-time per row against ~15 µs for the actual codec work —
+    * a 50× collapse that made the audio tier scale superlinearly
+    * (sf1 full-catalog run, BASELINE.md round 11). At 100 TB a decode
+    * stage serialized on a JVM-global registry lock is a cluster-wide
+    * straggler factory.
+    *
+    * Fix, still 100% public API and still the REAL JDK codec
+    * (`com.sun.media.sound.WaveFileReader/WaveFileWriter` underneath):
+    * resolve the SPI providers once per thread via `ServiceLoader`,
+    * probe writers with the exception-free `isFileTypeSupported`, and
+    * keep the reader list in last-success-first order so steady-state
+    * rows parse on the first try instead of paying two
+    * exception-throwing misses each. */
+  private object SoundSpi {
+    import javax.sound.sampled.{AudioInputStream, AudioFileFormat, UnsupportedAudioFileException}
+    import javax.sound.sampled.spi.{AudioFileReader, AudioFileWriter}
+    import scala.jdk.CollectionConverters._
+    private val tl = new ThreadLocal[
+        (Array[AudioFileWriter], scala.collection.mutable.ArrayBuffer[AudioFileReader])] {
+      override def initialValue() =
+        (java.util.ServiceLoader.load(classOf[AudioFileWriter]).asScala.toArray,
+          scala.collection.mutable.ArrayBuffer.from(
+            java.util.ServiceLoader.load(classOf[AudioFileReader]).asScala))
+    }
+
+    def writeWave(ais: AudioInputStream, out: java.io.OutputStream): Unit = {
+      val w = tl.get()._1
+        .find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE, ais))
+        .getOrElse(throw new java.io.IOException("no WAVE writer installed"))
+      w.write(ais, AudioFileFormat.Type.WAVE, out): Unit
+    }
+
+    /** Parse `bytes` with the first accepting reader; throws
+      * `UnsupportedAudioFileException` when none accepts — the same
+      * contract as `AudioSystem.getAudioInputStream`. */
+    def open(bytes: Array[Byte]): AudioInputStream = {
+      val rs = tl.get()._2
+      var i = 0
+      while (i < rs.length) {
+        try {
+          val ais = rs(i).getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+          if (i != 0) { val r = rs.remove(i); rs.insert(0, r) }
+          return ais
+        } catch { case _: UnsupportedAudioFileException => () }
+        i += 1
+      }
+      throw new UnsupportedAudioFileException("no installed reader accepts the payload")
+    }
+  }
+
   /** A media row: opaque payload + typed metadata. */
   case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
 
@@ -228,8 +284,7 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    SoundSpi.writeWave(ais, bos)
     bos.toByteArray
   }
 
@@ -296,8 +351,7 @@ object Multimodal {
           }
         case "audio" =>
           try {
-            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(m.payload))
+            val ais = SoundSpi.open(m.payload)
             val frames = ais.getFrameLength.toInt
             val bytes = ais.readAllBytes()
             var peak = 0L
@@ -371,8 +425,7 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    SoundSpi.writeWave(ais, bos)
     bos.toByteArray
   }
 
@@ -392,8 +445,7 @@ object Multimodal {
   private def audioFeaturesPartition(rows: Iterator[MediaRow]): Iterator[AudioFeatures] =
     rows.map { m =>
       try {
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(m.payload))
+        val ais = SoundSpi.open(m.payload)
         val bytes = ais.readAllBytes()
         val n = bytes.length / 2
         var peak = 0L; var sumSq = 0L; var zc = 0; var prev = 0
