@@ -109,6 +109,33 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(!plan.contains("Exchange"), s"audio feature extraction must not shuffle:\n$plan")
   }
 
+  test("audio decode: corrupt rows degrade to sentinels between good rows") {
+    // exercises the SPI reader path's fallback contract through a MIXED
+    // partition: the first good WAV promotes the WAV reader to the
+    // front of the per-thread provider list, a corrupt payload must
+    // still exhaust every provider and degrade to the sentinel (never
+    // a task kill), and the NEXT good WAV must still parse first-try —
+    // i.e. the last-success-first reorder can neither mask the
+    // no-reader-accepts error nor poison later rows. coalesce(1) pins
+    // all three rows into one partition so they share one provider
+    // list and thread.
+    import spark.implicits._
+    def wav(id: Long) = Multimodal.audioTable(spark, SF)
+      .filter(_.doc_id == id).head()
+    val ids = Multimodal.audioTable(spark, SF).take(2).map(_.doc_id)
+    val mixed = Seq(
+      wav(ids(0)),
+      Multimodal.MediaRow(999L, "audio", Array[Byte](0x52, 0x49, 0x46, 0x9)), // RIFF-ish garbage
+      wav(ids(1))).toDS().coalesce(1)
+    val out = Multimodal.audioFeatures(mixed).collect().sortBy(_.doc_id)
+    val good = out.filter(_.doc_id != 999L)
+    assert(good.length === 2 && good.forall(f => f.peak > 0 && f.n_samples > 0),
+      s"good rows must decode around the corrupt one: ${out.toSeq}")
+    val bad = out.find(_.doc_id == 999L).get
+    assert(bad.peak === -1L && bad.n_samples === 0,
+      s"corrupt payload must yield the sentinel, got $bad")
+  }
+
   test("image features match the gradient closed form via a real PNG decode") {
     val feats = Multimodal.imageFeatures(Multimodal.gradientTable(spark, SF))
     val rows = feats.collect()
