@@ -1,0 +1,77 @@
+package graft
+
+/** Pure bookkeeping for the bench's noise sentinels and self-healing
+  * retry decision — separated from [[Bench]]'s side-effecting main so
+  * the quiet-pass algebra is spec-testable without a SparkSession.
+  *
+  * Model: a run is `nPasses` interleaved catalog passes bracketed by
+  * sentinel probes — one probe before pass 0 and one after every pass,
+  * so sentinel sample `i` and `i+1` bracket pass `i`. A contention
+  * burst inside ANY pass therefore lands on at least one of that
+  * pass's bracketing samples (bursts shorter than a probe interval are
+  * by definition shorter than the pass they'd have to poison).
+  */
+object BenchNoise {
+
+  /** Indices of noisy samples: above the sentinel's own positive
+    * minimum by more than `thresholdPct`. Non-positive samples (probe
+    * failures recorded as -1) are treated as noisy — an unobserved
+    * noise floor must not certify a pass as quiet. */
+  def noisyIdx(samples: Vector[Double], thresholdPct: Double): Set[Int] = {
+    val pos = samples.filter(_ > 0)
+    if (pos.isEmpty) samples.indices.toSet
+    else {
+      val base = pos.min
+      samples.zipWithIndex.collect {
+        case (s, i) if s <= 0 || s / base - 1.0 > thresholdPct / 100.0 => i
+      }.toSet
+    }
+  }
+
+  /** Passes whose bracketing samples (p and p+1) are non-noisy for
+    * EVERY sentinel. A quiet pass's timings saw no burst on either
+    * side of the whole pass. */
+  def quietPasses(sentinelSamples: Map[String, Vector[Double]], nPasses: Int,
+      thresholdPct: Double): Set[Int] = {
+    val noisy = sentinelSamples.values.map(noisyIdx(_, thresholdPct)).toSeq
+    (0 until nPasses).filter { p =>
+      noisy.forall(n => !n(p) && !n(p + 1))
+    }.toSet
+  }
+
+  /** Worst per-sentinel spread (max/min − 1, %) across the run; -1 when
+    * no sentinel has two positive samples. The run-level burst verdict
+    * is `spreadPct > threshold`. */
+  def spreadPct(sentinelSamples: Map[String, Vector[Double]]): Double = {
+    val spreads = sentinelSamples.values.flatMap { s =>
+      val pos = s.filter(_ > 0)
+      if (pos.size >= 2) Some((pos.max / pos.min - 1.0) * 100.0) else None
+    }
+    if (spreads.isEmpty) -1.0 else spreads.max
+  }
+
+  /** Self-healing decision: run another interleaved catalog pass when
+    * no pass so far is quiet and the extra-pass budget isn't spent.
+    * Bounded: a persistently loaded host costs at most `maxExtra`
+    * extra passes, then the run reports itself burst-flagged as
+    * before. */
+  def needsExtraPass(quiet: Set[Int], extrasUsed: Int, maxExtra: Int): Boolean =
+    quiet.isEmpty && extrasUsed < maxExtra
+
+  /** Per-query min over the passes in `restrictTo`; a query with no
+    * positive sample inside `restrictTo` (e.g. it failed in every
+    * quiet pass) falls back to its min over all passes, and a query
+    * that never succeeded reports -1 (the failure sentinel — a broken
+    * query must not read as a 0-second win). `passTimes(p)` holds pass
+    * p's per-query seconds with failures recorded as -1. */
+  def minTimes(passTimes: IndexedSeq[Map[String, Double]], queryNames: Iterable[String],
+      restrictTo: Set[Int]): Map[String, Double] = {
+    def minOver(name: String, passes: Iterable[Int]): Option[Double] = {
+      val ts = passes.flatMap(p => passTimes(p).get(name)).filter(_ >= 0)
+      if (ts.isEmpty) None else Some(ts.min)
+    }
+    queryNames.map { n =>
+      n -> minOver(n, restrictTo).orElse(minOver(n, passTimes.indices)).getOrElse(-1.0)
+    }.toMap
+  }
+}

@@ -783,8 +783,24 @@ object Dedup {
   def embeddingCosine(spark: SparkSession, dir: String): DataFrame =
     embeddingCosineAllPairs(spark, dir, threshold = 0.45)
 
+  /** Verification-budget twin for the TIMED surface: the same blocked
+    * equi-join, restricted to the deterministic 1-in-[[pairSampleMod]]
+    * pair stratum (vec_i + vec_j ≡ 0 mod m). The stratum predicate is
+    * part of the join condition, so the skipped pairs never reach the
+    * dot-product kernel — the n²/2 compute drops by the sample factor,
+    * not just the output. Honest by construction: the constant
+    * `sample_mod` column self-describes the stratum, the result is the
+    * EXACT answer on that stratum (same threshold, same rounding, full
+    * DuckDB oracle), and the unbounded [[embeddingCosine]] stays the
+    * verification tool Verify runs. Bench runs this twin by default
+    * (Bench.scala logs the exclusion). */
+  def embeddingCosineSampled(spark: SparkSession, dir: String): DataFrame =
+    embeddingCosineAllPairs(spark, dir, threshold = 0.45, pairMod = pairSampleMod)
+
+  private[graft] val pairSampleMod = 8
+
   private[graft] def embeddingCosineAllPairs(spark: SparkSession, dir: String,
-      threshold: Double, nBlocks: Int = -1): DataFrame = {
+      threshold: Double, nBlocks: Int = -1, pairMod: Int = 1): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val g = if (nBlocks > 0) nBlocks else defaultPairBlocks(spark)
     // vec_dot/vec_norm are native codegen'd expressions
@@ -802,14 +818,25 @@ object Dedup {
       .drop("other")
     val canonical =
       least(col("a.blk"), col("b.blk")) * g + greatest(col("a.blk"), col("b.blk"))
-    rep.as("a").join(rep.as("b"),
+    // The pair-stratum predicate joins the equi-join's residual
+    // condition: Catalyst evaluates it on each candidate row BEFORE any
+    // projection computes vec_dot, so a 1-in-m stratum skips ~(m−1)/m
+    // of the dot products, not just the output rows.
+    val stratum =
+      if (pairMod <= 1) lit(true)
+      else pmod(col("a.vec_id") + col("b.vec_id"), lit(pairMod.toLong)) === 0
+    val pairs = rep.as("a").join(rep.as("b"),
         col("a.bp") === col("b.bp")
           && col("a.vec_id") < col("b.vec_id")
-          && col("a.bp") === canonical)
+          && col("a.bp") === canonical
+          && stratum)
       .withColumn("dot", expr("vec_dot(a.embedding, b.embedding)"))
       .withColumn("cosine", round(col("dot") / (col("a.norm") * col("b.norm")), 6))
       .filter(col("cosine") >= threshold)
+    val base = pairs
       .select(col("a.vec_id").as("vec_i"), col("b.vec_id").as("vec_j"), col("cosine"))
+    (if (pairMod <= 1) base
+     else base.withColumn("sample_mod", lit(pairMod)))
       .orderBy("vec_i", "vec_j")
   }
 
@@ -821,6 +848,24 @@ object Dedup {
        |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x, y) -> x + y)
        |    / (a.norm * b.norm) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS cosine
        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE CAST(ROUND(CAST(CAST(
+       |    list_reduce(list_transform(range(1, len(a.embedding) + 1),
+       |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x, y) -> x + y)
+       |    / (a.norm * b.norm) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) >= 0.45
+       |ORDER BY 1, 2""".stripMargin
+
+  /** Same exact cosine algebra as [[embeddingCosineSql]], restricted to
+    * the deterministic pair stratum the sampled twin computes. */
+  val embeddingCosineSampledSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding, $normSql AS norm FROM embeddings)
+       |SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
+       |  CAST(ROUND(CAST(CAST(
+       |    list_reduce(list_transform(range(1, len(a.embedding) + 1),
+       |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x, y) -> x + y)
+       |    / (a.norm * b.norm) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS cosine,
+       |  CAST($pairSampleMod AS INT) AS sample_mod
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |  AND (a.vec_id + b.vec_id) % $pairSampleMod = 0
        |WHERE CAST(ROUND(CAST(CAST(
        |    list_reduce(list_transform(range(1, len(a.embedding) + 1),
        |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x, y) -> x + y)
@@ -1139,6 +1184,7 @@ object Dedup {
     "dedup_simhash"          -> (simhashPairs _),
     "dedup_simhash_wide"     -> (simhashWidePairs _),
     "dedup_embedding_cosine" -> (embeddingCosine _),
+    "dedup_embedding_cosine_sampled" -> (embeddingCosineSampled _),
     "dedup_embedding_lsh"    -> (embeddingLsh _),
     "dedup_levenshtein"      -> (levenshteinPairs _),
     "dedup_containment"      -> (containment _),
@@ -1157,6 +1203,7 @@ object Dedup {
     "dedup_simhash"          -> simhashPairsSql,
     "dedup_simhash_wide"     -> simhashWidePairsSql,
     "dedup_embedding_cosine" -> embeddingCosineSql,
+    "dedup_embedding_cosine_sampled" -> embeddingCosineSampledSql,
     // 16×8-bit banding misses a cosine-0.97 pair with p ≈ 7e-6 and the
     // derived corpus's qualifying pairs are all ≥ 0.97 (no pair in the
     // [0.9, 0.97) shoulder — the oracle itself proves both), so the

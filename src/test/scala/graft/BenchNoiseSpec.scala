@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench's self-healing rests entirely on this algebra: sentinel
+  * sample i and i+1 bracket pass i, a pass is quiet iff every sentinel
+  * was at its noise floor on BOTH sides, and the retry loop adds
+  * bounded passes only while no quiet pass exists. Pure functions —
+  * no SparkSession. */
+class BenchNoiseSpec extends AnyFunSuite {
+
+  private val Th = 40.0
+
+  test("noisyIdx flags samples above the threshold over the positive floor") {
+    // floor 0.30; 0.30*1.4 = 0.42 is the boundary (strict >)
+    assert(BenchNoise.noisyIdx(Vector(0.30, 0.42, 0.43, 1.2), Th) === Set(2, 3))
+  }
+
+  test("noisyIdx treats failed probes (-1) as noisy, and all-failed as all-noisy") {
+    assert(BenchNoise.noisyIdx(Vector(0.3, -1.0, 0.31), Th) === Set(1))
+    assert(BenchNoise.noisyIdx(Vector(-1.0, -1.0), Th) === Set(0, 1))
+  }
+
+  test("quietPasses requires both bracketing samples quiet on every sentinel") {
+    // 3 passes -> 4 samples. Sentinel a bursts on sample 2: poisons the
+    // passes it brackets (1 and 2); pass 0 stays quiet.
+    val s = Map(
+      "a" -> Vector(0.30, 0.31, 0.90, 0.30),
+      "b" -> Vector(0.10, 0.10, 0.11, 0.10))
+    assert(BenchNoise.quietPasses(s, 3, Th) === Set(0))
+    // burst on sentinel b's FIRST sample instead: only pass 0 poisoned
+    val s2 = Map(
+      "a" -> Vector(0.30, 0.31, 0.30, 0.30),
+      "b" -> Vector(0.50, 0.10, 0.11, 0.10))
+    assert(BenchNoise.quietPasses(s2, 3, Th) === Set(1, 2))
+  }
+
+  test("quietPasses is empty when every pass touches a noisy sample") {
+    // monotone ramp (the r11 driver-bench shape): every later sample is
+    // noisy relative to the first -> only a leading pass could be quiet,
+    // and the ramp starts inside pass 0's closing bracket
+    val ramp = Map("a" -> Vector(0.35, 0.9, 1.3, 1.83))
+    assert(BenchNoise.quietPasses(ramp, 3, Th) === Set.empty[Int])
+  }
+
+  test("spreadPct is worst-sentinel max/min-1 and ignores failed samples") {
+    val s = Map(
+      "a" -> Vector(0.30, 0.60, -1.0), // 100%
+      "b" -> Vector(0.10, 0.11))       // 10%
+    assert(math.abs(BenchNoise.spreadPct(s) - 100.0) < 1e-9)
+    assert(BenchNoise.spreadPct(Map("a" -> Vector(-1.0, -1.0))) === -1.0)
+  }
+
+  test("needsExtraPass: only while no quiet pass and budget remains") {
+    assert(BenchNoise.needsExtraPass(Set.empty, 0, 2))
+    assert(BenchNoise.needsExtraPass(Set.empty, 1, 2))
+    assert(!BenchNoise.needsExtraPass(Set.empty, 2, 2))
+    assert(!BenchNoise.needsExtraPass(Set(1), 0, 2))
+    assert(!BenchNoise.needsExtraPass(Set.empty, 0, 0))
+  }
+
+  test("minTimes restricts to quiet passes, falls back per-query, and keeps -1 for never-passed") {
+    val passes = IndexedSeq(
+      Map("q1" -> 5.0, "q2" -> -1.0, "q3" -> -1.0), // noisy pass
+      Map("q1" -> 2.0, "q2" -> -1.0, "q3" -> -1.0)) // quiet pass
+    val m = BenchNoise.minTimes(passes, Seq("q1", "q2", "q3"), Set(1))
+    assert(m("q1") === 2.0) // quiet-pass time, not the noisy pass's 5.0
+    assert(m("q3") === -1.0) // never succeeded anywhere
+    // q2 fails in the quiet pass but succeeded in a noisy one -> fallback
+    val passes2 = IndexedSeq(
+      Map("q2" -> 7.0),
+      Map("q2" -> -1.0))
+    assert(BenchNoise.minTimes(passes2, Seq("q2"), Set(1))("q2") === 7.0)
+  }
+
+  test("minTimes quiet restriction actually excludes noisy-pass wins") {
+    // the noisy pass records a FASTER time (e.g. page-cache luck); the
+    // quiet-restricted headline must not use it
+    val passes = IndexedSeq(Map("q" -> 1.0), Map("q" -> 3.0))
+    assert(BenchNoise.minTimes(passes, Seq("q"), Set(1))("q") === 3.0)
+    assert(BenchNoise.minTimes(passes, Seq("q"), Set(0, 1))("q") === 1.0)
+  }
+}

@@ -366,4 +366,24 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     val atDefault = Dedup.embeddingCosine(spark, SF).collect().map(_.toSeq)
     assert(atDefault.sameElements(atG3), "pair results must be G-invariant")
   }
+
+  test("sampled pair twin is the exact answer on its stratum, stratum applied pre-kernel") {
+    val m = Dedup.pairSampleMod
+    val sampled = Dedup.embeddingCosineSampled(spark, SF)
+    assert(sampled.columns.toSeq === Seq("vec_i", "vec_j", "cosine", "sample_mod"),
+      "sampled twin must self-describe its stratum")
+    // exact-on-stratum: identical to the unbounded tool filtered to the
+    // same (vec_i + vec_j) % m == 0 stratum
+    val expect = Dedup.embeddingCosine(spark, SF)
+      .filter(s"(vec_i + vec_j) % $m = 0").collect().map(_.toSeq)
+    val got = sampled.drop("sample_mod").collect().map(_.toSeq)
+    assert(got.sameElements(expect), "sampled twin must be exact on its stratum")
+    // the stratum predicate must sit in the join, not a post-kernel
+    // filter: candidate pairs reaching the projection stage drop ~1/m
+    val allPairs = Dedup.embeddingCosineAllPairs(spark, SF, threshold = -1.0).count()
+    val stratumPairs =
+      Dedup.embeddingCosineAllPairs(spark, SF, threshold = -1.0, pairMod = m).count()
+    assert(stratumPairs < allPairs / (m / 2),
+      s"stratum kept $stratumPairs of $allPairs pairs — predicate not reducing the pair scan")
+  }
 }
