@@ -556,6 +556,21 @@ object Similarity {
     * on overlap, so the monitor must take the collision first). */
   private val servedBuildLock = new Object
 
+  /** Hadoop conf for the marker/fingerprint layer: the active
+    * session's (carries fs.* cluster settings) when one exists, the
+    * default otherwise (specs poking markers before a query runs). */
+  private def hadoopConf: org.apache.hadoop.conf.Configuration =
+    SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  /** Where at-rest index artifacts live. Defaults to the local tmpdir
+    * (the single-host shape); a cluster deployment points it at a
+    * shared filesystem (`hdfs://…/graft_indexes`) so every executor
+    * and every driver resolves the same at-rest artifacts. */
+  private def indexRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_INDEX_ROOT", sys.props("java.io.tmpdir"))
+
   /** Cheap content fingerprint of the embeddings table under `dir`:
     * a hash folded over every file's (relative path, size, mtime),
     * plus file count and total bytes, over the parquet path (file or
@@ -565,7 +580,11 @@ object Similarity {
     * rebuilt into the same target dir) invalidates the at-rest index
     * instead of silently serving neighbors from the stale one.
     *
-    * Caveats, both conservative-by-construction:
+    * Resolved through the Hadoop `FileSystem` API, so any scheme the
+    * job can read (`file:`, `hdfs:`, `s3a:`, …) fingerprints the same
+    * way — a remote corpus is stamped and served from at-rest state
+    * rather than degrading to rebuild-per-call. Caveats, both
+    * conservative-by-construction:
     *   - mtime has filesystem-dependent (>= millisecond) granularity,
     *     so a rewrite is only GUARANTEED to re-fingerprint when some
     *     file's mtime tick, size, or name changes; folding per-file
@@ -573,47 +592,81 @@ object Similarity {
     *     "every file rewritten to identical name+size inside its own
     *     mtime tick". A byte-identical rewrite normally re-fingerprints
     *     too (mtimes advance) — the safe direction.
-    *   - `java.io.File` sees only local paths. A corpus on a non-local
-    *     filesystem (hdfs://, s3://) or an unreadable/empty dir yields
-    *     None = NEVER FRESH: the serving path rebuilds every call
-    *     rather than letting freshness silently degenerate to
-    *     path-only keying and serving a stale index. */
-  private def corpusFingerprint(dir: String): Option[String] = {
-    val root = new java.io.File(dir, "embeddings.parquet")
-    def walk(f: java.io.File): Iterator[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles()).iterator.flatMap(_.iterator).flatMap(walk)
-      else Iterator.single(f)
-    val files = if (root.exists()) walk(root).toSeq else Seq.empty
-    if (files.isEmpty) None
-    else {
-      val bytes = files.map(_.length()).sum
-      val perFile = files
-        .map(f => s"${f.getPath.stripPrefix(root.getPath)}#${f.length()}#${f.lastModified()}")
-        .sorted
-      val h = Integer.toHexString(
-        scala.util.hashing.MurmurHash3.orderedHash(perFile))
-      Some(s"n${files.size}b${bytes}h$h")
-    }
-  }
+    *   - an unreadable, unresolvable, or empty path yields None =
+    *     NEVER FRESH: the serving path rebuilds every call rather than
+    *     letting freshness silently degenerate to path-only keying and
+    *     serving a stale index. */
+  private def corpusFingerprint(dir: String): Option[String] =
+    try {
+      val root = new Path(dir, "embeddings.parquet")
+      val fs = root.getFileSystem(hadoopConf)
+      if (!fs.exists(root)) None
+      else {
+        val rootStr = fs.makeQualified(root).toString
+        val it = fs.listFiles(root, true)
+        var n = 0; var bytes = 0L
+        val perFile = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val st = it.next()
+          n += 1; bytes += st.getLen
+          perFile += s"${st.getPath.toString.stripPrefix(rootStr)}#${st.getLen}#${st.getModificationTime}"
+        }
+        if (n == 0) None
+        else {
+          val h = Integer.toHexString(
+            scala.util.hashing.MurmurHash3.orderedHash(perFile.sorted))
+          Some(s"n${n}b${bytes}h$h")
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** (indexDir, marker file, expected marker content) for `dir` —
+  /** (indexDir, marker path, expected marker content) for `dir` —
     * the single definition of the served-index location contract.
     * The stamp carries the corpus fingerprint: freshness means "built
     * from THESE bytes", not just "built for this path". A corpus whose
-    * bytes can't be fingerprinted (non-local, empty) has stamp None:
-    * nothing matches it and nothing is ever stamped for it. */
-  private[graft] def servedIndexPath(dir: String): (String, java.io.File, Option[String]) = {
+    * bytes can't be fingerprinted (unresolvable, empty) has stamp
+    * None: nothing matches it and nothing is ever stamped for it. */
+  private[graft] def servedIndexPath(dir: String): (String, Path, Option[String]) = {
     val key = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
-    val indexDir = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_ivfpq_index_$key").getPath
-    (indexDir, new java.io.File(indexDir, "_built_for"),
+    val indexDir = new Path(indexRoot, s"graft_ivfpq_index_$key")
+    (indexDir.toString, new Path(indexDir, "_built_for"),
       corpusFingerprint(dir).map(fp => s"$dir#v$indexFormatVersion#$fp"))
   }
 
-  private def markerFresh(marker: java.io.File, stamp: Option[String]): Boolean =
-    stamp.exists(s => marker.exists() && new String(
-      java.nio.file.Files.readAllBytes(marker.toPath),
-      java.nio.charset.StandardCharsets.UTF_8) == s)
+  private def markerFresh(marker: Path, stamp: Option[String]): Boolean =
+    stamp.exists { s =>
+      try {
+        val fs = marker.getFileSystem(hadoopConf)
+        fs.exists(marker) && {
+          val in = fs.open(marker)
+          val content =
+            try {
+              val out = new java.io.ByteArrayOutputStream()
+              val buf = new Array[Byte](4096)
+              var r = in.read(buf)
+              while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
+              new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+            } finally in.close()
+          content == s
+        }
+      } catch { case scala.util.control.NonFatal(_) => false }
+    }
+
+  /** Stamp the marker atomically-visible: write a temp file, then
+    * rename over the final name. On HDFS rename is atomic; on the
+    * local FS it is as atomic as the platform offers — either way a
+    * concurrent reader sees the old marker or the new one, never a
+    * torn prefix. */
+  private def writeMarker(marker: Path, content: String): Unit = {
+    val fs = marker.getFileSystem(hadoopConf)
+    val tmp = new Path(marker.getParent, s".${marker.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(marker, false)
+    if (!fs.rename(tmp, marker))
+      throw new java.io.IOException(s"could not publish marker $marker")
+  }
 
   /** The index dir iff a current-format index for `dir` is at rest. */
   private[graft] def servedIndexIfFresh(dir: String): Option[String] = {
@@ -627,28 +680,39 @@ object Similarity {
     // The build writes three directories and a marker — not atomic, so
     // two first-callers (two processes serving the same corpus, or two
     // threads in one session) must serialize or one reads half-built
-    // artifacts. In-JVM: object monitor; cross-process: an advisory
-    // lock file beside the index. The marker is re-checked under the
-    // lock so the losing waiter skips the rebuild. (Two DIFFERENT
-    // format versions racing on one host still conflict — that is a
-    // mixed-binary deployment, out of contract.)
+    // artifacts. In-JVM: object monitor; cross-process on a LOCAL
+    // index root: an advisory lock file beside the index. A non-local
+    // index root (hdfs://…) has no advisory file locks — there, racing
+    // first-builders are tolerated (each writes a complete artifact
+    // set under overwrite semantics and the marker rename publishes a
+    // whole stamp), and a production deployment serializes index
+    // maintenance in the scheduler (RUNBOOK.md). The marker is
+    // re-checked under the lock so the losing waiter skips the
+    // rebuild. (Two DIFFERENT format versions racing on one host
+    // still conflict — that is a mixed-binary deployment, out of
+    // contract.)
     if (!fresh) servedBuildLock.synchronized {
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(indexDir))
-      val ch = java.nio.channels.FileChannel.open(
-        java.nio.file.Paths.get(indexDir, "_build_lock"),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      val lock = ch.lock()
+      val indexPath = new Path(indexDir)
+      val fs = indexPath.getFileSystem(hadoopConf)
+      fs.mkdirs(indexPath): Unit
+      val isLocalRoot = Option(indexPath.toUri.getScheme).forall(_ == "file")
+      val localLock: Option[java.nio.channels.FileChannel] =
+        if (isLocalRoot)
+          Some(java.nio.channels.FileChannel.open(
+            java.nio.file.Paths.get(indexPath.toUri.getPath, "_build_lock"),
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.WRITE))
+        else None
+      val lock = localLock.map(_.lock())
       try {
         if (!fresh) {
           buildIvfPqIndex(spark, dir, indexDir)
           // An unfingerprintable corpus (stamp None) is never stamped:
           // the freshly built index serves THIS call, but the next call
           // rebuilds — rebuild-always beats serve-stale.
-          stamp.foreach(s => java.nio.file.Files.write(marker.toPath,
-            s.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit)
+          stamp.foreach(writeMarker(marker, _))
         }
-      } finally { lock.release(); ch.close() }
+      } finally { lock.foreach(_.release()); localLock.foreach(_.close()) }
     }
     ivfPqServe(spark, dir, indexDir)
   }

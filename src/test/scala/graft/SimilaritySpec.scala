@@ -187,7 +187,12 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     }
   }
 
-  test("served index goes stale when the corpus at the same path is regenerated") {
+  /** Staleness cycle shared between the plain-path and the
+    * `file:`-scheme runs: the freshness layer resolves corpora through
+    * the Hadoop FileSystem API, so any scheme the job can read must
+    * behave identically — build, stamp, invalidate on regeneration,
+    * transparent rebuild. */
+  private def stalenessCycle(scheme: String): Unit = {
     // the round-9 marker keyed freshness on (dir path, format version)
     // only — a corpus REGENERATED at the same path (the normal
     // per-round workflow) would silently serve neighbors from the
@@ -195,7 +200,7 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     // over per-file name/size/mtime tuples), so regeneration invalidates.
     val corpusDir = java.nio.file.Files
       .createTempDirectory("graft_fp_corpus").toFile
-    val dir = corpusDir.getPath
+    val dir = scheme + corpusDir.getPath
     try {
       val dst = new java.io.File(corpusDir, "embeddings.parquet")
       java.nio.file.Files.copy(
@@ -226,6 +231,37 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("served index goes stale when the corpus at the same path is regenerated") {
+    stalenessCycle("")
+  }
+
+  test("the freshness cycle holds verbatim over a file:-scheme Hadoop path") {
+    stalenessCycle("file:")
+  }
+
+  test("a URI-scheme corpus path fingerprints instead of degrading to never-fresh") {
+    // the round-11 layer walked corpora with java.io.File, which cannot
+    // resolve scheme-qualified paths — ANY "file:/…" (or hdfs://…)
+    // corpus returned stamp None, i.e. rebuild-on-every-call. The
+    // Hadoop FileSystem layer resolves every scheme the job can read,
+    // and the fingerprint (relative paths are stripped against the
+    // qualified root) is identical however the same bytes are addressed.
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft_uri_corpus").toFile
+    try {
+      java.nio.file.Files.copy(
+        new java.io.File(SF, "embeddings.parquet").toPath,
+        new java.io.File(corpusDir, "embeddings.parquet").toPath): Unit
+      val plain = Similarity.servedIndexPath(corpusDir.getPath)._3
+        .getOrElse(fail("plain local corpus must fingerprint"))
+      val uri = Similarity.servedIndexPath("file:" + corpusDir.getPath)._3
+        .getOrElse(fail("file:-scheme corpus must fingerprint, not degrade"))
+      def fp(stamp: String): String = stamp.substring(stamp.lastIndexOf('#') + 1)
+      assert(fp(plain) === fp(uri),
+        "the content fingerprint must not depend on how the path is spelled")
+    } finally rmTree(corpusDir)
+  }
+
   test("a marker from an older index format forces a transparent rebuild") {
     // the upgrade path a served 100 TB index actually hits: the binary
     // is upgraded (indexFormatVersion bumped), the at-rest index was
@@ -246,7 +282,7 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
       val (_, marker, stampOpt) = Similarity.servedIndexPath(dir)
       val stamp = stampOpt.getOrElse(fail("local corpus must fingerprint"))
       assert(stamp.matches(".*#v\\d+#.*"), s"stamp missing version segment: $stamp")
-      java.nio.file.Files.write(marker.toPath,
+      java.nio.file.Files.write(java.nio.file.Paths.get(marker.toUri.getPath),
         stamp.replaceFirst("#v\\d+#", "#v0#")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
       assert(Similarity.servedIndexIfFresh(dir).isEmpty,
@@ -264,22 +300,21 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
   }
 
   test("an unfingerprintable corpus dir is never fresh, even with a colluding marker") {
-    // java.io.File cannot list a non-local corpus (hdfs://, s3://); the
-    // old fingerprint degenerated to the constant n0b0m0 there, so a
-    // marker stamped once would match forever and a regenerated remote
-    // corpus would serve stale. Now an empty/unresolvable listing means
-    // stamp None: no marker content can match, and serving never writes
-    // a marker for such a dir. Simulated with an empty local dir plus a
-    // marker hand-written with the exact stamp the old code would have
-    // produced.
+    // an empty or unresolvable corpus listing (no files yet, scheme
+    // with no loadable FileSystem, permission failure) yields stamp
+    // None: no marker content can match, and serving never writes a
+    // marker for such a dir — rebuild-always beats serve-stale.
+    // Simulated with an empty local dir plus a marker hand-written
+    // with the constant stamp a degenerate fingerprint would produce.
     val corpusDir = java.nio.file.Files
       .createTempDirectory("graft_nofp_corpus").toFile   // no embeddings.parquet inside
     val dir = corpusDir.getPath
     val (indexDir, marker, stampOpt) = Similarity.servedIndexPath(dir)
+    val markerNio = java.nio.file.Paths.get(marker.toUri.getPath)
     try {
       assert(stampOpt.isEmpty, "empty listing must not produce a stamp")
-      java.nio.file.Files.createDirectories(marker.toPath.getParent)
-      java.nio.file.Files.write(marker.toPath,
+      java.nio.file.Files.createDirectories(markerNio.getParent)
+      java.nio.file.Files.write(markerNio,
         s"$dir#v4#n0b0m0".getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
       assert(Similarity.servedIndexIfFresh(dir).isEmpty,
         "no marker content may ever read fresh for an unfingerprintable corpus")
