@@ -55,9 +55,14 @@ object BenchData {
   }
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events")
-      spark.read.schema(Tables.eventsSchema).parquet(s"$dir/events.parquet")
-    else spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      // normalize ts to epoch nanos on read so the derived datasets
+      // are plain INT64 nanos whatever the base data's unit was
+      val path = s"$dir/events.parquet"
+      val factor = Tables.eventsTsNanosFactor(spark, path)
+      spark.read.schema(Tables.eventsSchema).parquet(path)
+        .withColumn("ts", expr(s"ts * ${factor}L"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
 
   private def write(df: DataFrame, dir: String, name: String, parts: Int): Unit =
     df.repartition(parts).write.mode("overwrite").parquet(s"$dir/$name.parquet")

@@ -109,26 +109,68 @@ object Tables {
   def loadBalanced(spark: SparkSession, sfDir: String, name: String): DataFrame =
     balance(spark, load(spark, sfDir, name), s"$sfDir/$name.parquet")
 
-  /** `events.ts` is nanosecond-precision parquet, which Spark 4 refuses
-    * to convert to TimestampType. Declaring ts as LongType in an
-    * explicit read schema yields the raw nano count per row WITHOUT
-    * the session-wide `spark.sql.legacy.parquet.nanosAsLong` flag (a
-    * conf mutation that would surprise other users of the session);
-    * epoch seconds are derived — all event queries do their window
-    * arithmetic in the epoch-seconds domain anyway (see
-    * operators.Events). */
+  /** `events.ts` arrives as INT64 whose logical unit depends on the
+    * generator vintage: TIMESTAMP(NANOS) (which Spark 4 refuses to
+    * convert to TimestampType), TIMESTAMP(MICROS)/(MILLIS) (pandas/
+    * arrow defaults), or a plain unannotated epoch-nanos long.
+    * Declaring ts as LongType in an explicit read schema yields the
+    * raw INT64 per row in all four cases WITHOUT the session-wide
+    * `spark.sql.legacy.parquet.nanosAsLong` flag (a conf mutation that
+    * would surprise other users of the session); the engine contract
+    * after [[loadEvents]] is always ts = epoch NANOS, sec = floored
+    * epoch seconds — all event queries do their window arithmetic in
+    * the epoch-seconds domain anyway (see operators.Events). */
   private[graft] val eventsSchema = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame =
+  /** Multiplier that converts the on-disk INT64 `ts` unit of the
+    * events table at `path` (file or directory) to NANOS, read from
+    * one parquet footer — driver-side metadata, no data scan, no
+    * timezone semantics involved (the raw count is scaled as-is,
+    * matching DuckDB's reading of the same naive value). Unannotated
+    * INT64 means the legacy epoch-nanos contract. */
+  private[graft] def eventsTsNanosFactor(spark: SparkSession, path: String): Long = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val p = new org.apache.hadoop.fs.Path(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(p).isDirectory) {
+        val parts = fs.listStatus(p).map(_.getPath)
+          .filter(q => !q.getName.startsWith("_") && !q.getName.startsWith("."))
+        require(parts.nonEmpty, s"no parquet parts under $path")
+        parts.minBy(_.getName)
+      } else p
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      if (!schema.containsField("ts")) 1L
+      else schema.getType(schema.getFieldIndex("ts")).getLogicalTypeAnnotation match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit match {
+            case LogicalTypeAnnotation.TimeUnit.MILLIS => 1000000L
+            case LogicalTypeAnnotation.TimeUnit.MICROS => 1000L
+            case _                                     => 1L
+          }
+        case _ => 1L
+      }
+    } finally reader.close()
+  }
+
+  private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
     // floor division via pmod (Spark's `div` truncates toward zero,
     // which would disagree with the floor-semantics oracles for any
     // pre-1970 timestamp)
-    spark.read.schema(eventsSchema).parquet(s"$sfDir/events.parquet")
+    val path = s"$sfDir/events.parquet"
+    val factor = eventsTsNanosFactor(spark, path)
+    spark.read.schema(eventsSchema).parquet(path)
+      .withColumn("ts", org.apache.spark.sql.functions.expr(s"ts * ${factor}L"))
       .withColumn("sec",
         org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000000000)) div 1000000000"))
+  }
 
   def loadEvents(spark: SparkSession, sfDir: String): DataFrame =
     balance(spark, eventsRaw(spark, sfDir), s"$sfDir/events.parquet#nanos")

@@ -50,7 +50,12 @@ object EventsStream {
     val src =
       if (isDir) reader.parquet(p.toString)
       else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
-    src.withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+    // normalize the on-disk INT64 unit (nanos/micros/millis vintages —
+    // see Tables.eventsTsNanosFactor) to the engine's epoch-nanos
+    // contract before rebuilding event-time
+    val factor = graft.Tables.eventsTsNanosFactor(spark, p.toString)
+    src.withColumn("ts", expr(s"ts * ${factor}L"))
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Watermarked shared source for the window/dedup shapes. */

@@ -119,7 +119,11 @@ object SessionStream {
     // explicit nanos-as-long schema (no session-wide legacy conf)
     val reader = spark.readStream.schema(graft.Tables.eventsSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    // normalize the on-disk INT64 unit to epoch nanos (see
+    // Tables.eventsTsNanosFactor) before rebuilding event-time
+    val factor = graft.Tables.eventsTsNanosFactor(spark, dir)
     val src = reader.parquet(dir)
+      .withColumn("ts", expr(s"ts * ${factor}L"))
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
     sessionize(src)
       .writeStream
