@@ -68,7 +68,11 @@ object Multimodal {
 
     /** Parse `bytes` with the first accepting reader; throws
       * `UnsupportedAudioFileException` when none accepts — the same
-      * contract as `AudioSystem.getAudioInputStream`. */
+      * contract as `AudioSystem.getAudioInputStream`. A reader that
+      * accepts the container magic but then fails on the payload
+      * (truncated header → IOException) is also skipped, so the
+      * outcome for a given payload never depends on which reader the
+      * last-success reorder happens to have put first. */
     def open(bytes: Array[Byte]): AudioInputStream = {
       val rs = tl.get()._2
       var i = 0
@@ -77,7 +81,10 @@ object Multimodal {
           val ais = rs(i).getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
           if (i != 0) { val r = rs.remove(i); rs.insert(0, r) }
           return ais
-        } catch { case _: UnsupportedAudioFileException => () }
+        } catch {
+          case _: UnsupportedAudioFileException => ()
+          case _: java.io.IOException           => ()
+        }
         i += 1
       }
       throw new UnsupportedAudioFileException("no installed reader accepts the payload")
@@ -100,9 +107,13 @@ object Multimodal {
           .as("media_type"),
         col("text").cast("binary").as("payload"))
 
-  /** STUB decode: a real implementation would hand `bytes` to an image
-    * or audio codec here; we derive deterministic fake dimensions from
-    * the payload so the distributed plumbing is fully testable. */
+  /** STUB decode for container formats the JDK ships no codec for
+    * (MP4/H.264, MKV, WebM, …): deterministic fake dimensions derived
+    * from the payload, so the distributed plumbing is fully testable.
+    * Formats with a pure-JDK codec decode for REAL elsewhere — PNG
+    * ([[decodeRealPartition]]), WAV PCM ([[audioFeaturesPartition]]),
+    * multi-frame GIF ([[gifFrames]]) — leaving this seam as exactly
+    * the JNI/codec swap-in point a production deployment fills. */
   private def decodePartition(rows: Iterator[MediaRow]): Iterator[DecodedMedia] =
     rows.map { r =>
       // null payloads (nullable source columns) decode as empty media
@@ -226,14 +237,20 @@ object Multimodal {
 
   /** Every sampled frame is a closed-form function of doc_id: images
     * (doc_id % 3 = 0) decode to one frame; WAVs to 800 + doc_id % 160
-    * PCM frames sampled 4× strided. */
+    * PCM frames sampled 4× strided; GIFs to their real 2 + doc_id % 6
+    * frame count with the Σ-of-frame-means seed the video decode
+    * emits. */
   val frameSampleSql: String =
     """WITH m AS (
       |  SELECT doc_id,
-      |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 800 + doc_id % 160 END AS n_frames,
+      |    CASE WHEN doc_id % 3 = 0 THEN 1
+      |         WHEN doc_id % 3 = 2 THEN 2 + doc_id % 6
+      |         ELSE 800 + doc_id % 160 END AS n_frames,
       |    CASE WHEN doc_id % 3 = 0 THEN doc_id % 256
+      |         WHEN doc_id % 3 = 2 THEN list_sum(list_transform(
+      |           range(0, 2 + doc_id % 6), k -> k * 255 // (1 + doc_id % 6)))
       |         ELSE abs((doc_id % 1000) - 500) END AS feat
-      |  FROM documents WHERE doc_id % 3 < 2),
+      |  FROM documents),
       |f AS (
       |  SELECT doc_id, feat,
       |    unnest(range(0, least(n_frames, 4))) *
@@ -247,14 +264,17 @@ object Multimodal {
   // ---------------------------------------------------------------------
   // mm_decode — REAL codec round-trip for the formats the JVM ships
   // pure-Java codecs for: PNG via javax.imageio, WAV PCM via
-  // javax.sound.sampled. The payloads are genuinely ENCODED media
-  // bytes (content generated deterministically from doc_id) and the
-  // decode stage genuinely parses those bytes back — so the decoded
-  // properties are closed-form functions of doc_id and the query is
-  // fully DuckDB-oracle-checkable. Video keeps the documented stub in
-  // [[decodePartition]] (no pure-JDK video codec exists); a real
+  // javax.sound.sampled, and multi-frame GIF (the JDK's only
+  // multi-frame media container) via javax.imageio's sequence API.
+  // The payloads are genuinely ENCODED media bytes (content generated
+  // deterministically from doc_id) and the decode stage genuinely
+  // parses those bytes back — so the decoded properties are
+  // closed-form functions of doc_id and the query is fully
+  // DuckDB-oracle-checkable across all three media thirds. The
+  // [[decodePartition]] stub remains only for container formats the
+  // JDK truly lacks a codec for (MP4/H.264, MKV, …); a real
   // deployment swaps that one seam for its JNI/codec call exactly as
-  // an image/audio deployment would swap in its own formats here.
+  // an image/audio/GIF deployment would swap in its own formats here.
   // ---------------------------------------------------------------------
 
   /** Decoded REAL media: image → dimensions + mean red channel;
@@ -272,6 +292,82 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** 256-gray palette: with TYPE_BYTE_INDEXED over this exact color
+    * model, the GIF writer emits the palette verbatim — no quantizer
+    * in the loop — so every frame's gray value survives the
+    * encode→decode round-trip bit-exactly (the property the oracle
+    * depends on; a TYPE_INT_RGB source would route through the
+    * writer's color quantization instead). */
+  private def grayPalette: java.awt.image.IndexColorModel = {
+    val ramp = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+  }
+
+  /** A real multi-frame GIF: `nFrames` full frames, frame k solid
+    * gray k·255/(nFrames−1) — a TEMPORAL gradient, so a decode that
+    * returns the wrong frame for an index (or composites frames)
+    * cannot match the oracle. */
+  private def gifBytes(w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var k = 0
+      while (k < nFrames) {
+        val v = if (nFrames <= 1) 0 else k * 255 / (nFrames - 1)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+        val rgb = (v << 16) | (v << 8) | v
+        var y = 0
+        while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        k += 1
+      }
+      writer.endWriteSequence()
+      ios.flush()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Parse a multi-frame GIF back: (width, height, mean red per
+    * frame). Full-frame mean (not a corner probe) so a frame written
+    * at the wrong position or size cannot pass. None when no reader
+    * accepts the payload. */
+  private def gifFrames(bytes: Array[Byte]): Option[(Int, Int, Array[Long])] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, false)
+          val n = reader.getNumImages(true)
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          val means = Array.tabulate(n) { k =>
+            val img = reader.read(k)
+            sumRed(img) / (img.getWidth.toLong * img.getHeight)
+          }
+          Some((w, h, means))
+        } finally reader.dispose()
+      }
+    } finally iis.close()
+  }
+
+  /** The video third's generation rule (doc_id % 3 == 2): closed-form
+    * dims and frame count, small enough that a 500-doc fixture decodes
+    * in milliseconds yet every frame index is exercised. Height starts
+    * at 5: the JDK GIF codec corrupts the LAST ROW of height-4 images
+    * (probed exhaustively — h=4 fails at every width, h>=5 round-trips
+    * bit-exactly), so the generation rule simply never emits the
+    * broken shape. */
+  private def videoDims(id: Long): (Int, Int, Int) =
+    (4 + (id % 8).toInt, 5 + (id % 4).toInt, 2 + (id % 6).toInt)
+
   private def wavBytes(nSamples: Int, value: Short): Array[Byte] = {
     val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
     val pcm = new Array[Byte](nSamples * 2)
@@ -288,16 +384,14 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Real encoded media (PNG / WAV bytes), deterministic per doc_id:
-    * even thirds are w×h solid-gray PNGs, odd thirds are constant-
-    * amplitude 8 kHz PCM16 WAVs. Encoding runs in the same narrow
-    * mapPartitions seam decode does. */
+  /** Real encoded media (PNG / WAV / multi-frame GIF bytes),
+    * deterministic per doc_id: the %3==0 third is w×h solid-gray
+    * PNGs, %3==1 constant-amplitude 8 kHz PCM16 WAVs, %3==2
+    * temporal-gradient GIFs ([[gifBytes]]). Encoding runs in the same
+    * narrow mapPartitions seam decode does. */
   def realMediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    // Column-expression filter (not a typed lambda): stays codegen'd
-    // and the predicate reaches the parquet scan
     Tables.load(spark, dir, "documents")
-      .filter(col("doc_id") % 3 < 2)
       .select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         // ImageIO's default scratch cache is DISK-backed — 32 tasks
@@ -309,10 +403,13 @@ object Multimodal {
             val h = 8 + (id % 8).toInt
             val r = (id % 256).toInt
             MediaRow(id, "image", pngBytes(w, h, (r << 16) | (r << 8) | r))
-          } else {
+          } else if (id % 3 == 1) {
             val n = 800 + (id % 160).toInt
             val a = ((id % 1000) - 500).toShort
             MediaRow(id, "audio", wavBytes(n, a))
+          } else {
+            val (w, h, n) = videoDims(id)
+            MediaRow(id, "video", gifBytes(w, h, n))
           }
         }
       }
@@ -367,6 +464,19 @@ object Multimodal {
             // audio stack throws RuntimeExceptions on garbage chunks
             case scala.util.control.NonFatal(_) => undecodable(m)
           }
+        case "video" =>
+          // real multi-frame GIF parse; feature = Σ per-frame mean
+          // red, so EVERY frame (not just frame 0) must decode to its
+          // exact temporal-gradient value for the oracle to match
+          try {
+            gifFrames(m.payload) match {
+              case Some((w, h, means)) =>
+                RealDecoded(m.doc_id, "video", w, h, means.length, means.sum)
+              case None => undecodable(m)
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) => undecodable(m)
+          }
         case other =>
           val d = decodePartition(Iterator(m)).next()
           RealDecoded(d.doc_id, other, d.width, d.height, d.n_frames, d.checksum)
@@ -384,16 +494,26 @@ object Multimodal {
     decodeReal(realMediaTable(spark, dir)).toDF().orderBy("doc_id")
 
   /** Every decoded property is a closed-form function of doc_id — the
-    * oracle recomputes what the codec round-trip must return. */
+    * oracle recomputes what the codec round-trip must return. The
+    * video rows re-derive the temporal gradient: frame k of n is
+    * solid k·255//(n−1), so the Σ-of-frame-means feature is
+    * list_sum over range(0, n). */
   val realDecodeSql: String =
-    """SELECT doc_id,
-      |  CASE WHEN doc_id % 3 = 0 THEN 'image' ELSE 'audio' END AS media_type,
-      |  CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 16 ELSE 0 END AS INT) AS width,
-      |  CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 8 ELSE 0 END AS INT) AS height,
-      |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 800 + doc_id % 160 END AS INT) AS n_frames,
-      |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 256
-      |       ELSE abs((doc_id % 1000) - 500) END AS BIGINT) AS feature
-      |FROM documents WHERE doc_id % 3 < 2 ORDER BY 1""".stripMargin
+    """WITH v AS (
+      |  SELECT doc_id, CAST(2 + doc_id % 6 AS BIGINT) AS nf FROM documents)
+      |SELECT d.doc_id,
+      |  ['image','audio','video'][CAST(d.doc_id % 3 AS INT) + 1] AS media_type,
+      |  CAST(CASE WHEN d.doc_id % 3 = 0 THEN 8 + d.doc_id % 16
+      |       WHEN d.doc_id % 3 = 2 THEN 4 + d.doc_id % 8 ELSE 0 END AS INT) AS width,
+      |  CAST(CASE WHEN d.doc_id % 3 = 0 THEN 8 + d.doc_id % 8
+      |       WHEN d.doc_id % 3 = 2 THEN 5 + d.doc_id % 4 ELSE 0 END AS INT) AS height,
+      |  CAST(CASE WHEN d.doc_id % 3 = 0 THEN 1
+      |       WHEN d.doc_id % 3 = 2 THEN v.nf ELSE 800 + d.doc_id % 160 END AS INT) AS n_frames,
+      |  CAST(CASE WHEN d.doc_id % 3 = 0 THEN d.doc_id % 256
+      |       WHEN d.doc_id % 3 = 2 THEN
+      |         list_sum(list_transform(range(0, v.nf), k -> k * 255 // (v.nf - 1)))
+      |       ELSE abs((d.doc_id % 1000) - 500) END AS BIGINT) AS feature
+      |FROM documents d JOIN v USING (doc_id) ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
   // mm_audio_features — REAL audio feature extraction: peak amplitude,
@@ -730,7 +850,80 @@ object Multimodal {
        |  CAST(row_sum * oh AS DOUBLE) / (ow * oh) AS mean_red
        |FROM s ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // mm_video_frames — REAL per-frame video decode: parse the
+  // multi-frame GIFs (the %3==2 third) and emit one row per stored
+  // frame with its full-frame mean red. The corpus is a TEMPORAL
+  // gradient (frame k solid k·255//(n−1)), so a decoder that returns
+  // the wrong frame for an index, composites frames, or miscounts
+  // them cannot match — the per-frame analog of what mm_image_features
+  // pins spatially. Same narrow mapPartitions codec seam: no shuffle,
+  // output scales with docs × frames (≤ 7), never payload size.
+  // ---------------------------------------------------------------------
+  case class VideoFrame(doc_id: Long, frame_idx: Int, width: Int,
+      height: Int, n_frames: Int, red: Long)
+
+  private def videoFramesPartition(rows: Iterator[MediaRow]): Iterator[VideoFrame] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    rows.flatMap { m =>
+      try {
+        gifFrames(m.payload) match {
+          case Some((w, h, means)) =>
+            means.iterator.zipWithIndex.map { case (mean, k) =>
+              VideoFrame(m.doc_id, k, w, h, means.length, mean)
+            }
+          // undecodable payloads degrade to one sentinel row, the
+          // same filterable-marker invariant as the other codec tiers
+          case None => Iterator.single(VideoFrame(m.doc_id, -1, 0, 0, 0, -1L))
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          Iterator.single(VideoFrame(m.doc_id, -1, 0, 0, 0, -1L))
+      }
+    }
+  }
+
+  /** The %3==2 third as encoded GIFs — the same generation the
+    * mm_decode video branch reads. */
+  def videoTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map { id =>
+          val (w, h, n) = videoDims(id)
+          MediaRow(id, "video", gifBytes(w, h, n))
+        }
+      }
+  }
+
+  def videoFramesQuery(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    videoTable(spark, dir).mapPartitions(videoFramesPartition _)
+      .toDF().orderBy("doc_id", "frame_idx")
+  }
+
+  /** The oracle re-derives every frame of the temporal gradient from
+    * the generation rule — pure doc_id arithmetic, independent of the
+    * codec path under test. */
+  val videoFramesSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(4 + doc_id % 8 AS INT) AS w,
+      |    CAST(5 + doc_id % 4 AS INT) AS h,
+      |    CAST(2 + doc_id % 6 AS BIGINT) AS nf
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |f AS (SELECT doc_id, w, h, nf, unnest(range(0, nf)) AS k FROM m)
+      |SELECT doc_id, CAST(k AS INT) AS frame_idx, w AS width, h AS height,
+      |  CAST(nf AS INT) AS n_frames,
+      |  CAST(k * 255 // (nf - 1) AS BIGINT) AS red
+      |FROM f ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_video_frames"    -> (videoFramesQuery _),
     "mm_image_resize"    -> (imageResizeQuery _),
     "mm_binary_meta"     -> (binaryMeta _),
     "mm_decode_stub"     -> (decodeStub _),
@@ -740,6 +933,7 @@ object Multimodal {
     "mm_image_features"  -> (imageFeaturesQuery _))
 
   val oracles: Map[String, String] = Map(
+    "mm_video_frames"    -> videoFramesSql,
     "mm_binary_meta"     -> binaryMetaSql,
     "mm_decode"          -> realDecodeSql,
     "mm_frame_sample"    -> frameSampleSql,

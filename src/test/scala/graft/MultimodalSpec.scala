@@ -20,7 +20,7 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(!plan.contains("Exchange"), s"decode must not shuffle:\n$plan")
   }
 
-  test("real codec round-trip: PNG and WAV decode to their encoded content") {
+  test("real codec round-trip: PNG, WAV, and GIF decode to their encoded content") {
     val decoded = Multimodal.decodeReal(Multimodal.realMediaTable(spark, SF))
       .collect().map(d => d.doc_id -> d).toMap
     assert(decoded.nonEmpty)
@@ -30,10 +30,18 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
         assert(d.width === 8 + (d.doc_id % 16).toInt, s"doc ${d.doc_id} width")
         assert(d.height === 8 + (d.doc_id % 8).toInt, s"doc ${d.doc_id} height")
         assert(d.feature === d.doc_id % 256, s"doc ${d.doc_id} mean red channel")
-      } else {
+      } else if (d.doc_id % 3 == 1) {
         assert(d.media_type === "audio")
         assert(d.n_frames === 800 + (d.doc_id % 160).toInt, s"doc ${d.doc_id} PCM frames")
         assert(d.feature === math.abs((d.doc_id % 1000) - 500), s"doc ${d.doc_id} peak")
+      } else {
+        assert(d.media_type === "video")
+        val n = 2 + (d.doc_id % 6).toInt
+        assert(d.width === 4 + (d.doc_id % 8).toInt, s"doc ${d.doc_id} width")
+        assert(d.height === 5 + (d.doc_id % 4).toInt, s"doc ${d.doc_id} height")
+        assert(d.n_frames === n, s"doc ${d.doc_id} GIF frames")
+        assert(d.feature === (0 until n).map(k => k * 255 / (n - 1)).sum.toLong,
+          s"doc ${d.doc_id} sum of per-frame means")
       }
     }
     // payloads really are the containers they claim to be
@@ -43,9 +51,12 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
       if (m.media_type == "image")
         assert(magic.sameElements(Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt)),
           s"doc ${m.doc_id} payload is not a PNG")
-      else
+      else if (m.media_type == "audio")
         assert(new String(m.payload.take(4), "US-ASCII") === "RIFF",
           s"doc ${m.doc_id} payload is not a WAV/RIFF container")
+      else
+        assert(new String(m.payload.take(4), "US-ASCII") === "GIF8",
+          s"doc ${m.doc_id} payload is not a GIF container")
     }
     // still the same narrow no-shuffle stage as the stub path
     val plan = Multimodal.decodeReal(Multimodal.realMediaTable(spark, SF))
@@ -80,11 +91,17 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
       if (id % 3 == 0) {
         // images decode to exactly one frame at ts 0
         assert(fs.length === 1 && fs.head.frame_idx === 0 && fs.head.ts_ms === 0L)
-      } else {
+      } else if (id % 3 == 1) {
         // audio: 4 strided samples of the real PCM frame count
         val n = 800 + (id % 160).toInt
         assert(fs.map(_.frame_idx).sorted.toSeq === (0 until 4).map(_ * (n / 4)))
         fs.foreach(f => assert(f.ts_ms === f.frame_idx * 1000L / 8000L))
+      } else {
+        // video: up to 4 strided samples of the real GIF frame count
+        val n = 2 + (id % 6).toInt
+        val take = math.min(4, n)
+        assert(fs.map(_.frame_idx).sorted.toSeq ===
+          (0 until take).map(_ * math.max(1, n / take)), s"doc $id video stride")
       }
     }
     val plan = frames.queryExecution.executedPlan.toString
@@ -134,6 +151,32 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     val bad = out.find(_.doc_id == 999L).get
     assert(bad.peak === -1L && bad.n_samples === 0,
       s"corrupt payload must yield the sentinel, got $bad")
+  }
+
+  test("video frames decode the temporal gradient per frame; corrupt GIFs degrade to sentinels") {
+    import spark.implicits._
+    val frames = Multimodal.videoFramesQuery(spark, SF).collect()
+    assert(frames.nonEmpty)
+    frames.groupBy(_.getLong(0)).foreach { case (id, fs) =>
+      val n = 2 + (id % 6).toInt
+      assert(fs.length === n, s"doc $id must emit one row per stored frame")
+      fs.foreach { r =>
+        val k = r.getInt(1)
+        assert(r.getInt(2) === 4 + (id % 8).toInt, s"doc $id width")
+        assert(r.getInt(3) === 5 + (id % 4).toInt, s"doc $id height")
+        assert(r.getInt(4) === n, s"doc $id n_frames")
+        // frame k of the temporal gradient is solid k·255/(n−1): a
+        // decode that returns the wrong frame for an index fails here
+        assert(r.getLong(5) === (k * 255 / (n - 1)).toLong, s"doc $id frame $k red")
+      }
+    }
+    // a truncated GIF (valid magic, no image data) must yield the
+    // sentinel row, not a task kill — same invariant as the audio tier
+    val garbage = Seq(Multimodal.MediaRow(999L, "video",
+      "GIF89a".getBytes("US-ASCII"))).toDS()
+    val out = Multimodal.decodeReal(garbage).collect()
+    assert(out.length === 1 && out.head.feature === -1L && out.head.n_frames === 0,
+      s"corrupt GIF must degrade to the sentinel, got ${out.toSeq}")
   }
 
   test("image features match the gradient closed form via a real PNG decode") {
