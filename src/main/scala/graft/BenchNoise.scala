@@ -40,8 +40,10 @@ object BenchNoise {
   }
 
   /** Worst per-sentinel spread (max/min − 1, %) across the run; -1 when
-    * no sentinel has two positive samples. The run-level burst verdict
-    * is `spreadPct > threshold`. */
+    * no sentinel has two positive samples. A raw observable for
+    * cross-round comparison; the run-level `burst` verdict is
+    * `quietPasses(...).isEmpty` — the headline is contaminated exactly
+    * when no pass was bracketed by calm sentinels. */
   def spreadPct(sentinelSamples: Map[String, Vector[Double]]): Double = {
     val spreads = sentinelSamples.values.flatMap { s =>
       val pos = s.filter(_ > 0)

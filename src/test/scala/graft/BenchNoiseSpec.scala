@@ -73,6 +73,22 @@ class BenchNoiseSpec extends AnyFunSuite {
     assert(BenchNoise.minTimes(passes2, Seq("q2"), Set(1))("q2") === 7.0)
   }
 
+  test("warmup residue on the pre-pass-0 sample disqualifies only pass 0") {
+    // the round-12 sf0.1 run's shape: one sentinel's first probe still
+    // carries cold-cache/JIT residue (0.23 s vs a 0.14 s floor), every
+    // later sample calm. The quiet-pass algebra must localize the
+    // damage to pass 0 — and the run-level burst verdict (quiet empty)
+    // must stay false, because the headline min never reads pass 0.
+    val sentinels = Map(
+      "a" -> Vector(0.31, 0.28, 0.28, 0.32),           // flat
+      "b" -> Vector(0.23, 0.15, 0.14, 0.15))           // residue on sample 0
+    val quiet = BenchNoise.quietPasses(sentinels, nPasses = 3, thresholdPct = 40.0)
+    assert(quiet === Set(1, 2))
+    assert(!BenchNoise.needsExtraPass(quiet, extrasUsed = 0, maxExtra = 2))
+    assert(BenchNoise.spreadPct(sentinels) > 40.0,
+      "the raw spread still records the residue for cross-round reading")
+  }
+
   test("minTimes quiet restriction actually excludes noisy-pass wins") {
     // the noisy pass records a FASTER time (e.g. page-cache luck); the
     // quiet-restricted headline must not use it
