@@ -56,4 +56,52 @@ class TablesSpec extends AnyFunSuite with SparkSuite {
     assert(cold.rdd.getNumPartitions === target)
     assert(cached.rdd.getNumPartitions === target)
   }
+
+  test("events ts unit is read from the parquet footer and normalized to nanos") {
+    // the generator-vintage matrix the round-12 incident exposed: the
+    // same logical instant stored as TIMESTAMP(MICROS), TIMESTAMP
+    // (MILLIS), or a plain epoch-nanos INT64 must all load to the same
+    // (ts = epoch nanos, sec = epoch seconds) engine contract — the
+    // declared-long read alone cannot tell them apart, only the footer
+    // can.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsunit").toFile
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete(): Unit
+    }
+    val epochSec = 1704067200L // 2024-01-01T00:00:00Z
+    try {
+      val tsRow = Seq((1L,
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(epochSec)),
+        5L, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+      try {
+        for ((mode, factor) <- Seq("TIMESTAMP_MICROS" -> 1000L,
+            "TIMESTAMP_MILLIS" -> 1000000L)) {
+          spark.conf.set("spark.sql.parquet.outputTimestampType", mode)
+          val sub = new java.io.File(dir, mode)
+          tsRow.write.mode("overwrite").parquet(s"$sub/events.parquet")
+          assert(Tables.eventsTsNanosFactor(spark, s"$sub/events.parquet") === factor,
+            s"$mode footer must yield factor $factor")
+          val r = Tables.loadEvents(spark, sub.getPath)
+            .select("ts", "sec").head()
+          assert(r.getLong(0) === epochSec * 1000000000L, s"$mode ts not nanos")
+          assert(r.getLong(1) === epochSec, s"$mode sec")
+        }
+      } finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+        case None    => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+      }
+      // legacy vintage: plain INT64 already in nanos
+      val longSub = new java.io.File(dir, "nanos_long")
+      Seq((1L, epochSec * 1000000000L, 5L, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$longSub/events.parquet")
+      assert(Tables.eventsTsNanosFactor(spark, s"$longSub/events.parquet") === 1L)
+      val r = Tables.loadEvents(spark, longSub.getPath).select("ts", "sec").head()
+      assert(r.getLong(0) === epochSec * 1000000000L && r.getLong(1) === epochSec)
+    } finally rmTree(dir)
+  }
 }
