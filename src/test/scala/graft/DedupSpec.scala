@@ -386,4 +386,30 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(stratumPairs < allPairs / (m / 2),
       s"stratum kept $stratumPairs of $allPairs pairs — predicate not reducing the pair scan")
   }
+
+  test("sampled twin's stratum is an equi-join KEY, not a residual predicate") {
+    // the round-12 find: as a residual the stratum runs after the hash
+    // join assembles each candidate (two 64-float arrays copied), so it
+    // cut almost nothing (41.7 s vs ~40 s unbounded at sf1); as a join
+    // key the probe skips non-stratum candidates (7.2 s). Pin the plan
+    // property: the sampled twin's pair join must carry MORE equi-join
+    // keys than the unbounded tool's (bp alone), i.e. the residue
+    // equality was extracted into the keys by Catalyst.
+    import org.apache.spark.sql.execution.joins.{
+      SortMergeJoinExec, ShuffledHashJoinExec, BroadcastHashJoinExec}
+    def maxJoinKeys(df: org.apache.spark.sql.DataFrame): Int = {
+      val keys = df.queryExecution.sparkPlan.collect {
+        case j: SortMergeJoinExec     => j.leftKeys.size
+        case j: ShuffledHashJoinExec  => j.leftKeys.size
+        case j: BroadcastHashJoinExec => j.leftKeys.size
+      }
+      if (keys.isEmpty) 0 else keys.max
+    }
+    val unbounded = maxJoinKeys(Dedup.embeddingCosine(spark, SF))
+    val sampled = maxJoinKeys(Dedup.embeddingCosineSampled(spark, SF))
+    assert(unbounded >= 1, "unbounded pair scan must plan a hash-keyed join")
+    assert(sampled > unbounded,
+      s"stratum must add an equi-join key (unbounded $unbounded, sampled $sampled) " +
+        "— a residual-only stratum scans every candidate pair")
+  }
 }
