@@ -180,7 +180,9 @@ object Bench {
     }
     // One sentinel probe before the first pass and one after every pass:
     // nReps passes -> nReps+1 samples per sentinel, bracketing the whole
-    // timed window so a burst inside ANY pass lands between two samples.
+    // timed window. A burst spanning any probe lands on a sample; one
+    // confined strictly inside a single pass can escape both probes
+    // (see BenchNoise scaladoc) — the interleaved min covers that case.
     probeSentinels()
     (1 to nReps).foreach(_ => runPass())
 
@@ -232,9 +234,16 @@ object Bench {
     // in the artifact as the raw observable for cross-round reading.
     val burst = quiet.isEmpty
     val quietJson = quiet.toSeq.sorted.mkString("[", ",", "]")
+    // `headline_contaminated` is the authoritative verdict (no quiet
+    // pass exists => the headline min saw the burst). `burst` is kept
+    // as its alias for older tooling, but its semantics changed in
+    // schema 2 (pre-schema-2 artifacts computed burst from raw spread,
+    // so the flags are not comparable across the schema bump — hence
+    // the explicit `schema` marker).
     val noiseJson =
-      s"""{"sentinels":$sentinelJson,"spread_pct":${jsonNum(spreadPct)},""" +
+      s"""{"schema":2,"sentinels":$sentinelJson,"spread_pct":${jsonNum(spreadPct)},""" +
         s""""burst_threshold_pct":$BurstSpreadPct,"burst":$burst,""" +
+        s""""headline_contaminated":$burst,""" +
         s""""quiet_passes":$quietJson,"n_passes":${passTimes.size},""" +
         s""""extra_passes":$extraPasses}"""
 
@@ -273,7 +282,8 @@ object Bench {
     //    capture still carries the numbers that matter. JSON key order is
     //    semantically irrelevant, so a full capture parses identically.
     val compactNoise =
-      s"""{"spread_pct":${jsonNum(spreadPct)},"burst":$burst,""" +
+      s"""{"schema":2,"spread_pct":${jsonNum(spreadPct)},"burst":$burst,""" +
+        s""""headline_contaminated":$burst,""" +
         s""""quiet_passes":$quietJson,"extra_passes":$extraPasses}"""
     println(
       s"""{"metric":"total","value":${jsonNum(total)},"unit":"sec","sf":"$sfDir",""" +

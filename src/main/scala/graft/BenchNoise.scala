@@ -6,10 +6,14 @@ package graft
   *
   * Model: a run is `nPasses` interleaved catalog passes bracketed by
   * sentinel probes — one probe before pass 0 and one after every pass,
-  * so sentinel sample `i` and `i+1` bracket pass `i`. A contention
-  * burst inside ANY pass therefore lands on at least one of that
-  * pass's bracketing samples (bursts shorter than a probe interval are
-  * by definition shorter than the pass they'd have to poison).
+  * so sentinel sample `i` and `i+1` bracket pass `i`. A burst that
+  * spans a probe lands on that sample and un-quiets the adjacent
+  * pass(es). A burst confined STRICTLY inside one pass (starting
+  * after its leading probe, ending before its trailing one) can leave
+  * both probes calm — the sentinel flag is a strong signal, not a
+  * proof; what protects the headline against that residual case is
+  * the min over MULTIPLE interleaved passes (a mid-pass burst inflates
+  * one pass's times, and another pass's min wins).
   */
 object BenchNoise {
 

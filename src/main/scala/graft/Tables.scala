@@ -127,37 +127,77 @@ object Tables {
 
   /** Multiplier that converts the on-disk INT64 `ts` unit of the
     * events table at `path` (file or directory) to NANOS, read from
-    * one parquet footer — driver-side metadata, no data scan, no
+    * parquet footers — driver-side metadata, no data scan, no
     * timezone semantics involved (the raw count is scaled as-is,
     * matching DuckDB's reading of the same naive value). Unannotated
-    * INT64 means the legacy epoch-nanos contract. */
-  private[graft] def eventsTsNanosFactor(spark: SparkSession, path: String): Long = {
+    * INT64 means the legacy epoch-nanos contract. Throws when `path`
+    * holds no data files; streaming sources that may start against an
+    * empty dir use [[eventsTsNanosFactorOpt]]. */
+  private[graft] def eventsTsNanosFactor(spark: SparkSession, path: String): Long =
+    eventsTsNanosFactorOpt(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no parquet parts under $path"))
+
+  /** As [[eventsTsNanosFactor]] but None when `path` holds no data
+    * files yet. Data files are discovered RECURSIVELY (a partitioned
+    * `dt=.../part-*.parquet` layout must probe a leaf file, not a
+    * subdirectory), skipping `_`/`.`-prefixed names at every level
+    * (`_SUCCESS`, `_spark_metadata`, `.crc`). The unit is probed from
+    * the name-order first AND last data files and the two must agree:
+    * a mixed-vintage layout would otherwise silently scale part of
+    * the rows with the wrong factor. Two footers cannot prove all n
+    * files uniform, but they catch the realistic mixed case — a
+    * regenerated table appended beside an old one, which lands the
+    * vintages at the name-order extremes; full uniformity is the
+    * documented contract of the testdata generator (TESTDATA.md). */
+  private[graft] def eventsTsNanosFactorOpt(
+      spark: SparkSession, path: String): Option[Long] = {
     import org.apache.parquet.schema.LogicalTypeAnnotation
     val p = new org.apache.hadoop.fs.Path(path)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = p.getFileSystem(conf)
-    val file =
+    if (!fs.exists(p)) return None
+    val dataFiles: Seq[org.apache.hadoop.fs.Path] =
       if (fs.getFileStatus(p).isDirectory) {
-        val parts = fs.listStatus(p).map(_.getPath)
-          .filter(q => !q.getName.startsWith("_") && !q.getName.startsWith("."))
-        require(parts.nonEmpty, s"no parquet parts under $path")
-        parts.minBy(_.getName)
-      } else p
-    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
-    try {
-      val schema = reader.getFooter.getFileMetaData.getSchema
-      if (!schema.containsField("ts")) 1L
-      else schema.getType(schema.getFieldIndex("ts")).getLogicalTypeAnnotation match {
-        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-          t.getUnit match {
-            case LogicalTypeAnnotation.TimeUnit.MILLIS => 1000000L
-            case LogicalTypeAnnotation.TimeUnit.MICROS => 1000L
-            case _                                     => 1L
-          }
-        case _ => 1L
-      }
-    } finally reader.close()
+        val rootPath = p.toUri.getPath
+        val it = fs.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+        while (it.hasNext) {
+          val st = it.next()
+          val rel = st.getPath.toUri.getPath.stripPrefix(rootPath)
+            .split('/').filter(_.nonEmpty)
+          if (st.isFile && st.getLen > 0 &&
+            !rel.exists(seg => seg.startsWith("_") || seg.startsWith(".")))
+            buf += st.getPath
+        }
+        buf.sortBy(_.toString).toSeq
+      } else Seq(p)
+    if (dataFiles.isEmpty) return None
+    def unitOf(file: org.apache.hadoop.fs.Path): Long = {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        if (!schema.containsField("ts")) 1L
+        else schema.getType(schema.getFieldIndex("ts")).getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MILLIS => 1000000L
+              case LogicalTypeAnnotation.TimeUnit.MICROS => 1000L
+              case _                                     => 1L
+            }
+          case _ => 1L
+        }
+      } finally reader.close()
+    }
+    val first = unitOf(dataFiles.head)
+    if (dataFiles.size > 1) {
+      val last = unitOf(dataFiles.last)
+      require(first == last,
+        s"mixed ts vintages under $path: ${dataFiles.head} scales x$first " +
+          s"but ${dataFiles.last} scales x$last — a uniform-unit layout is " +
+          "required (re-generate the table in one vintage)")
+    }
+    Some(first)
   }
 
   private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {

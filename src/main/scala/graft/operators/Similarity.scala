@@ -652,20 +652,34 @@ object Similarity {
       } catch { case scala.util.control.NonFatal(_) => false }
     }
 
-  /** Stamp the marker atomically-visible: write a temp file, then
-    * rename over the final name. On HDFS rename is atomic; on the
-    * local FS it is as atomic as the platform offers — either way a
-    * concurrent reader sees the old marker or the new one, never a
-    * torn prefix. */
+  /** Stamp the marker: write a temp file, then rename over the final
+    * name with OVERWRITE semantics (FileContext) so there is no
+    * delete-then-rename window in which a concurrent reader observes
+    * a MISSING marker and triggers a spurious rebuild. Atomicity is
+    * filesystem-scoped: on HDFS the overwrite-rename is atomic (old
+    * stamp or new, never torn); on the local FS it is as atomic as
+    * the platform rename; on object stores (s3a) rename is
+    * copy+delete, so a reader may briefly race the swap — but each
+    * object PUT is whole-object, so the worst case is reading the old
+    * stamp or none (→ safe-direction rebuild), never a torn prefix.
+    * Filesystems with no FileContext binding fall back to
+    * delete+rename, which reopens only the safe-direction window. */
   private def writeMarker(marker: Path, content: String): Unit = {
     val fs = marker.getFileSystem(hadoopConf)
     val tmp = new Path(marker.getParent, s".${marker.getName}.tmp")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    fs.delete(marker, false)
-    if (!fs.rename(tmp, marker))
-      throw new java.io.IOException(s"could not publish marker $marker")
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(marker.toUri, hadoopConf)
+      fc.rename(tmp, marker, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException |
+          _: UnsupportedOperationException =>
+        fs.delete(marker, false)
+        if (!fs.rename(tmp, marker))
+          throw new java.io.IOException(s"could not publish marker $marker")
+    }
   }
 
   /** The index dir iff a current-format index for `dir` is at rest. */

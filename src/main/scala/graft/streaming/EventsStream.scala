@@ -52,8 +52,14 @@ object EventsStream {
       else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
     // normalize the on-disk INT64 unit (nanos/micros/millis vintages —
     // see Tables.eventsTsNanosFactor) to the engine's epoch-nanos
-    // contract before rebuilding event-time
-    val factor = graft.Tables.eventsTsNanosFactor(spark, p.toString)
+    // contract before rebuilding event-time. The factor is resolved
+    // ONCE at stream definition: the stream contract is one ts
+    // vintage per source dir for the stream's lifetime (files of a
+    // different vintage landing later would scale wrong — regenerate
+    // into a fresh dir instead). A dir with no parts yet falls back
+    // to factor 1 (the legacy epoch-nanos contract) so the stream
+    // starts empty and drains later-arriving nanos-vintage files.
+    val factor = graft.Tables.eventsTsNanosFactorOpt(spark, p.toString).getOrElse(1L)
     src.withColumn("ts", expr(s"ts * ${factor}L"))
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
   }

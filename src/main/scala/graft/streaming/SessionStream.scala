@@ -120,8 +120,12 @@ object SessionStream {
     val reader = spark.readStream.schema(graft.Tables.eventsSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     // normalize the on-disk INT64 unit to epoch nanos (see
-    // Tables.eventsTsNanosFactor) before rebuilding event-time
-    val factor = graft.Tables.eventsTsNanosFactor(spark, dir)
+    // Tables.eventsTsNanosFactor) before rebuilding event-time.
+    // Resolved ONCE at stream definition — the contract is one ts
+    // vintage per source dir for the stream's lifetime; a dir empty
+    // at start falls back to factor 1 (legacy epoch-nanos) so the
+    // stream starts and drains later-arriving files.
+    val factor = graft.Tables.eventsTsNanosFactorOpt(spark, dir).getOrElse(1L)
     val src = reader.parquet(dir)
       .withColumn("ts", expr(s"ts * ${factor}L"))
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))

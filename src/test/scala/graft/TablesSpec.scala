@@ -104,4 +104,65 @@ class TablesSpec extends AnyFunSuite with SparkSuite {
       assert(r.getLong(0) === epochSec * 1000000000L && r.getLong(1) === epochSec)
     } finally rmTree(dir)
   }
+
+  test("footer probe recurses into partitioned layouts and flags mixed vintages") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsprobe").toFile
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete(): Unit
+    }
+    val epochSec = 1704067200L
+    def eventsDf = Seq((1L, epochSec * 1000000000L, 5L, "click", 1.0, "{}", "2024-01-01"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props", "dt")
+    try {
+      // a dt=…-partitioned table: the first listStatus entry is a
+      // SUBDIRECTORY, so a non-recursive probe would hand a directory
+      // to ParquetFileReader and throw; the probe must find a leaf
+      val part = new java.io.File(dir, "partitioned/events.parquet")
+      eventsDf.write.partitionBy("dt").mode("overwrite").parquet(part.getPath)
+      assert(Tables.eventsTsNanosFactor(spark, part.getPath) === 1L,
+        "partitioned layout must probe a leaf data file")
+      // an empty directory (stream source dir created ahead of data):
+      // Opt form reports None instead of throwing, so streams can
+      // start and drain later-arriving files
+      val empty = new java.io.File(dir, "empty/events.parquet")
+      assert(empty.mkdirs())
+      assert(Tables.eventsTsNanosFactorOpt(spark, empty.getPath).isEmpty)
+      intercept[IllegalArgumentException] {
+        Tables.eventsTsNanosFactor(spark, empty.getPath)
+      }
+      // mixed vintages (an old MICROS table with a NANOS-long file
+      // appended beside it) must fail loudly, not scale half the rows
+      // with the wrong factor
+      val mixed = new java.io.File(dir, "mixed/events.parquet")
+      val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+      try {
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        Seq((1L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(epochSec)),
+          5L, "click", 1.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .write.mode("overwrite").parquet(mixed.getPath)
+      } finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+        case None    => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+      }
+      // drop a plain-long (nanos-vintage) part beside the MICROS parts,
+      // named to sort last
+      val stray = new java.io.File(dir, "stray")
+      Seq((2L, epochSec * 1000000000L, 6L, "view", 2.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(stray.getPath)
+      val strayPart = Option(stray.listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .head
+      val dest = new java.io.File(mixed, "part-zzz-mixed-vintage.parquet")
+      java.nio.file.Files.copy(strayPart.toPath, dest.toPath)
+      val e = intercept[IllegalArgumentException] {
+        Tables.eventsTsNanosFactor(spark, mixed.getPath)
+      }
+      assert(e.getMessage.contains("mixed ts vintages"))
+    } finally rmTree(dir)
+  }
 }
