@@ -1139,22 +1139,46 @@ object Dedup {
   private[graft] val levBlockChars = 16
   private[graft] val levMaxDist = 10
 
+  /** Blocking keys with document frequency above this are dropped
+    * before the pair join — the same worst-case bound as
+    * [[defaultMaxShingleDf]]: a templated corpus where thousands of
+    * docs share one 16-char prefix would otherwise go quadratic in
+    * that posting list. Recall-only trade (a pair sharing a hot P-key
+    * can still surface via its S-key, and vice versa); at the shipped
+    * oracle scales the cap provably never fires (max key DF is 3 at
+    * sf0.01, 10 at sf0.1 — measured), so the DuckDB oracle checks the
+    * exact semantics and the planted-hot-key spec covers the capped
+    * path. */
+  private[graft] val defaultMaxLevKeyDf = 64L
+
   /** Candidate pairs via prefix/suffix blocking over a (doc_id, text)
-    * frame — exposed for the spec's recall cross-check. */
-  private[graft] def levCandidates(docs: DataFrame): DataFrame = {
+    * frame — exposed for the spec's recall cross-check. Two exact
+    * prunes run before any DP: (1) the length gap — edit distance is
+    * ≥ abs(len_i − len_j), so pairs further than `levMaxDist` apart
+    * in length cannot qualify and are dropped INSIDE the join stage
+    * (before the dedup shuffle carries their texts); (2) the pair
+    * dedup keys on (doc_i, doc_j) only — a pair matching on both its
+    * P and S keys carries identical texts on both rows, so hashing
+    * the two ids instead of ~600 bytes of text is the same result
+    * for a fraction of the exchange compare cost. */
+  private[graft] def levCandidates(
+      docs: DataFrame, maxKeyDf: Long = defaultMaxLevKeyDf): DataFrame = {
     val keys = docs
       .select(col("doc_id"), col("text"),
         concat(lit("P"), expr(s"left(text, $levBlockChars)")).as("k"))
       .union(docs.select(col("doc_id"), col("text"),
         concat(lit("S"), expr(s"right(text, $levBlockChars)")).as("k")))
-    val lhs = keys.select(col("k"),
+    val hot = keys.groupBy("k").count().filter(col("count") > maxKeyDf).select("k")
+    val cold = keys.join(hot, Seq("k"), "left_anti")
+    val lhs = cold.select(col("k"),
       col("doc_id").as("doc_i"), col("text").as("text_i"))
-    val rhs = keys.select(col("k"),
+    val rhs = cold.select(col("k"),
       col("doc_id").as("doc_j"), col("text").as("text_j"))
     lhs.join(rhs, Seq("k"))
-      .filter(col("doc_i") < col("doc_j"))
+      .filter(col("doc_i") < col("doc_j") &&
+        abs(length(col("text_i")) - length(col("text_j"))) <= levMaxDist)
       .select("doc_i", "doc_j", "text_i", "text_j")
-      .distinct() // a pair can match on both its P and S keys
+      .dropDuplicates("doc_i", "doc_j")
   }
 
   def levenshteinPairs(spark: SparkSession, dir: String): DataFrame =

@@ -236,6 +236,42 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       s"blocking recall ${reachable.size}/${expected.size} regressed on test data")
   }
 
+  test("lev blocking: key-DF cap bounds a templated prefix, S-key recall survives") {
+    import spark.implicits._
+    // 40 template instances share one 16-char prefix (hot P-key) but
+    // diverge immediately after — pairwise edit distance far above the
+    // threshold, yet the uncapped P-key block fans them out ~40²/2.
+    val tmpl = "TEMPLATE-HEADER " // exactly levBlockChars = 16 chars
+    assert(tmpl.length === Dedup.levBlockChars)
+    val instances = (1L to 40L).map(i =>
+      (i, tmpl + s"wildly divergent body number $i " + ("x" * (i % 7).toInt + i.toString) * 5))
+    // a genuine near-dup pair that shares the hot prefix AND an intact
+    // suffix: the cap drops its P-key block, but the S-key block must
+    // still surface it (the documented two-key recall property)
+    val dup = Seq(
+      (100L, tmpl + "alpha beta gamma delta epsilon zeta the shared tail is intact"),
+      (101L, tmpl + "alpha beta gamma delta epsilonn zeta the shared tail is intact"))
+    val docs = (instances ++ dup).toDF("doc_id", "text")
+    val uncapped = Dedup.levCandidates(docs, maxKeyDf = Long.MaxValue).count()
+    val capped = Dedup.levCandidates(docs, maxKeyDf = 8)
+    // the length prune keeps the uncapped count below the raw 42·41/2,
+    // but the hot prefix still fans out; the cap removes that blowup
+    assert(uncapped > capped.count(), "hot P-key should fan out uncapped")
+    val cappedPairs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedPairs.contains((100L, 101L)),
+      "S-key must recover the near-dup pair after its P-key block is capped")
+    // end-to-end: the verified pair set under the cap keeps the planted
+    // near-dup with the right distance
+    val got = capped
+      .withColumn("lev_dist", org.apache.spark.sql.functions.levenshtein(
+        org.apache.spark.sql.functions.col("text_i"),
+        org.apache.spark.sql.functions.col("text_j"), Dedup.levMaxDist))
+      .filter(org.apache.spark.sql.functions.col("lev_dist") =!= -1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    assert(got === Set((100L, 101L, 1)), s"got $got")
+    spark.catalog.clearCache()
+  }
+
   test("containment catches a quoted subset that jaccard misses, in one direction only") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
