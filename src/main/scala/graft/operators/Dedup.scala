@@ -1126,10 +1126,11 @@ object Dedup {
   // mutated means the pair is missed — for distance ≤ 10 over ~300-char
   // docs that requires the edits to cluster at both extremes, the
   // standard (documented) recall trade of prefix blocking. Scale
-  // shape: the posting join shuffles 16-char keys; candidate volume is
-  // O(near-dups), tiny next to the corpus, so carrying both texts
-  // through the one dedup exchange is cheaper than two join-backs
-  // against the full corpus; verification is the THRESHOLD form of
+  // shape: the posting join shuffles 16-char keys; the length prune
+  // and the banded-DP verification both run map-side inside the join
+  // stage, so the only post-join exchange carries the VERIFIED answer
+  // set (five fixed-width columns, O(near-dups) rows) — candidate
+  // texts are never shuffled; verification is the THRESHOLD form of
   // the DP — levenshtein(l, r, k) computes only the 2k+1-wide band and
   // bails to -1 past k, O(len·k) instead of O(len²) per candidate
   // (~14× fewer DP cells at k=10 over ~300-char docs; identical kept
@@ -1152,15 +1153,14 @@ object Dedup {
   private[graft] val defaultMaxLevKeyDf = 64L
 
   /** Candidate pairs via prefix/suffix blocking over a (doc_id, text)
-    * frame — exposed for the spec's recall cross-check. Two exact
-    * prunes run before any DP: (1) the length gap — edit distance is
-    * ≥ abs(len_i − len_j), so pairs further than `levMaxDist` apart
-    * in length cannot qualify and are dropped INSIDE the join stage
-    * (before the dedup shuffle carries their texts); (2) the pair
-    * dedup keys on (doc_i, doc_j) only — a pair matching on both its
-    * P and S keys carries identical texts on both rows, so hashing
-    * the two ids instead of ~600 bytes of text is the same result
-    * for a fraction of the exchange compare cost. */
+    * frame — exposed for the spec's recall cross-check. A pair that
+    * matches on BOTH its P and S keys appears TWICE here — callers
+    * dedup after verification, where a row is five fixed-width
+    * columns; deduping at this stage would shuffle ~600 bytes of
+    * candidate text per row instead. The length-gap prune runs INSIDE
+    * the join stage: edit distance is ≥ abs(len_i − len_j), so pairs
+    * further than `levMaxDist` apart in length are dropped exactly,
+    * before any DP runs or any exchange ships their texts. */
   private[graft] def levCandidates(
       docs: DataFrame, maxKeyDf: Long = defaultMaxLevKeyDf): DataFrame = {
     val keys = docs
@@ -1168,7 +1168,11 @@ object Dedup {
         concat(lit("P"), expr(s"left(text, $levBlockChars)")).as("k"))
       .union(docs.select(col("doc_id"), col("text"),
         concat(lit("S"), expr(s"right(text, $levBlockChars)")).as("k")))
-    val hot = keys.groupBy("k").count().filter(col("count") > maxKeyDf).select("k")
+    // hot keys are a tiny frame (empty on a non-templated corpus);
+    // persisted so the DF aggregate runs once, not once per join side
+    // (callers release via clearCache, as with the shingle index)
+    val hot = keys.groupBy("k").count().filter(col("count") > maxKeyDf)
+      .select("k").persist()
     val cold = keys.join(hot, Seq("k"), "left_anti")
     val lhs = cold.select(col("k"),
       col("doc_id").as("doc_i"), col("text").as("text_i"))
@@ -1178,7 +1182,6 @@ object Dedup {
       .filter(col("doc_i") < col("doc_j") &&
         abs(length(col("text_i")) - length(col("text_j"))) <= levMaxDist)
       .select("doc_i", "doc_j", "text_i", "text_j")
-      .dropDuplicates("doc_i", "doc_j")
   }
 
   def levenshteinPairs(spark: SparkSession, dir: String): DataFrame =
@@ -1188,6 +1191,11 @@ object Dedup {
       .filter(col("lev_dist") =!= -1)
       .select(col("doc_i"), col("doc_j"), col("lev_dist"),
         length(col("text_i")).as("len_i"), length(col("text_j")).as("len_j"))
+      // the banded DP is a FILTER, so it verifies map-side inside the
+      // join stage; only the verified answer set (five fixed-width
+      // columns, O(near-dups) rows) reaches this dedup exchange — a
+      // P+S double match costs one redundant DP, never a text shuffle
+      .distinct()
       .orderBy("doc_i", "doc_j")
 
   val levenshteinPairsSql: String =
