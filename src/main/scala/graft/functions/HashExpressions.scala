@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
 /** JIT-friendly kernels for the sketching hot paths. Top-level object →
@@ -59,6 +60,44 @@ object VecKernels {
       i += 1
     }
     new GenericArrayData(seen.toArray[AnyRef](new Array[AnyRef](0)))
+  }
+
+  /** Distinct XXH64 hashes (Spark's xxhash64 seed, 42) of the word
+    * 3-gram shingles, never materializing the shingle strings.
+    * Bit-identical to `transform(shingles3(toks), s -> xxhash64(s))`:
+    * the hash runs over the same UTF-8 bytes ("t1 t2 t3") via one
+    * reusable scratch buffer instead of one UTF8String allocation per
+    * 3-gram — the minhash/LSH path only ever consumes the hashes, so
+    * the strings were built to be hashed and thrown away. Distinctness
+    * over hashes == distinctness over strings modulo 64-bit collisions
+    * (~|shingles|²/2⁶⁵ per doc — immaterial, and candidates are
+    * exact-verified downstream anyway). */
+  def shingles3H64(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    if (n < 3) return new GenericArrayData(new Array[Any](0))
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var buf = new Array[Byte](128)
+    var i = 0
+    while (i + 2 < n) {
+      val a = toks.getUTF8String(i)
+      val b = toks.getUTF8String(i + 1)
+      val c = toks.getUTF8String(i + 2)
+      val len = a.numBytes + b.numBytes + c.numBytes + 2
+      if (buf.length < len) buf = new Array[Byte](Integer.highestOneBit(len) << 1)
+      var off = Platform.BYTE_ARRAY_OFFSET.toLong
+      a.writeToMemory(buf, off); off += a.numBytes
+      Platform.putByte(buf, off, ' '.toByte); off += 1
+      b.writeToMemory(buf, off); off += b.numBytes
+      Platform.putByte(buf, off, ' '.toByte); off += 1
+      c.writeToMemory(buf, off)
+      seen.add(XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, 42L))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
   }
 
   /** 64 minhash values over precomputed shingle hashes; permutation s
@@ -118,6 +157,24 @@ case class Shingles3(child: Expression)
     copy(child = newChild)
 }
 
+/** `shingles3_h64(array<string>) -> array<long>` — distinct xxhash64
+  * values of the word 3-grams, strings never materialized. */
+case class Shingles3H64(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingles3_h64"
+
+  override protected def nullSafeEval(a: Any): Any =
+    VecKernels.shingles3H64(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecKernels.shingles3H64($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Shingles3H64 =
+    copy(child = newChild)
+}
+
 /** `minhash_sig64(array<long>) -> array<long>` (64 permutations). */
 case class MinHashSig64(child: Expression)
     extends UnaryExpression {
@@ -148,6 +205,8 @@ object GraftFunctions {
     ("vec_norm", classOf[NormFloat], (c: Seq[Expression]) => NormFloat(c.head)),
     ("simhash60", classOf[SimHash60], (c: Seq[Expression]) => SimHash60(c.head)),
     ("shingles3", classOf[Shingles3], (c: Seq[Expression]) => Shingles3(c.head)),
+    ("shingles3_h64", classOf[Shingles3H64],
+      (c: Seq[Expression]) => Shingles3H64(c.head)),
     ("minhash_sig64", classOf[MinHashSig64],
       (c: Seq[Expression]) => MinHashSig64(c.head)),
     ("vec_sig128", classOf[HyperplaneSig128],

@@ -62,6 +62,19 @@ object Dedup {
       .select("doc_id", "sh")
   }
 
+  /** Hashed-shingle frame (doc_id, sh: array<long>) for the minhash
+    * family: shingles3_h64 emits the distinct 3-gram xxhash64 values
+    * directly — the identical hash stream to
+    * `transform(shingles3(toks), s -> xxhash64(s))` with zero
+    * shingle-string allocation (FunctionsSpec asserts the
+    * bit-identity); collision argument in the kernel scaladoc. */
+  private def docShingleHashes(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.loadBalanced(spark, dir, "documents")
+      .withColumn("sh", expr(s"shingles3_h64($toksSpark)"))
+      .select("doc_id", "sh")
+  }
+
   private val docShinglesSqlCte =
     s"""toks_t AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |sh_t AS (SELECT doc_id, $shinglesSql AS sh FROM toks_t),
@@ -389,14 +402,15 @@ object Dedup {
   // dedup_minhash_lsh — 64 minhash perms, 32 bands × 2 rows, exact
   // verification of band-collision candidates.
   // ---------------------------------------------------------------------
-  /** 32×2 LSH band keys per document over a (doc_id, sh) frame: one
-    * cheap xxhash64 per shingle, then the 64-permutation min-scan runs
-    * over longs in a codegen'd kernel (graft.functions.MinHashSig64) —
-    * no per-permutation string building. Shared by whole-corpus LSH
-    * and the incremental new-batch-vs-index variant. */
+  /** 32×2 LSH band keys per document over a HASHED-shingle (doc_id,
+    * sh: array<long>) frame: the 64-permutation min-scan runs over the
+    * precomputed longs in a codegen'd kernel (graft.functions
+    * .MinHashSig64) — no string building anywhere. Shared by
+    * whole-corpus LSH and the incremental new-batch-vs-index
+    * variant. */
   private def minhashBands(docsSh: DataFrame): DataFrame =
     docsSh
-      .withColumn("sig", expr("minhash_sig64(transform(sh, x -> xxhash64(x)))"))
+      .withColumn("sig", expr("minhash_sig64(sh)"))
       .select(col("doc_id"),
         explode(expr(
           """transform(sequence(0, 31), b -> named_struct(
@@ -407,16 +421,17 @@ object Dedup {
 
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    // doc_id, sh, n — shared by candidate generation AND verification;
-    // the signature is deliberately NOT on this frame so the two
-    // verification joins don't recompute 64 permutations per doc.
-    // Persisted: three consumers, one tokenize+shingle scan.
-    val docs = docShingles(spark, dir).filter(size(col("sh")) > 0)
+    // doc_id, sh (hashed shingles), n — shared by candidate generation
+    // AND verification; the signature is deliberately NOT on this
+    // frame so the two verification joins don't recompute 64
+    // permutations per doc. Persisted: three consumers, one
+    // tokenize+shingle-hash scan — and the cache holds 8-byte longs,
+    // not ~30-byte shingle strings, so verification's array_intersect
+    // compares longs (the collision argument is the kernel's scaladoc;
+    // the exact-string DuckDB oracle would catch one).
+    val docs = docShingleHashes(spark, dir).filter(size(col("sh")) > 0)
       .withColumn("n", size(col("sh")))
       .persist()
-    // One cheap xxhash64 per shingle, then the 64-permutation min-scan
-    // runs over longs in a codegen'd kernel (graft.functions.MinHashSig64)
-    // — no per-permutation string building.
     val bands = minhashBands(docs)
     val candidates = bands.as("a")
       .join(bands.as("b"),
@@ -453,12 +468,12 @@ object Dedup {
 
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    incrementalOver(docShingles(spark, dir).filter(size(col("sh")) > 0)
+    incrementalOver(docShingleHashes(spark, dir).filter(size(col("sh")) > 0)
       .withColumn("n", size(col("sh"))))
   }
 
-  /** Over a (doc_id, sh, n) frame — shared by the catalog query and
-    * the planted-batch fixture in DedupSpec. */
+  /** Over a HASHED-shingle (doc_id, sh: array<long>, n) frame — shared
+    * by the catalog query and the planted-batch fixture in DedupSpec. */
   private[graft] def incrementalOver(docsShN: DataFrame): DataFrame = {
     // persisted: band generation for both sides + two verification
     // joins all branch from it (callers release via clearCache)

@@ -346,7 +346,7 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       (4L, (1 to 20).map(i => s"unrelated$i").mkString(" ")))
       .toDF("doc_id", "text")
       .withColumn("sh", org.apache.spark.sql.functions.expr(
-        s"shingles3(${Dedup.toksSpark})"))
+        s"shingles3_h64(${Dedup.toksSpark})"))
       .filter(org.apache.spark.sql.functions.size(
         org.apache.spark.sql.functions.col("sh")) > 0)
       .withColumn("n", org.apache.spark.sql.functions.size(

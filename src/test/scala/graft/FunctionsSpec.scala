@@ -79,6 +79,34 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("shingles3_h64 is bit-identical to xxhash64 over the shingle strings") {
+    // the hashed-shingle kernel must produce EXACTLY the hash stream
+    // the minhash path consumed before it existed — transform(
+    // shingles3(toks), s -> xxhash64(s)) — or every at-rest band index
+    // built by an older binary would silently stop matching
+    forAllSeeded(textGen, 40) { text: String =>
+      val df = spark.createDataFrame(
+        java.util.List.of(Row(text)),
+        StructType(Seq(StructField("text", StringType))))
+        .withColumn("toks", expr(operators.Dedup.toksSpark))
+      val r = df.select(
+        expr("shingles3_h64(toks)").as("k"),
+        expr("transform(shingles3(toks), s -> xxhash64(s))").as("d"))
+        .head()
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+    // non-ASCII multi-byte tokens exercise the byte-buffer path (the
+    // engine tokenizer strips these, but the kernel must not rely on it)
+    val uni = spark.createDataFrame(
+      java.util.List.of(Row(Seq("héllo", "wörld", "日本語", "x"))),
+      StructType(Seq(StructField("toks", ArrayType(StringType)))))
+      .select(
+        expr("shingles3_h64(toks)").as("k"),
+        expr("transform(shingles3(toks), s -> xxhash64(s))").as("d"))
+      .head()
+    assert(uni.getSeq[Long](0) === uni.getSeq[Long](1))
+  }
+
   test("simhash60 equals the per-bit majority-vote rule") {
     val hashGen = Gen.listOf(Gen.choose(0L, (1L << 60) - 1))
     forAllSeeded(hashGen, 40) { hs: List[Long] =>
