@@ -143,16 +143,17 @@ object Dedup {
     * ≤ 64, measured), so the oracle checks the exact semantics and the
     * DF-cap spec covers the capped path with a planted hot shingle. */
   def ngramJaccard(spark: SparkSession, dir: String, maxDf: Long): DataFrame =
-    ngramJaccardCapped(docShingles(spark, dir), maxDf)
+    ngramJaccardCapped(docShingleHashes(spark, dir), maxDf)
 
-  /** Hashed inverted index: one row per (doc, shingle). Carries an
-    * 8-byte shingle hash, not the ~30-byte string: the self-join
-    * shuffles a fraction of the bytes. (64-bit collisions across
-    * distinct shingles are ~|S|²/2⁶⁵ — immaterial — and the
-    * exact-string DuckDB oracle would catch one.) */
-  private def hashedIndex(docSh: DataFrame): DataFrame =
-    docSh.select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("s"))
+  /** Hashed inverted index: one row per (doc, shingle) over a
+    * HASHED-shingle (doc_id, sh: array<long>) frame — the shingle
+    * strings are never materialized at all (shingles3_h64 hashes the
+    * 3-grams in-kernel), and the self-join shuffles 8-byte hashes
+    * instead of ~30-byte strings. (64-bit collisions across distinct
+    * shingles are ~|S|²/2⁶⁵ — immaterial — and the exact-string
+    * DuckDB oracle would catch one.) */
+  private def hashedIndex(docShH: DataFrame): DataFrame =
+    docShH.select(col("doc_id"), explode(col("sh")).as("s"))
 
   /** Shingles with DF > maxDf — the ubiquitous-boilerplate tail,
     * 8 bytes per entry. Computed with a map-side partial count (tiny
@@ -243,7 +244,7 @@ object Dedup {
   private[graft] val containmentThreshold = 0.5
 
   def containment(spark: SparkSession, dir: String): DataFrame =
-    containmentCapped(docShingles(spark, dir), defaultMaxShingleDf)
+    containmentCapped(docShingleHashes(spark, dir), defaultMaxShingleDf)
 
   private[graft] def containmentCapped(docSh: DataFrame, maxDf: Long): DataFrame =
     // each undirected candidate pair yields its two directions (the

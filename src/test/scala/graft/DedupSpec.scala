@@ -57,7 +57,7 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     graft.functions.GraftFunctions.register(spark)
     val docs = (unrelated ++ dup).toDF("doc_id", "text")
       .withColumn("sh", org.apache.spark.sql.functions.expr(
-        s"shingles3(${Dedup.toksSpark})"))
+        s"shingles3_h64(${Dedup.toksSpark})"))
       .select("doc_id", "sh")
     val uncapped = Dedup.ngramCandidates(docs, maxDf = Long.MaxValue).count()
     val capped = Dedup.ngramCandidates(docs, maxDf = 8).count()
@@ -92,7 +92,7 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     graft.functions.GraftFunctions.register(spark)
     val docs = (carriers :+ short :+ long).toDF("doc_id", "text")
       .withColumn("sh", org.apache.spark.sql.functions.expr(
-        s"shingles3(${Dedup.toksSpark})"))
+        s"shingles3_h64(${Dedup.toksSpark})"))
       .select("doc_id", "sh")
     def pairs(maxDf: Long): Set[(Long, Long)] =
       Dedup.containmentCapped(docs, maxDf)
@@ -286,7 +286,7 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       (4L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"))
       .toDF("doc_id", "text")
       .withColumn("sh", org.apache.spark.sql.functions.expr(
-        s"shingles3(${Dedup.toksSpark})"))
+        s"shingles3_h64(${Dedup.toksSpark})"))
       .select("doc_id", "sh")
     val got = Dedup.containmentCapped(docs, Long.MaxValue).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
