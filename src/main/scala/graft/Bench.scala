@@ -241,7 +241,8 @@ object Bench {
     // so the flags are not comparable across the schema bump — hence
     // the explicit `schema` marker).
     val noiseJson =
-      s"""{"schema":2,"sentinels":$sentinelJson,"spread_pct":${jsonNum(spreadPct)},""" +
+      s"""{"schema":2,"floor":"median","sentinels":$sentinelJson,""" +
+        s""""spread_pct":${jsonNum(spreadPct)},""" +
         s""""burst_threshold_pct":$BurstSpreadPct,"burst":$burst,""" +
         s""""headline_contaminated":$burst,""" +
         s""""quiet_passes":$quietJson,"n_passes":${passTimes.size},""" +

@@ -11,9 +11,23 @@ class BenchNoiseSpec extends AnyFunSuite {
 
   private val Th = 40.0
 
-  test("noisyIdx flags samples above the threshold over the positive floor") {
-    // floor 0.30; 0.30*1.4 = 0.42 is the boundary (strict >)
-    assert(BenchNoise.noisyIdx(Vector(0.30, 0.42, 0.43, 1.2), Th) === Set(2, 3))
+  test("noisyIdx flags samples above the threshold over the lower-median floor") {
+    // pos sorted [0.30, 0.42, 0.43, 1.2] -> lower median 0.42; only the
+    // 1.2 burst exceeds 0.42*1.4 = 0.588 (strict >)
+    assert(BenchNoise.noisyIdx(Vector(0.30, 0.42, 0.43, 1.2), Th) === Set(3))
+    // size <= 2 degenerates to the min floor: a two-sample burst flags
+    assert(BenchNoise.noisyIdx(Vector(0.30, 0.50), Th) === Set(1))
+  }
+
+  test("noisyIdx: a warm first sample plus slow drift flags nothing") {
+    // the round-13 sf0.1 shape: sample 0 probed at the warmest instant
+    // (0.24), later samples drifted to 0.33-0.35 — 46% over the MIN but
+    // only ~17% over the median. A min floor disqualified passes 1-2
+    // and forced the headline onto the coldest pass; the median floor
+    // keeps ordinary drift quiet and saves the flag for real bursts.
+    assert(BenchNoise.noisyIdx(Vector(0.24, 0.29, 0.35, 0.33), Th) === Set.empty[Int])
+    // ...but a genuine burst on the same baseline still towers over it
+    assert(BenchNoise.noisyIdx(Vector(0.24, 0.29, 0.90, 0.33), Th) === Set(2))
   }
 
   test("noisyIdx treats failed probes (-1) as noisy, and all-failed as all-noisy") {
@@ -35,12 +49,19 @@ class BenchNoiseSpec extends AnyFunSuite {
     assert(BenchNoise.quietPasses(s2, 3, Th) === Set(1, 2))
   }
 
-  test("quietPasses is empty when every pass touches a noisy sample") {
-    // monotone ramp (the r11 driver-bench shape): every later sample is
-    // noisy relative to the first -> only a leading pass could be quiet,
-    // and the ramp starts inside pass 0's closing bracket
+  test("quietPasses under a monotone ramp keeps only the pre-onset pass") {
+    // monotone ramp (the r11 driver-bench shape): the median floor sits
+    // mid-ramp (0.9), so the tail samples flag and every pass they
+    // bracket is disqualified — only pass 0, which ran before the load
+    // peaked, stays quiet (its numbers ARE the run's most trustworthy;
+    // a uniformly loaded host is the cross-round sentinel comparison's
+    // job, not this flag's)
     val ramp = Map("a" -> Vector(0.35, 0.9, 1.3, 1.83))
-    assert(BenchNoise.quietPasses(ramp, 3, Th) === Set.empty[Int])
+    assert(BenchNoise.quietPasses(ramp, 3, Th) === Set(0))
+    // bursts landing on alternating probes poison every bracket and
+    // leave nothing quiet (the self-heal trigger)
+    val alternating = Map("a" -> Vector(3.0, 0.3, 3.0, 0.3))
+    assert(BenchNoise.quietPasses(alternating, 3, Th) === Set.empty[Int])
   }
 
   test("spreadPct is worst-sentinel max/min-1 and ignores failed samples") {
