@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -100,6 +100,31 @@ object VecKernels {
     new GenericArrayData(out)
   }
 
+  /** Intersection COUNT of two individually-sorted, duplicate-free
+    * long arrays via a single linear merge — no per-row hash-set or
+    * result-array allocation, unlike `size(array_intersect(a, b))`,
+    * which builds an OpenHashSet AND the materialized intersection
+    * array per row just to take its length. The dedup verification
+    * path calls this once per candidate pair (hundreds of thousands of
+    * rows × hundreds of elements), where the allocation is the cost.
+    * Inputs MUST be sorted ascending (callers sort once per document
+    * at persist time — sort_array — not once per pair). */
+  def interCountSorted(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** 64 minhash values over precomputed shingle hashes; permutation s
     * re-mixes each shingle hash with xxhash64(seed = s). Only the LSH
     * *candidate generation* depends on these values — collisions are
@@ -175,6 +200,27 @@ case class Shingles3H64(child: Expression)
     copy(child = newChild)
 }
 
+/** `inter_count_sorted(array<long>, array<long>) -> int` — merge-count
+  * intersection of two sorted duplicate-free arrays. */
+case class InterCountSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "inter_count_sorted"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.interCountSorted(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VecKernels.interCountSorted($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): InterCountSorted =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `minhash_sig64(array<long>) -> array<long>` (64 permutations). */
 case class MinHashSig64(child: Expression)
     extends UnaryExpression {
@@ -207,6 +253,8 @@ object GraftFunctions {
     ("shingles3", classOf[Shingles3], (c: Seq[Expression]) => Shingles3(c.head)),
     ("shingles3_h64", classOf[Shingles3H64],
       (c: Seq[Expression]) => Shingles3H64(c.head)),
+    ("inter_count_sorted", classOf[InterCountSorted],
+      (c: Seq[Expression]) => InterCountSorted(c(0), c(1))),
     ("minhash_sig64", classOf[MinHashSig64],
       (c: Seq[Expression]) => MinHashSig64(c.head)),
     ("vec_sig128", classOf[HyperplaneSig128],

@@ -427,10 +427,15 @@ object Dedup {
     // frame so the two verification joins don't recompute 64
     // permutations per doc. Persisted: three consumers, one
     // tokenize+shingle-hash scan — and the cache holds 8-byte longs,
-    // not ~30-byte shingle strings, so verification's array_intersect
-    // compares longs (the collision argument is the kernel's scaladoc;
-    // the exact-string DuckDB oracle would catch one).
+    // not ~30-byte shingle strings, so verification merge-counts longs
+    // (the collision argument is the kernel's scaladoc; the
+    // exact-string DuckDB oracle would catch one).
+    // sh is sorted ONCE per document here (minhash is order-invariant,
+    // so bands are unaffected) so verification can merge-count each
+    // candidate pair with inter_count_sorted instead of allocating an
+    // array_intersect hash set + result array per pair.
     val docs = docShingleHashes(spark, dir).filter(size(col("sh")) > 0)
+      .withColumn("sh", sort_array(col("sh")))
       .withColumn("n", size(col("sh")))
       .persist()
     val bands = minhashBands(docs)
@@ -441,11 +446,13 @@ object Dedup {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
       .distinct()
-    // Exact verification: intersection over the (small) shingle arrays.
+    // Exact verification: merge-count over the sorted hash arrays
+    // (inter_count_sorted — one linear pass per pair, no per-pair
+    // allocation).
     candidates
       .join(docs.select(col("doc_id").as("doc_i"), col("sh").as("sh_a"), col("n").as("na")), "doc_i")
       .join(docs.select(col("doc_id").as("doc_j"), col("sh").as("sh_b"), col("n").as("nb")), "doc_j")
-      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("n_inter", expr("inter_count_sorted(sh_a, sh_b)"))
       .withColumn("jaccard", col("n_inter") / (col("na") + col("nb") - col("n_inter")))
       .filter(col("jaccard") >= 0.8)
       .select("doc_i", "doc_j", "jaccard")
@@ -477,8 +484,10 @@ object Dedup {
     * by the catalog query and the planted-batch fixture in DedupSpec. */
   private[graft] def incrementalOver(docsShN: DataFrame): DataFrame = {
     // persisted: band generation for both sides + two verification
-    // joins all branch from it (callers release via clearCache)
-    val docs = docsShN.persist()
+    // joins all branch from it (callers release via clearCache).
+    // Sorted once per doc so verification merge-counts (see
+    // minhashLsh).
+    val docs = docsShN.withColumn("sh", sort_array(col("sh"))).persist()
     val isBatch = col("doc_id") % batchStride === batchRes
     val newBands = minhashBands(docs.filter(isBatch))
     val idxBands = minhashBands(docs.filter(!isBatch)) // at rest in prod
@@ -493,7 +502,7 @@ object Dedup {
     candidates
       .join(docs.select(col("doc_id").as("doc_new"), col("sh").as("sh_a"), col("n").as("na")), "doc_new")
       .join(docs.select(col("doc_id").as("doc_idx"), col("sh").as("sh_b"), col("n").as("nb")), "doc_idx")
-      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("n_inter", expr("inter_count_sorted(sh_a, sh_b)"))
       .withColumn("jaccard", col("n_inter") / (col("na") + col("nb") - col("n_inter")))
       .filter(col("jaccard") >= 0.8)
       .select("doc_new", "doc_idx", "jaccard")

@@ -107,6 +107,28 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
     assert(uni.getSeq[Long](0) === uni.getSeq[Long](1))
   }
 
+  test("inter_count_sorted equals size(array_intersect) on sorted distinct arrays") {
+    val setGen = Gen.listOf(Gen.choose(-50L, 50L)).map(_.distinct.sorted)
+    val pairGen = for { a <- setGen; b <- setGen } yield (a, b)
+    forAllSeeded(pairGen, 40) { case (a: List[Long], b: List[Long]) =>
+      val df = spark.createDataFrame(
+        java.util.List.of(Row(a, b)),
+        StructType(Seq(StructField("a", ArrayType(LongType)),
+          StructField("b", ArrayType(LongType)))))
+      val r = df.select(
+        expr("inter_count_sorted(a, b)").as("k"),
+        expr("size(array_intersect(a, b))").as("d")).head()
+      assert(r.getInt(0) === r.getInt(1))
+    }
+    // empty sides
+    val e = spark.createDataFrame(
+      java.util.List.of(Row(Seq.empty[Long], Seq(1L, 2L))),
+      StructType(Seq(StructField("a", ArrayType(LongType)),
+        StructField("b", ArrayType(LongType)))))
+      .select(expr("inter_count_sorted(a, b)")).head()
+    assert(e.getInt(0) === 0)
+  }
+
   test("simhash60 equals the per-bit majority-vote rule") {
     val hashGen = Gen.listOf(Gen.choose(0L, (1L << 60) - 1))
     forAllSeeded(hashGen, 40) { hs: List[Long] =>
