@@ -43,6 +43,32 @@ class BucketingSpec extends AnyFunSuite with SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("ensureBucketed skips the rebuild on unchanged sources, rebuilds on change") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    Bucketing.resetBuiltStamps()
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val fp1 = Bucketing.sourceFingerprint(spark, s"$SF/nation.parquet")
+    assert(fp1.isDefined, "test table must fingerprint")
+    val before = Bucketing.ensureRebuilds.get()
+    Bucketing.ensureBucketed(df, "graft_ensure_spec", 4, Seq("k"), fp1)
+    assert(Bucketing.ensureRebuilds.get() === before + 1, "first build runs")
+    Bucketing.ensureBucketed(df, "graft_ensure_spec", 4, Seq("k"), fp1)
+    assert(Bucketing.ensureRebuilds.get() === before + 1,
+      "unchanged fingerprint must not rebuild")
+    assert(spark.table("graft_ensure_spec").count() === 2)
+    // a changed source fingerprint rebuilds
+    val fp2 = Bucketing.sourceFingerprint(spark, s"$SF/region.parquet")
+    Bucketing.ensureBucketed(df, "graft_ensure_spec", 4, Seq("k"), fp2)
+    assert(Bucketing.ensureRebuilds.get() === before + 2,
+      "changed fingerprint must rebuild")
+    // no fingerprint (unreadable source) always rebuilds — safe direction
+    Bucketing.ensureBucketed(df, "graft_ensure_spec", 4, Seq("k"), None)
+    Bucketing.ensureBucketed(df, "graft_ensure_spec", 4, Seq("k"), None)
+    assert(Bucketing.ensureRebuilds.get() === before + 4)
+    spark.sql("DROP TABLE IF EXISTS graft_ensure_spec")
+  }
+
   test("catalog q13 runs off bucketed sources with an exchange-free join") {
     import graft.operators.Relational
     // run the catalog query (writes the bucketed tables, then joins)
