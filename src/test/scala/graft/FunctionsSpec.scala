@@ -156,7 +156,13 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
     assert(plan(operators.Dedup.embeddingCosine(spark, sf)).contains("vec_dot"))
     assert(plan(operators.Similarity.cosineTopK(spark, sf)).contains("vec_dot"))
     val mh = plan(operators.Dedup.minhashLsh(spark, sf))
-    assert(mh.contains("minhash_sig64") && mh.contains("shingles3"))
+    assert(mh.contains("minhash_sig64") && mh.contains("shingles3_h64"),
+      "minhash must shingle-hash in-kernel (no shingle strings)")
+    assert(mh.contains("inter_count_sorted"),
+      "minhash verification must merge-count, not array_intersect")
+    val nj = plan(operators.Dedup.ngramJaccard(spark, sf))
+    assert(nj.contains("shingles3_h64"),
+      "the inverted index must build from in-kernel shingle hashes")
   }
 
   test("minhash_sig64: 64 mins, monotone under union, permutation-invariant") {
