@@ -83,7 +83,9 @@ object VecKernels {
       val b = toks.getUTF8String(i + 1)
       val c = toks.getUTF8String(i + 2)
       val len = a.numBytes + b.numBytes + c.numBytes + 2
-      if (buf.length < len) buf = new Array[Byte](Integer.highestOneBit(len) << 1)
+      // grow by doubling, but never below len (highestOneBit<<1 would
+      // overflow to negative on a pathological GB-scale token)
+      if (buf.length < len) buf = new Array[Byte](math.max(len, buf.length << 1))
       var off = Platform.BYTE_ARRAY_OFFSET.toLong
       a.writeToMemory(buf, off); off += a.numBytes
       Platform.putByte(buf, off, ' '.toByte); off += 1
