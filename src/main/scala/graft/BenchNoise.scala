@@ -17,17 +17,26 @@ package graft
   */
 object BenchNoise {
 
-  /** Indices of noisy samples: above the sentinel's positive LOWER
-    * MEDIAN by more than `thresholdPct`. The floor is the median, not
-    * the min: sample 0 is probed at the warmest instant of the run
-    * (right after the sentinel warmup), so it is systematically the
-    * fastest — with a min floor, ordinary slow ambient drift pushes
-    * every LATER sample over the threshold, disqualifying exactly the
-    * warmed-up passes and forcing the headline onto the coldest pass
-    * (observed in the round-13 sf0.1 run: quiet=[0] with pass-0 times
-    * 30-50% above the true per-query mins). The lower median tracks
-    * the run's typical floor — a genuine burst still towers over it —
-    * and degenerates to the min for sample vectors of size ≤ 2.
+  /** Indices of noisy samples, flagged against an adaptive floor.
+    *
+    * Floor choice: the positive LOWER MEDIAN when it agrees with the
+    * positive MIN (within `thresholdPct`), else the MIN. Rationale for
+    * each half:
+    *  - median over min when they agree: sample 0 is probed at the
+    *    warmest instant of the run (right after sentinel warmup), so
+    *    it is systematically the fastest — with a bare min floor,
+    *    ordinary slow ambient drift pushes every LATER sample over
+    *    the threshold, disqualifying exactly the warmed-up passes and
+    *    forcing the headline onto the coldest pass (observed in the
+    *    round-13 sf0.1 run: quiet=[0] with pass-0 times 30-50% above
+    *    the true per-query mins);
+    *  - min when median and min DISAGREE: a burst that inflates more
+    *    than half the samples (sustained contention, a mid-run onset
+    *    ramp) drags the median up with it, and a median floor would
+    *    certify the whole contaminated run as quiet — when the two
+    *    floors diverge beyond the threshold the run is bimodal and
+    *    the conservative low floor is the trustworthy one.
+    * Degenerates to the min floor for vectors of size ≤ 2.
     * Non-positive samples (probe failures recorded as -1) are treated
     * as noisy — an unobserved noise floor must not certify a pass as
     * quiet. */
@@ -35,7 +44,10 @@ object BenchNoise {
     val pos = samples.filter(_ > 0).sorted
     if (pos.isEmpty) samples.indices.toSet
     else {
-      val base = pos((pos.size - 1) / 2)
+      val minPos = pos.head
+      val median = pos((pos.size - 1) / 2)
+      val base =
+        if (median / minPos - 1.0 > thresholdPct / 100.0) minPos else median
       samples.zipWithIndex.collect {
         case (s, i) if s <= 0 || s / base - 1.0 > thresholdPct / 100.0 => i
       }.toSet

@@ -158,12 +158,16 @@ object Tables {
     if (!fs.exists(p)) return None
     val dataFiles: Seq[org.apache.hadoop.fs.Path] =
       if (fs.getFileStatus(p).isDirectory) {
-        val rootPath = p.toUri.getPath
+        // qualify before stripping: a RELATIVE `path` would otherwise
+        // leave the absolute listing paths unstripped and the hidden-
+        // segment filter would evaluate cwd ancestor names (a '.'- or
+        // '_'-prefixed ancestor dir would reject every data file)
+        val rootPath = fs.makeQualified(p).toUri.getPath
         val it = fs.listFiles(p, true)
         val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
         while (it.hasNext) {
           val st = it.next()
-          val rel = st.getPath.toUri.getPath.stripPrefix(rootPath)
+          val rel = fs.makeQualified(st.getPath).toUri.getPath.stripPrefix(rootPath)
             .split('/').filter(_.nonEmpty)
           if (st.isFile && st.getLen > 0 &&
             !rel.exists(seg => seg.startsWith("_") || seg.startsWith(".")))

@@ -82,9 +82,17 @@ object VecKernels {
       val a = toks.getUTF8String(i)
       val b = toks.getUTF8String(i + 1)
       val c = toks.getUTF8String(i + 2)
-      val len = a.numBytes + b.numBytes + c.numBytes + 2
-      // grow by doubling, but never below len (highestOneBit<<1 would
-      // overflow to negative on a pathological GB-scale token)
+      // Long arithmetic THEN a bound check: an Int sum of three
+      // GB-scale tokens could wrap negative, skip the growth branch,
+      // and turn the unsafe writes below into heap corruption — reject
+      // instead (the kernel is registered as a general SQL function,
+      // so adversarial inputs are in scope).
+      val lenL = a.numBytes.toLong + b.numBytes + c.numBytes + 2
+      if (lenL > Int.MaxValue - 8)
+        throw new IllegalArgumentException(
+          s"shingles3_h64: 3-gram of $lenL bytes exceeds the 2 GB array bound")
+      val len = lenL.toInt
+      // grow by doubling, but never below len
       if (buf.length < len) buf = new Array[Byte](math.max(len, buf.length << 1))
       var off = Platform.BYTE_ARRAY_OFFSET.toLong
       a.writeToMemory(buf, off); off += a.numBytes

@@ -50,24 +50,16 @@ object Dedup {
     """list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
       |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))""".stripMargin
 
-  /** Shingling runs in the codegen'd kernel (graft.functions.Shingles3;
-    * same distinct-3-gram output as [[shinglesSpark]]): the declarative
-    * form gets its tokenization inlined per element when Catalyst
-    * pushes `size(sh) > 0` below the projection — see the kernel's
-    * scaladoc for the full autopsy. */
-  private def docShingles(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    Tables.loadBalanced(spark, dir, "documents")
-      .withColumn("sh", expr(s"shingles3($toksSpark)"))
-      .select("doc_id", "sh")
-  }
-
-  /** Hashed-shingle frame (doc_id, sh: array<long>) for the minhash
-    * family: shingles3_h64 emits the distinct 3-gram xxhash64 values
+  /** Hashed-shingle frame (doc_id, sh: array<long>) for every shingle
+    * consumer: shingles3_h64 emits the distinct 3-gram xxhash64 values
     * directly — the identical hash stream to
     * `transform(shingles3(toks), s -> xxhash64(s))` with zero
     * shingle-string allocation (FunctionsSpec asserts the
-    * bit-identity); collision argument in the kernel scaladoc. */
+    * bit-identity); collision argument in the kernel scaladoc. Runs
+    * in a codegen'd kernel also because the declarative form gets its
+    * tokenization inlined per element when Catalyst pushes
+    * `size(sh) > 0` below the projection — see the Shingles3 kernel
+    * scaladoc for the full autopsy. */
   private def docShingleHashes(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     Tables.loadBalanced(spark, dir, "documents")

@@ -58,8 +58,16 @@ object EventsStream {
     // different vintage landing later would scale wrong — regenerate
     // into a fresh dir instead). A dir with no parts yet falls back
     // to factor 1 (the legacy epoch-nanos contract) so the stream
-    // starts empty and drains later-arriving nanos-vintage files.
-    val factor = graft.Tables.eventsTsNanosFactorOpt(spark, p.toString).getOrElse(1L)
+    // starts empty and drains later-arriving nanos-vintage files —
+    // warned, because MICROS/MILLIS late arrivals would be mis-scaled
+    // (populate the dir before defining the stream for those).
+    val factor = graft.Tables.eventsTsNanosFactorOpt(spark, p.toString).getOrElse {
+      System.err.println(
+        s"[graft] $p has no parquet parts yet; assuming epoch-NANOS ts " +
+          "(factor 1). If later files are MICROS/MILLIS vintage, populate " +
+          "the dir before defining the stream.")
+      1L
+    }
     src.withColumn("ts", expr(s"ts * ${factor}L"))
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
   }

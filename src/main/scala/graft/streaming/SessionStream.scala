@@ -124,8 +124,18 @@ object SessionStream {
     // Resolved ONCE at stream definition — the contract is one ts
     // vintage per source dir for the stream's lifetime; a dir empty
     // at start falls back to factor 1 (legacy epoch-nanos) so the
-    // stream starts and drains later-arriving files.
-    val factor = graft.Tables.eventsTsNanosFactorOpt(spark, dir).getOrElse(1L)
+    // stream starts and drains later-arriving files. The fallback is
+    // WARNED because it is only correct for nanos-vintage late files:
+    // MICROS/MILLIS files landing in an empty-at-start dir would be
+    // mis-scaled — populate the dir first (or restart the stream) for
+    // those vintages.
+    val factor = graft.Tables.eventsTsNanosFactorOpt(spark, dir).getOrElse {
+      System.err.println(
+        s"[graft] $dir has no parquet parts yet; assuming epoch-NANOS ts " +
+          "(factor 1). If later files are MICROS/MILLIS vintage, populate " +
+          "the dir before defining the stream.")
+      1L
+    }
     val src = reader.parquet(dir)
       .withColumn("ts", expr(s"ts * ${factor}L"))
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))

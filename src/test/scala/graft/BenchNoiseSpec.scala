@@ -49,19 +49,27 @@ class BenchNoiseSpec extends AnyFunSuite {
     assert(BenchNoise.quietPasses(s2, 3, Th) === Set(1, 2))
   }
 
-  test("quietPasses under a monotone ramp keeps only the pre-onset pass") {
-    // monotone ramp (the r11 driver-bench shape): the median floor sits
-    // mid-ramp (0.9), so the tail samples flag and every pass they
-    // bracket is disqualified — only pass 0, which ran before the load
-    // peaked, stays quiet (its numbers ARE the run's most trustworthy;
-    // a uniformly loaded host is the cross-round sentinel comparison's
-    // job, not this flag's)
+  test("quietPasses is empty when every pass touches a noisy sample") {
+    // monotone ramp (the r11 driver-bench shape): median (mid-ramp)
+    // and min disagree beyond the threshold, so the conservative min
+    // floor applies, every later sample flags, and only a leading pass
+    // could be quiet — the ramp starts inside pass 0's closing bracket
     val ramp = Map("a" -> Vector(0.35, 0.9, 1.3, 1.83))
-    assert(BenchNoise.quietPasses(ramp, 3, Th) === Set(0))
-    // bursts landing on alternating probes poison every bracket and
-    // leave nothing quiet (the self-heal trigger)
+    assert(BenchNoise.quietPasses(ramp, 3, Th) === Set.empty[Int])
+    // bursts landing on alternating probes poison every bracket too
     val alternating = Map("a" -> Vector(3.0, 0.3, 3.0, 0.3))
     assert(BenchNoise.quietPasses(alternating, 3, Th) === Set.empty[Int])
+  }
+
+  test("a burst inflating MOST samples cannot launder itself through the median") {
+    // sustained contention from inside pass 0 onward: 3 of 4 samples at
+    // 10x. A bare median floor would sit at 3.0 and certify the whole
+    // contaminated run quiet; the median/min disagreement (10x > Th)
+    // must drop the floor to the min and flag all three
+    val sustained = Map("a" -> Vector(0.3, 3.0, 3.0, 3.0))
+    assert(BenchNoise.noisyIdx(Vector(0.3, 3.0, 3.0, 3.0), Th) === Set(1, 2, 3))
+    assert(BenchNoise.quietPasses(sustained, 3, Th) === Set.empty[Int],
+      "self-heal must trigger on a majority-contaminated run")
   }
 
   test("spreadPct is worst-sentinel max/min-1 and ignores failed samples") {
