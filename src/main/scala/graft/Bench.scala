@@ -275,23 +275,30 @@ object Bench {
       System.err.println(s"[bench] full report written to $reportPath")
     } catch { case e: Throwable => System.err.println(s"[bench] report write failed: $e") }
 
-    // Stdout contract, two JSON lines covering BOTH capture modes:
+    // Stdout contract, three JSON lines covering BOTH capture modes:
     //  1. a COMPACT summary line first — short enough that a head-anchored
     //    parser always gets a complete object with the headline number;
     //  2. the full line with the big queries map, key order putting the
-    //    total + report pointer + noise verdict LAST so a TAIL-truncated
-    //    capture still carries the numbers that matter. JSON key order is
-    //    semantically irrelevant, so a full capture parses identically.
+    //    total + report pointer + noise verdict LAST so a partial read of
+    //    the line still shows the numbers that matter to a human;
+    //  3. the SAME compact line again as the very last stdout line — the
+    //    driver's capture is TAIL-anchored, so the final complete line is
+    //    the one its parser sees; the big queries-map line in the middle
+    //    can never push the summary out of the tail window this way.
+    // JSON key order is semantically irrelevant, so a full capture parses
+    // any of the three identically.
     val compactNoise =
       s"""{"schema":2,"spread_pct":${jsonNum(spreadPct)},"burst":$burst,""" +
         s""""headline_contaminated":$burst,""" +
         s""""quiet_passes":$quietJson,"extra_passes":$extraPasses}"""
-    println(
+    val compactLine =
       s"""{"metric":"total","value":${jsonNum(total)},"unit":"sec","sf":"$sfDir",""" +
-        s""""raw_value":${jsonNum(rawTotal)},"report":"$reportPath","noise":$compactNoise}""")
+        s""""raw_value":${jsonNum(rawTotal)},"report":"$reportPath","noise":$compactNoise}"""
+    println(compactLine)
     println(
       s"""{"queries":$qs,"sf":"$sfDir","reps":$nReps,"noise":$noiseJson,""" +
         s""""report":"$reportPath","metric":"total","value":${jsonNum(total)},"unit":"sec"}""")
+    println(compactLine)
     spark.stop()
   }
 }

@@ -22,6 +22,19 @@ import graft.operators.{Multimodal, Relational, Similarity}
   * SimilaritySpec asserts the same floors on the same fixture. */
 object QualityHarness {
 
+  /** The catalog entries gated HERE instead of by a SQL oracle —
+    * approximate or stubbed by construction, so the driver records
+    * `err: "no_oracle"` for them and this harness's recorded number is
+    * their correctness gate. CatalogSpec asserts that this set plus
+    * `SparkEntry.oracleSql.keySet` exactly covers
+    * `SparkEntry.queries.keySet`, and [[writeArtifact]] asserts the
+    * evaluated gates match this declaration — so a new catalog entry
+    * cannot ship ungated, and a gate cannot silently drop out. */
+  val gatedEntries: Set[String] = Set(
+    "sim_ann_lsh", "sim_ann_ivf", "sim_ann_ivfpq", "sim_ann_ivfpq_served",
+    "events_hll_distinct", "q25_approx_quantiles", "q26_column_stats_approx",
+    "mm_decode_stub")
+
   /** One evaluated gate: `value` compared against `floor` (higher is
     * better — error metrics are recorded as their complement's bound
     * via `direction`). */
@@ -101,35 +114,7 @@ object QualityHarness {
       if (served == inline && served.nonEmpty) 1.0 else 0.0, 1.0,
       higherIsBetter = true)
 
-    // HLL distinct: worst-group relative error vs the exact twin
-    val hllExact = graft.operators.Events.exactDistinct(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
-    val hllErr = graft.operators.Events.hllDistinct(spark, sfDir).collect()
-      .map { r =>
-        val ex = hllExact((r.getLong(0), r.getString(1)))
-        math.abs(r.getLong(2).toDouble - ex) / math.max(1.0, ex.toDouble)
-      }.max
-    val hll = Gate("events_hll_distinct", "max_group_rel_error",
-      hllErr, 0.05, higherIsBetter = false)
-
-    // approx quantiles: worst absolute value drift vs exact q12
-    val qExact = Relational.q12(spark, sfDir).collect()
-      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
-    val qErr = Relational.q25(spark, sfDir).collect().map { r =>
-      qExact(r.getString(0)).zip(Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
-        .map { case (e, a) => math.abs(e - a) }.max
-    }.max
-    val q25 = Gate("q25_approx_quantiles", "max_abs_value_drift", qErr, 2.0,
-      higherIsBetter = false)
-
-    // approx NDV: worst relative error vs exact q23 (5x the configured rsd)
-    val ndvExact = Relational.q23(spark, sfDir).collect()
-      .map(r => r.getString(0) -> r.getLong(2)).toMap
-    val ndvErr = Relational.q26(spark, sfDir).collect().map { r =>
-      math.abs(r.getLong(2).toDouble / ndvExact(r.getString(0)) - 1.0)
-    }.max
-    val q26 = Gate("q26_column_stats_approx", "max_rel_ndv_error", ndvErr,
-      5 * Relational.ndvRsd, higherIsBetter = false)
+    val sketch = sketchGates(spark, sfDir, suffix = "")
 
     // the video-decode stub has no quality axis (documented no-JDK-codec
     // seam); its gate is determinism of the stubbed features across runs
@@ -139,7 +124,48 @@ object QualityHarness {
       if (stubSig() == stubSig()) 1.0 else 0.0, 1.0, higherIsBetter = true)
 
     spark.catalog.clearCache()
-    Seq(lsh, ivf, ivfpq, servedGate, hll, q25, q26, stub)
+    Seq(lsh, ivf, ivfpq, servedGate) ++ sketch :+ stub
+  }
+
+  /** The three sketch-vs-exact error gates (HLL distinct, approx
+    * quantiles, approx NDV), parameterized over the data directory so
+    * they run both at the driver's gate SF (bare entry names) and at
+    * sf1 via [[writeArtifact]]'s corpus dir (suffixed `@sf1` rows) —
+    * sketch error only materializes at scale, so the small-SF rows
+    * alone can't catch an error-bound regression. */
+  def sketchGates(spark: SparkSession, sfDir: String, suffix: String): Seq[Gate] = {
+    // HLL distinct: worst-group relative error vs the exact twin
+    val hllExact = graft.operators.Events.exactDistinct(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val hllErr = graft.operators.Events.hllDistinct(spark, sfDir).collect()
+      .map { r =>
+        val ex = hllExact((r.getLong(0), r.getString(1)))
+        math.abs(r.getLong(2).toDouble - ex) / math.max(1.0, ex.toDouble)
+      }.max
+    val hll = Gate(s"events_hll_distinct$suffix", "max_group_rel_error",
+      hllErr, 0.05, higherIsBetter = false)
+
+    // approx quantiles: worst absolute value drift vs exact q12
+    val qExact = Relational.q12(spark, sfDir).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val qErr = Relational.q25(spark, sfDir).collect().map { r =>
+      qExact(r.getString(0)).zip(Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+        .map { case (e, a) => math.abs(e - a) }.max
+    }.max
+    val q25 = Gate(s"q25_approx_quantiles$suffix", "max_abs_value_drift", qErr, 2.0,
+      higherIsBetter = false)
+
+    // approx NDV: worst relative error vs exact q23 (5x the configured rsd)
+    val ndvExact = Relational.q23(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val ndvErr = Relational.q26(spark, sfDir).collect().map { r =>
+      math.abs(r.getLong(2).toDouble / ndvExact(r.getString(0)) - 1.0)
+    }.max
+    val q26 = Gate(s"q26_column_stats_approx$suffix", "max_rel_ndv_error", ndvErr,
+      5 * Relational.ndvRsd, higherIsBetter = false)
+
+    spark.catalog.clearCache()
+    Seq(hll, q25, q26)
   }
 
   /** ANN recall against the exact brute-force top-10 over a REAL
@@ -189,8 +215,14 @@ object QualityHarness {
     val gs = gates(spark, sfDir) ++
       annCorpusDir.toSeq.flatMap { d =>
         val tag = new java.io.File(d).getName
-        corpusGates(spark, d, tag)
+        corpusGates(spark, d, tag) ++ sketchGates(spark, d, s"@$tag")
       }
+    // the declaration and the evaluation can't drift: every no-oracle
+    // entry declared gated must actually have been evaluated, and no
+    // undeclared bare gate may appear
+    val bare = gs.map(_.entry).filterNot(_.contains("@")).toSet
+    require(bare == gatedEntries,
+      s"gate drift: evaluated $bare vs declared $gatedEntries")
     // JSON demands '.' decimal separators; the f-interpolator follows
     // the JVM default locale, so format explicitly under Locale.ROOT
     def num(d: Double): String =

@@ -1,0 +1,156 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.streaming.{EventsStream, SessionStream}
+
+/** Per-round streaming benchmark — `StreamBench <sfDir>` runs every
+  * streaming operator in the tier against the given corpus and writes
+  * one machine-readable artifact (per-op wall seconds, emitted rows,
+  * per-batch trigger-execution millis, per-batch state rows), so
+  * stream regressions show up in a diffable `bench_reports/
+  * stream_r{N}.json` rather than only in local ScalaTest runs.
+  *
+  * The six ops mirror the spec-asserted streaming surface:
+  * tumbling/sliding windowed aggs, exactly-once dedup counts over an
+  * at-least-once feed, the stream-stream interval join, stream-static
+  * broadcast enrichment, and `flatMapGroupsWithState` sessionization.
+  * The five EventsStream ops run in their production shape — one
+  * `Trigger.AvailableNow` drain of the corpus. Sessionization streams
+  * a time-split copy with `maxFilesPerTrigger=1` (the
+  * StreamSkewBench idiom) so the artifact carries a real multi-batch
+  * state-rows trajectory, not a single-batch point.
+  *
+  * Stdout contract matches graft.Bench: a compact summary line is
+  * printed FIRST and again LAST (tail-anchored captures see the final
+  * complete line), with the artifact on disk as the full record.
+  */
+object StreamBench {
+
+  /** JSON for one op run — pure, so the bookkeeping spec can pin the
+    * shape without a streaming run. `-1` entries mark batches where
+    * the source reported no metric (e.g. a stateless op's state rows). */
+  def recordJson(name: String, batchMs: Seq[Long], stateRows: Seq[Long],
+      wallS: Double, outRows: Long): String =
+    s""""$name": {"batch_ms": [${batchMs.mkString(",")}], """ +
+      s""""state_rows": [${stateRows.mkString(",")}], """ +
+      s""""wall_s": ${num(wallS)}, "out_rows": $outRows}"""
+
+  /** The full artifact object — pure. */
+  def reportJson(sfDir: String, totalWallS: Double, records: Seq[String]): String =
+    records.mkString(
+      s"""{"metric": "stream_total", "value": ${num(totalWallS)}, """ +
+        s""""unit": "sec", "sf": "$sfDir", "ops": {""",
+      ", ", "}}")
+
+  private def num(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+
+  /** Rewrite `dir`'s events as `k` single-file time slices with
+    * ascending mtimes under a fresh temp dir (the file source orders
+    * micro-batches by mtime, keeping the watermark honest). Shared
+    * with StreamSkewBench. */
+  def timeSplit(spark: SparkSession, dir: String, k: Int): String = {
+    val ev = Tables.loadEvents(spark, dir)
+    val mm = ev.agg(min("sec"), max("sec")).head()
+    val (minS, maxS) = (mm.getLong(0), mm.getLong(1))
+    val width = math.max(1L, (maxS - minS) / k + 1)
+    val out = Files.createTempDirectory("graft_stream_in")
+    val base = System.currentTimeMillis() - 600000
+    (0 until k).foreach { i =>
+      val lo = minS + i * width
+      val hi = minS + (i + 1) * width
+      val tmp = Files.createTempDirectory("graft_stream_part")
+      ev.filter(col("sec") >= lo && col("sec") < hi)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = Files.list(tmp)
+      val part =
+        try listing.filter(_.toString.endsWith(".parquet")).findFirst().get()
+        finally listing.close()
+      val dst = out.resolve(f"p$i%02d.parquet")
+      Files.move(part, dst): Unit
+      dst.toFile.setLastModified(base + i * 1000L): Unit
+    }
+    out.toString
+  }
+
+  /** Run one streaming query to termination and pull its metrics:
+    * (per-batch trigger ms, per-batch state rows, wall s, out rows). */
+  def runTimed(spark: SparkSession, start: () => StreamingQuery, sink: String)
+      : (Seq[Long], Seq[Long], Double, Long) = {
+    val t0 = System.nanoTime()
+    val q = start()
+    q.awaitTermination()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val prog = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+    val trig = prog.map(p =>
+      Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(-1L))
+    val state = prog.map(p =>
+      p.stateOperators.headOption.map(_.numRowsTotal).getOrElse(-1L))
+    val outRows = spark.table(sink).count()
+    spark.sql(s"DROP VIEW IF EXISTS $sink"): Unit
+    (trig, state, wall, outRows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val splits = sys.env.getOrElse("SPARK_GRAFT_STREAM_SPLITS", "8").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // one micro-batch per split file: keep every progress entry
+      .config("spark.sql.streaming.numRecentProgressUpdates",
+        math.max(100, splits * 2))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def run(name: String, start: String => StreamingQuery): String = {
+      val sink = s"graft_sb_$name"
+      val (trig, state, wall, outRows) = runTimed(spark, () => start(sink), sink)
+      System.err.println(s"[stream-bench] $name: ${num(wall)} s, $outRows rows")
+      recordJson(name, trig, state, wall, outRows)
+    }
+
+    val t0 = System.nanoTime()
+    val sessionIn = timeSplit(spark, sfDir, splits)
+    val records = Seq(
+      run("tumbling_agg", EventsStream.tumblingAgg(spark, sfDir, _)),
+      run("sliding_agg", EventsStream.slidingAgg(spark, sfDir, _)),
+      run("dedup_counts", EventsStream.dedupCounts(spark, sfDir, _)),
+      run("clickview_join", EventsStream.clickViewJoin(spark, sfDir, _)),
+      run("enriched_agg", EventsStream.enrichedAgg(spark, sfDir, _)),
+      run("sessionize",
+        SessionStream.run(spark, sessionIn, _, maxFilesPerTrigger = Some(1))))
+    val totalWall = (System.nanoTime() - t0) / 1e9
+
+    val report = reportJson(sfDir, totalWall, records)
+    val reportPath = java.nio.file.Paths
+      .get(sys.env.getOrElse("SPARK_GRAFT_STREAM_REPORT_PATH",
+        "target/stream_report.json"))
+      .toAbsolutePath
+    try {
+      Option(reportPath.getParent).foreach(Files.createDirectories(_): Unit)
+      Files.write(reportPath,
+        report.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+      System.err.println(s"[stream-bench] report written to $reportPath")
+    } catch {
+      case e: Throwable => System.err.println(s"[stream-bench] report write failed: $e")
+    }
+
+    val compact =
+      s"""{"metric": "stream_total", "value": ${num(totalWall)}, """ +
+        s""""unit": "sec", "sf": "$sfDir", "report": "$reportPath"}"""
+    println(compact)
+    println(report)
+    println(compact)
+    spark.stop()
+  }
+}

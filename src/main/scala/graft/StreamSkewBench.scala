@@ -50,52 +50,17 @@ object StreamSkewBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    /** Rewrite `dir`'s events as `k` single-file time slices with
-      * ascending mtimes under a fresh temp dir. */
-    def timeSplit(dir: String, k: Int): String = {
-      val ev = Tables.loadEvents(spark, dir)
-      val mm = ev.agg(min("sec"), max("sec")).head()
-      val (minS, maxS) = (mm.getLong(0), mm.getLong(1))
-      val width = math.max(1L, (maxS - minS) / k + 1)
-      val out = Files.createTempDirectory("graft_stream_skew_in")
-      val base = System.currentTimeMillis() - 600000
-      (0 until k).foreach { i =>
-        val lo = minS + i * width
-        val hi = minS + (i + 1) * width
-        val tmp = Files.createTempDirectory("graft_stream_skew_part")
-        ev.filter(col("sec") >= lo && col("sec") < hi)
-          .select("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val listing = Files.list(tmp)
-        val part =
-          try listing.filter(_.toString.endsWith(".parquet")).findFirst().get()
-          finally listing.close()
-        val dst = out.resolve(f"p$i%02d.parquet")
-        Files.move(part, dst): Unit
-        dst.toFile.setLastModified(base + i * 1000L): Unit
-      }
-      out.toString
-    }
+    // time-split + timed-run helpers shared with the per-round
+    // streaming artifact (StreamBench)
+    def timeSplit(dir: String, k: Int): String =
+      StreamBench.timeSplit(spark, dir, k)
 
     def num(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
 
-    /** (per-batch trigger ms, per-batch state rows, wall s, out rows) */
     def runTimed(start: () => StreamingQuery, sink: String)
-        : (Seq[Long], Seq[Long], Double, Long) = {
-      val t0 = System.nanoTime()
-      val q = start()
-      q.awaitTermination()
-      val wall = (System.nanoTime() - t0) / 1e9
-      val prog = q.recentProgress.toSeq.filter(_.numInputRows > 0)
-      val trig = prog.map(p =>
-        Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(-1L))
-      val state = prog.map(p =>
-        p.stateOperators.headOption.map(_.numRowsTotal).getOrElse(-1L))
-      val outRows = spark.table(sink).count()
-      spark.sql(s"DROP VIEW IF EXISTS $sink"): Unit
-      (trig, state, wall, outRows)
-    }
+        : (Seq[Long], Seq[Long], Double, Long) =
+      StreamBench.runTimed(spark, start, sink)
 
     def sessionRun(tag: String, dir: String): String = {
       val in = timeSplit(dir, splits)
