@@ -111,9 +111,9 @@ object Dedup {
     * inverted index before the pair self-join. A shingle in d docs
     * contributes d(d−1)/2 candidate pairs, so one hot shingle ("of the
     * and") goes quadratic in its posting list at web scale; capping DF
-    * is standard inverted-index practice. Because each hot shingle's
-    * exact per-pair contribution is re-added from per-doc hot-shingle
-    * sets (see [[ngramJaccardCapped]]), the cap affects only recall,
+    * is standard inverted-index practice. Because verification
+    * merge-counts each candidate's FULL shingle arrays (see
+    * [[pairIntersections]]), the cap affects only recall,
     * never a reported jaccard value — and a qualifying
     * pair (jaccard ≥ 0.8) is missed only if EVERY shingle it shares is
     * hot, which for near-dup docs means both are built almost entirely
@@ -170,16 +170,11 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact jaccard pairs with the hot-shingle cap. Pairs and their
-    * intersection counts stay 16-byte index rows end to end — never
-    * materialized shingle arrays, which on a dense corpus (every pair
-    * sharing any shingle is a candidate) would shuffle GBs. Hot
-    * shingles are excluded from the pair self-join and their exact
-    * per-pair contribution is added back from per-doc hot-shingle
-    * SETS, which are tiny (≤ the handful of boilerplate shingles) and
-    * empty when nothing exceeds the cap. Reported jaccard values are
-    * therefore exact; the cap's only effect is recall: a pair is
-    * missed iff EVERY shingle it shares is hot. */
+  /** Exact jaccard pairs with the hot-shingle cap. Reported jaccard
+    * values are exact — verification merge-counts each candidate's
+    * FULL sorted hash arrays (hot shingles included), so the cap's
+    * only effect is recall: a pair is missed iff EVERY shingle it
+    * shares is hot. */
   private[graft] def ngramJaccardCapped(docSh: DataFrame, maxDf: Long): DataFrame =
     pairIntersections(docSh, maxDf)
       .withColumn("jaccard", col("n_inter") / (col("na") + col("nb") - col("n_inter")))
@@ -191,34 +186,42 @@ object Dedup {
     * doc_j), with the hot-shingle DF cap: (doc_i, doc_j, n_inter, na,
     * nb) where na/nb are the docs' distinct-shingle counts. Shared by
     * jaccard (symmetric similarity) and containment (asymmetric) —
-    * both are pure functions of this frame. */
+    * both are pure functions of this frame.
+    *
+    * Two-stage shape (the minhash-LSH verification idiom): the capped
+    * inverted index generates DISTINCT candidate pairs as 16-byte
+    * rows, then each candidate is verified by one linear
+    * `inter_count_sorted` merge over the two docs' sorted hash arrays
+    * — hot shingles included, so reported counts are exact even for
+    * shingles the index dropped. Versus counting shared shingles in
+    * the pair self-join itself, this trades the wide
+    * per-shared-shingle aggregation plus three bookkeeping joins
+    * (per-doc sizes, hot-set re-add) for one array merge per
+    * SURVIVING candidate; the arrays ride two hash joins keyed on
+    * doc id, so nothing about the shape is quadratic in corpus
+    * size. */
   private def pairIntersections(docSh: DataFrame, maxDf: Long): DataFrame = {
-    // persisted: feeds the DF stats, per-doc sizes, hot sets, and both
-    // self-join sides; without it the tokenize+shingle scan of every
-    // document runs five times (callers release via clearCache)
-    val sh = hashedIndex(docSh).persist()
-    val hot = hotShingles(sh, maxDf)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val cold = sh.join(hot, Seq("s"), "left_anti")
-    val coldInter = cold.as("a")
+    graft.functions.GraftFunctions.register(docSh.sparkSession)
+    // persisted: feeds the DF stats, the pair self-join (via the
+    // exploded index), and both verification joins; without it the
+    // tokenize+shingle scan of every document runs four times
+    // (callers release via clearCache). sh sorted once per doc so
+    // verification is a merge, not a per-pair hash set.
+    val docs = docSh.filter(size(col("sh")) > 0)
+      .withColumn("sh", sort_array(col("sh")))
+      .withColumn("n", size(col("sh")).cast("long"))
+      .persist()
+    val sh = hashedIndex(docs)
+    val cold = sh.join(hotShingles(sh, maxDf), Seq("s"), "left_anti")
+    val candidates = cold.as("a")
       .join(cold.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
-      .agg(count(lit(1)).as("n_cold"))
-    // per-doc hot sets: AQE broadcasts them when small/empty; at scale
-    // (boilerplate in most docs) they stay a plain shuffle join
-    val hotSets = sh.join(hot, Seq("s"))
-      .groupBy("doc_id").agg(collect_set(col("s")).as("hs"))
-    coldInter
-      .join(hotSets.select(col("doc_id").as("doc_i"), col("hs").as("hs_i")), Seq("doc_i"), "left")
-      .join(hotSets.select(col("doc_id").as("doc_j"), col("hs").as("hs_j")), Seq("doc_j"), "left")
-      .withColumn("n_hot",
-        when(col("hs_i").isNull || col("hs_j").isNull, lit(0L))
-          .otherwise(size(array_intersect(col("hs_i"), col("hs_j"))).cast("long")))
-      .withColumn("n_inter", col("n_cold") + col("n_hot"))
-      .join(sizes.as("sa"), col("doc_i") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_j") === col("sb.doc_id"))
-      .select(col("doc_i"), col("doc_j"), col("n_inter"),
-        col("sa.n").as("na"), col("sb.n").as("nb"))
+      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      .distinct()
+    candidates
+      .join(docs.select(col("doc_id").as("doc_i"), col("sh").as("sh_a"), col("n").as("na")), "doc_i")
+      .join(docs.select(col("doc_id").as("doc_j"), col("sh").as("sh_b"), col("n").as("nb")), "doc_j")
+      .withColumn("n_inter", expr("inter_count_sorted(sh_a, sh_b)").cast("long"))
+      .select("doc_i", "doc_j", "n_inter", "na", "nb")
   }
 
   // ---------------------------------------------------------------------

@@ -10,6 +10,7 @@ Usage: python3 tools/validate.py <sfDir> <verifyOutDir>
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -41,8 +42,13 @@ def eq(a, b):
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
+        # driver testdata ships plain files; graft.BenchData corpora are
+        # Spark output directories — glob the parts in that case
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = 0
     for name, sql in sorted(oracles.items()):
