@@ -268,7 +268,9 @@ object GraftFunctions {
     ("minhash_sig64", classOf[MinHashSig64],
       (c: Seq[Expression]) => MinHashSig64(c.head)),
     ("vec_sig128", classOf[HyperplaneSig128],
-      (c: Seq[Expression]) => HyperplaneSig128(c.head)))
+      (c: Seq[Expression]) => HyperplaneSig128(c.head)),
+    ("tok_stats", classOf[TokStats],
+      (c: Seq[Expression]) => TokStats(c(0), c(1))))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

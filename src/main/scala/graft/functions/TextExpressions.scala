@@ -1,0 +1,158 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, IntegerType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass text statistics kernel for the text-analysis tier.
+  *
+  * The declarative forms in [[graft.operators.TextAnalysis]] hit the
+  * same Catalyst landmine the Shingles3 kernel documents: `toks` (a
+  * full regex tokenization) is aliased once but REFERENCED four times
+  * (filter, size, two `aggregate` lambdas), and PushDownPredicates /
+  * CollapseProject inline the alias into each reference — so every
+  * document is tokenized several times, the `aggregate` higher-order
+  * lambdas run interpreted (HigherOrderFunction has no codegen), and
+  * two more whole-string regex passes (`regexp_extract_all`,
+  * `regexp_replace`) count what a byte scan can count directly. This
+  * kernel computes all of it in two linear scans (original bytes +
+  * lowered bytes), allocation-free per row.
+  *
+  * Exactness contract (what the DuckDB oracle checks):
+  *  - tokens  == `filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')`:
+  *    maximal runs of [a-z0-9] in `lower(text)` (the SAME
+  *    UTF8String.toLowerCase Spark's `lower` uses, applied once);
+  *    n_tokens counts runs, sum_tok_len sums their lengths (members
+  *    are ASCII, so bytes == codepoints).
+  *  - n_bpe   == `size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))`:
+  *    letter runs + digit runs + one per remaining non-space
+  *    codepoint, over the ORIGINAL text. Java regex character classes
+  *    match per codepoint and its default `\s` is ASCII-only
+  *    [ \t\n\x0B\f\r] — the scan reproduces both exactly (a non-ASCII
+  *    codepoint is never a letter/digit/space here, so it counts as
+  *    one symbol; continuation bytes are skipped).
+  *  - n_punct == `length(regexp_replace(lower(text), '[a-z0-9 ]', ''))`:
+  *    codepoints of the LOWERED text outside [a-z0-9 ].
+  *  - n_stop  == `size(filter(toks, x -> array_contains(stops, x)))`:
+  *    tokens (with duplicates) byte-equal to any entry of `stops`.
+  */
+object TextKernels {
+
+  val tokStatsSchema: StructType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("sum_tok_len", IntegerType, nullable = false),
+    StructField("n_bpe", IntegerType, nullable = false),
+    StructField("n_punct", IntegerType, nullable = false),
+    StructField("n_stop", IntegerType, nullable = false)))
+
+  private def isLetter(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')
+  private def isDigit(b: Byte): Boolean = b >= '0' && b <= '9'
+  private def isAsciiSpace(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  private def isStop(lb: Array[Byte], start: Int, len: Int, stops: ArrayData): Boolean = {
+    var s = 0
+    val n = stops.numElements()
+    while (s < n) {
+      val w = stops.getUTF8String(s)
+      if (w != null && w.numBytes == len) {
+        var k = 0
+        var ok = true
+        while (ok && k < len) {
+          if (w.getByte(k) != lb(start + k)) ok = false
+          k += 1
+        }
+        if (ok) return true
+      }
+      s += 1
+    }
+    false
+  }
+
+  def tokStats(text: UTF8String, stops: ArrayData): InternalRow = {
+    // pass 1 — ORIGINAL bytes: BPE-ish segment count
+    val tb = text.getBytes
+    var nBpe = 0
+    var i = 0
+    while (i < tb.length) {
+      val b = tb(i)
+      if (isLetter(b)) {
+        nBpe += 1
+        while (i < tb.length && isLetter(tb(i))) i += 1
+      } else if (isDigit(b)) {
+        nBpe += 1
+        while (i < tb.length && isDigit(tb(i))) i += 1
+      } else if (isAsciiSpace(b)) {
+        i += 1
+      } else if ((b & 0x80) == 0) { // ASCII symbol
+        nBpe += 1
+        i += 1
+      } else { // non-ASCII codepoint: one symbol, skip continuations
+        nBpe += 1
+        i += 1
+        while (i < tb.length && (tb(i) & 0xC0) == 0x80) i += 1
+      }
+    }
+
+    // pass 2 — LOWERED bytes: tokens, punct codepoints, stopword hits
+    val lb = text.toLowerCase.getBytes
+    var nTok = 0
+    var sumLen = 0
+    var nPunct = 0
+    var nStop = 0
+    var runStart = -1
+    i = 0
+    def closeRun(end: Int): Unit = if (runStart >= 0) {
+      nTok += 1
+      sumLen += end - runStart
+      if (isStop(lb, runStart, end - runStart, stops)) nStop += 1
+      runStart = -1
+    }
+    while (i < lb.length) {
+      val b = lb(i)
+      if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) {
+        if (runStart < 0) runStart = i
+        i += 1
+      } else {
+        closeRun(i)
+        if (b == ' ') {
+          i += 1
+        } else if ((b & 0x80) == 0) {
+          nPunct += 1
+          i += 1
+        } else {
+          nPunct += 1
+          i += 1
+          while (i < lb.length && (lb(i) & 0xC0) == 0x80) i += 1
+        }
+      }
+    }
+    closeRun(lb.length)
+
+    new GenericInternalRow(Array[Any](nTok, sumLen, nBpe, nPunct, nStop))
+  }
+}
+
+/** `tok_stats(text, stops: array<string>) -> struct(n_tokens,
+  * sum_tok_len, n_bpe, n_punct, n_stop)` — see [[TextKernels]]. */
+case class TokStats(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = TextKernels.tokStatsSchema
+  override def prettyName: String = "tok_stats"
+
+  override protected def nullSafeEval(t: Any, s: Any): Any =
+    TextKernels.tokStats(t.asInstanceOf[UTF8String], s.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, s) => s"graft.functions.TextKernels.tokStats($t, $s)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TokStats =
+    copy(left = newLeft, right = newRight)
+}

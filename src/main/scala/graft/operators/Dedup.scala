@@ -524,6 +524,65 @@ object Dedup {
        |ORDER BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------------
+  // dedup_incremental_bucketed — the same batch-vs-index probe with the
+  // index BUCKETED AT REST, realizing the "exchange-free probe" claim
+  // above: the band index is a bucketed table on band_hash (so the
+  // probe join never reshuffles it — either the batch bands broadcast,
+  // or the probe side alone exchanges to the index's bucketing) and
+  // the doc-signature store is bucketed on doc_id (so verification
+  // joins read it in place). Both tables are build-once: the writes
+  // are gated on the corpus fingerprint (the q13/served-ANN idiom), so
+  // a daily batch pays |batch| signatures + co-located probes while
+  // the 100 TB index is never recomputed OR reshuffled. Identical
+  // output to dedup_incremental (same banding, same verification), so
+  // it shares the exact oracle; DedupSpec pins the exchange-free
+  // index-side plan.
+  // ---------------------------------------------------------------------
+  private[graft] val bandIdxTable = "graft_dedup_bands_bkt"
+  private[graft] val idxDocsTable = "graft_dedup_docs_bkt"
+  private[graft] val idxBuckets = 16
+
+  /** (doc_id, band_key) — band identity folded into ONE 64-bit key
+    * (xxhash64 of band index + band hash) so the at-rest index can be
+    * bucketed on exactly the probe's single join key (co-partitioning
+    * rules never force a re-exchange over a key subset). A cross-band
+    * 64-bit collision can only ADD a candidate, and candidates are
+    * exact-verified — false ones never reach the output. */
+  private def bandKeys(docsSh: DataFrame): DataFrame =
+    minhashBands(docsSh).select(col("doc_id"),
+      expr("xxhash64(band_idx, band_hash)").as("band_key"))
+
+  def incrementalBucketed(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val fp = graft.sources.Bucketing.sourceFingerprint(spark, s"$dir/documents.parquet")
+    val docsAll = docShingleHashes(spark, dir).filter(size(col("sh")) > 0)
+      .withColumn("sh", sort_array(col("sh")))
+      .withColumn("n", size(col("sh")))
+      .persist()
+    val isBatch = col("doc_id") % batchStride === batchRes
+    graft.sources.Bucketing.ensureBucketed(
+      bandKeys(docsAll.filter(!isBatch)), bandIdxTable, idxBuckets,
+      Seq("band_key"), fp)
+    graft.sources.Bucketing.ensureBucketed(
+      docsAll.filter(!isBatch), idxDocsTable, idxBuckets, Seq("doc_id"), fp)
+    val batch = docsAll.filter(isBatch)
+    val candidates = bandKeys(batch).as("a")
+      .join(spark.table(bandIdxTable).as("b"), col("a.band_key") === col("b.band_key"))
+      .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("doc_idx"))
+      .distinct()
+    candidates
+      .join(batch.select(col("doc_id").as("doc_new"), col("sh").as("sh_a"),
+        col("n").as("na")), "doc_new")
+      .join(spark.table(idxDocsTable).select(col("doc_id").as("doc_idx"),
+        col("sh").as("sh_b"), col("n").as("nb")), "doc_idx")
+      .withColumn("n_inter", expr("inter_count_sorted(sh_a, sh_b)"))
+      .withColumn("jaccard", col("n_inter") / (col("na") + col("nb") - col("n_inter")))
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_new", "doc_idx", "jaccard")
+      .orderBy("doc_new", "doc_idx")
+  }
+
+  // ---------------------------------------------------------------------
   // dedup_normalized — near-exact dedup on NORMALIZED text: casefold,
   // collapse every non-alphanumeric run to a single space, trim. This
   // is the C4-style "trivial variant" collapse — identical content
@@ -1249,6 +1308,7 @@ object Dedup {
     "dedup_containment"      -> (containment _),
     "dedup_paragraph"        -> (paragraphDedup _),
     "dedup_incremental"      -> (incrementalDedup _),
+    "dedup_incremental_bucketed" -> (incrementalBucketed _),
     "dedup_normalized"       -> (normalizedDedup _),
     "dedup_clusters"         -> (clusters _))
 
@@ -1274,6 +1334,9 @@ object Dedup {
     "dedup_containment"      -> containmentSql,
     "dedup_paragraph"        -> paragraphDedupSql,
     "dedup_incremental"      -> incrementalSql,
+    // identical output contract to dedup_incremental (same banding +
+    // verification; only the index's at-rest layout differs)
+    "dedup_incremental_bucketed" -> incrementalSql,
     "dedup_normalized"       -> normalizedDedupSql,
     "dedup_clusters"         -> clustersSql)
 }

@@ -25,20 +25,26 @@ object TextAnalysis {
   // ---------------------------------------------------------------------
   // text_token_stats
   // ---------------------------------------------------------------------
-  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    // tok_stats is the one-pass kernel twin of the declarative form
+    // (see TextKernels scaladoc for the per-field exactness contract;
+    // FunctionsSpec pins the equivalence property-style). It runs at
+    // most twice per row (the pushed filter + the projection) instead
+    // of four tokenizations plus two whole-string regex passes.
     Tables.loadBalanced(spark, dir, "documents")
-      .withColumn("toks", expr(ws))
-      .filter(size(col("toks")) > 0)
+      .withColumn("ts", expr("tok_stats(text, array())"))
+      .filter(col("ts.n_tokens") > 0)
       .select(
         col("doc_id"),
-        size(col("toks")).as("n_tokens"),
-        expr(s"size(regexp_extract_all(text, '$bpePat', 0))").as("n_bpe_tokens"),
+        col("ts.n_tokens").as("n_tokens"),
+        col("ts.n_bpe").as("n_bpe_tokens"),
         length(col("text")).as("n_chars_txt"),
-        expr("aggregate(toks, 0, (a, x) -> a + length(x))").as("sum_tok_len"),
-        expr("aggregate(toks, 0, (a, x) -> a + length(x)) / size(toks)").as("avg_token_len"),
-        (length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))
-          / length(col("text"))).as("punct_ratio"))
+        col("ts.sum_tok_len").as("sum_tok_len"),
+        (col("ts.sum_tok_len") / col("ts.n_tokens")).as("avg_token_len"),
+        (col("ts.n_punct") / length(col("text"))).as("punct_ratio"))
       .orderBy("doc_id")
+  }
 
   val tokenStatsSql: String =
     s"""WITH t AS (SELECT *, ${Dedup.toksSql} AS toks FROM documents)
@@ -140,17 +146,18 @@ object TextAnalysis {
   private val stopArrSpark = stopwordsList.map(w => s"'$w'").mkString("array(", ", ", ")")
   private val stopArrSql = stopwordsList.map(w => s"'$w'").mkString("[", ", ", "]")
 
-  def quality(spark: SparkSession, dir: String): DataFrame =
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    // same kernel as tokenStats, with the stopword list pushed into
+    // the token scan (n_stop) — one pass instead of a second
+    // tokenize + interpreted array_contains filter per row
     Tables.loadBalanced(spark, dir, "documents")
-      .withColumn("toks", expr(ws))
-      .filter(size(col("toks")) > 0)
-      .withColumn("n_tokens", size(col("toks")))
-      .withColumn("avg_token_len",
-        expr("aggregate(toks, 0, (a, x) -> a + length(x)) / size(toks)"))
-      .withColumn("punct_ratio",
-        length(regexp_replace(lower(col("text")), "[a-z0-9 ]", "")) / length(col("text")))
-      .withColumn("stopword_ratio",
-        expr(s"size(filter(toks, x -> array_contains($stopArrSpark, x))) / size(toks)"))
+      .withColumn("ts", expr(s"tok_stats(text, $stopArrSpark)"))
+      .filter(col("ts.n_tokens") > 0)
+      .withColumn("n_tokens", col("ts.n_tokens"))
+      .withColumn("avg_token_len", col("ts.sum_tok_len") / col("ts.n_tokens"))
+      .withColumn("punct_ratio", col("ts.n_punct") / length(col("text")))
+      .withColumn("stopword_ratio", col("ts.n_stop") / col("ts.n_tokens"))
       .withColumn("quality_score",
         least(col("n_tokens") / 100.0, lit(1.0)) * 0.3
           + (lit(1.0) - col("punct_ratio")) * 0.3
@@ -163,6 +170,7 @@ object TextAnalysis {
       .select("doc_id", "n_tokens", "avg_token_len", "punct_ratio",
         "stopword_ratio", "quality_score", "quality_bucket")
       .orderBy("doc_id")
+  }
 
   val qualitySql: String =
     s"""WITH t AS (SELECT doc_id, text, ${Dedup.toksSql} AS toks FROM documents),

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, lit, pmod}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Dedup
 
@@ -447,5 +448,30 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(sampled > unbounded,
       s"stratum must add an equi-join key (unbounded $unbounded, sampled $sampled) " +
         "— a residual-only stratum scans every candidate pair")
+  }
+
+  test("bucketed incremental probe: same output, index side never reshuffles") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // same verified pairs as the plain batch-vs-index probe
+    val got = Dedup.incrementalBucketed(spark, SF).collect().toSeq
+    val want = Dedup.incrementalDedup(spark, SF).collect().toSeq
+    assert(got === want, "bucketed probe must produce identical verified pairs")
+
+    // the at-rest index must plan WITHOUT an Exchange above its scan,
+    // even when the batch side is too big to broadcast — its bucketing
+    // IS the join distribution
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = spark.range(100).select(
+          col("id").as("doc_new"), pmod(col("id") * 7919L, lit(1L << 20)).as("band_key"))
+        .join(spark.table(Dedup.bandIdxTable), "band_key")
+      val offenders = probe.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec
+            if e.collectLeaves().exists(_.toString.contains(Dedup.bandIdxTable)) => e
+      }
+      assert(offenders.isEmpty,
+        s"band index must read co-located, got:\n${probe.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 }

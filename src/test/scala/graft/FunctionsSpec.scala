@@ -163,6 +163,39 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
     val nj = plan(operators.Dedup.ngramJaccard(spark, sf))
     assert(nj.contains("shingles3_h64"),
       "the inverted index must build from in-kernel shingle hashes")
+    assert(nj.contains("inter_count_sorted"),
+      "jaccard verification must merge-count, not pair-aggregate")
+    assert(plan(operators.TextAnalysis.tokenStats(spark, sf)).contains("tok_stats"),
+      "token stats must run in the one-pass kernel")
+    assert(plan(operators.TextAnalysis.quality(spark, sf)).contains("tok_stats"),
+      "quality scoring must run in the one-pass kernel")
+  }
+
+  test("tok_stats equals the declarative token/regex compositions") {
+    val stopArr = "array('the', 'a', 'and', 'of', 'to', 'in', 'is')"
+    forAllSeeded(textGen, 40) { s: String =>
+      val df = spark.createDataFrame(
+        java.util.List.of(Row(s)),
+        StructType(Seq(StructField("text", StringType))))
+      val r = df.select(
+        expr(s"tok_stats(text, $stopArr)").as("k"),
+        expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')").as("toks"),
+        expr("size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0))").as("nbpe"),
+        expr("length(regexp_replace(lower(text), '[a-z0-9 ]', ''))").as("npunct"))
+        .select(
+          col("k.n_tokens"), col("k.sum_tok_len"), col("k.n_bpe"),
+          col("k.n_punct"), col("k.n_stop"),
+          size(col("toks")),
+          expr("aggregate(toks, 0, (a, x) -> a + length(x))"),
+          col("nbpe"), col("npunct"),
+          expr(s"size(filter(toks, x -> array_contains($stopArr, x)))"))
+        .head()
+      assert(r.getInt(0) === r.getInt(5), s"n_tokens on <$s>")
+      assert(r.getInt(1) === r.getInt(6), s"sum_tok_len on <$s>")
+      assert(r.getInt(2) === r.getInt(7), s"n_bpe on <$s>")
+      assert(r.getInt(3) === r.getInt(8), s"n_punct on <$s>")
+      assert(r.getInt(4) === r.getInt(9), s"n_stop on <$s>")
+    }
   }
 
   test("minhash_sig64: 64 mins, monotone under union, permutation-invariant") {
