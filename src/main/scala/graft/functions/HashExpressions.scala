@@ -270,7 +270,9 @@ object GraftFunctions {
     ("vec_sig128", classOf[HyperplaneSig128],
       (c: Seq[Expression]) => HyperplaneSig128(c.head)),
     ("tok_stats", classOf[TokStats],
-      (c: Seq[Expression]) => TokStats(c(0), c(1))))
+      (c: Seq[Expression]) => TokStats(c(0), c(1))),
+    ("tok_counts", classOf[TokCounts],
+      (c: Seq[Expression]) => TokCounts(c.head)))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -135,6 +135,65 @@ object TextKernels {
 
     new GenericInternalRow(Array[Any](nTok, sumLen, nBpe, nPunct, nStop))
   }
+
+  /** Per-document term counts over a token array, first-occurrence
+    * order — see [[TokCounts]]. */
+  def tokCounts(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val counts = new java.util.LinkedHashMap[UTF8String, Array[Int]]()
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      val c = counts.get(t)
+      if (c == null) counts.put(t, Array(1)) else c(0) += 1
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new GenericInternalRow(Array[Any](e.getKey, e.getValue()(0)))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `tok_counts(toks: array<string>) -> array<struct<term, tf>>` —
+  * per-document term frequencies computed IN-ROW (first-occurrence
+  * order). Exists because `explode(toks)` + `groupBy(doc_id, term)`
+  * computes a value that is local to each document through a full
+  * exchange: every (doc_id, term) key lives in exactly one input
+  * partition, so the hash partial aggregation already produces the
+  * final counts map-side and the shuffle that follows moves finished
+  * rows around purely to satisfy the aggregate's distribution
+  * requirement. One kernel call per document emits the same rows with
+  * zero exchange; downstream joins/windows impose their own
+  * distributions as before. Equivalent composition is pinned in
+  * FunctionsSpec. */
+object TokCounts {
+  import org.apache.spark.sql.types.{ArrayType, StringType}
+  val elemType: StructType = StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("tf", IntegerType, nullable = false)))
+  val dataType: ArrayType = ArrayType(elemType, containsNull = false)
+}
+
+case class TokCounts(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = TokCounts.dataType
+  override def prettyName: String = "tok_counts"
+
+  override protected def nullSafeEval(a: Any): Any =
+    TextKernels.tokCounts(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextKernels.tokCounts($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokCounts =
+    copy(child = newChild)
 }
 
 /** `tok_stats(text, stops: array<string>) -> struct(n_tokens,

@@ -40,18 +40,27 @@ object Ranking {
   /** Core over any (doc_id, text) frame — exposed for the spec's
     * hand-computed fixture. */
   private[graft] def tfidfTopkOver(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     // persisted: the tf branch, the df branch, and the N scalar all
     // read it; without reuse the regex tokenization of every document
     // runs three times (SparkEntry cache convention — entry points
-    // clear the session cache per query)
+    // clear the session cache per query).
+    // Term frequencies are computed IN-ROW (tok_counts): per-doc
+    // counts are local to the document, so the old explode + groupBy
+    // (doc, term) exchange moved already-final rows (see the TokCounts
+    // scaladoc). The same per-doc-distinct rows turn df into a plain
+    // count per term — no two-phase countDistinct expansion.
     val base = docs
       .withColumn("toks", expr(Dedup.toksSpark))
       .filter(size(col("toks")) > 0)
       .select("doc_id", "toks")
       .persist()
-    val toks = base.select(col("doc_id"), explode(col("toks")).as("term"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    def tfRows = base
+      .select(col("doc_id"), explode(expr("tok_counts(toks)")).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"),
+        col("tc.tf").cast("long").as("tf"))
+    val tf = tfRows
+    val df = tfRows.groupBy("term").agg(count(lit(1)).as("df"))
     val n = base.select(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tfidf").desc, col("term").asc)

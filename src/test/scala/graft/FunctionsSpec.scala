@@ -169,6 +169,24 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
       "token stats must run in the one-pass kernel")
     assert(plan(operators.TextAnalysis.quality(spark, sf)).contains("tok_stats"),
       "quality scoring must run in the one-pass kernel")
+    assert(plan(operators.Ranking.tfidfTopk(spark, sf)).contains("tok_counts"),
+      "per-doc term frequencies must be computed in-row, not via a (doc, term) exchange")
+  }
+
+  test("tok_counts equals the explode + groupBy term-frequency composition") {
+    forAllSeeded(textGen, 30) { s: String =>
+      val df = spark.createDataFrame(
+        java.util.List.of(Row(s)),
+        StructType(Seq(StructField("text", StringType))))
+        .selectExpr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '') AS toks")
+      val kernel = df.selectExpr("explode(tok_counts(toks)) AS tc")
+        .selectExpr("tc.term AS term", "CAST(tc.tf AS LONG) AS tf")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val declarative = df.selectExpr("explode(toks) AS term")
+        .groupBy("term").count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(kernel === declarative, s"tok_counts mismatch on <$s>")
+    }
   }
 
   test("tok_stats equals the declarative token/regex compositions") {
