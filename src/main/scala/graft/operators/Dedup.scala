@@ -73,13 +73,47 @@ object Dedup {
        |sh AS (SELECT doc_id, unnest(sh) AS s FROM sh_t),
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)""".stripMargin
 
-  /** Exact-jaccard pair SQL, shared as the oracle of both the
-    * inverted-index and the minhash-LSH queries. */
+  /** Exact-jaccard pair SQL — the minhash-LSH oracle (banding has no
+    * DF cap, and a 0.8-jaccard pair escapes 32×2 banding with
+    * p ≈ 6e-15, so exact pairs ARE its semantics). The inverted-index
+    * query's oracle is [[jaccardPairsCappedSql]], which models that
+    * operator's hot-shingle candidate cap. */
   private def jaccardPairsSql(threshold: Double): String =
     s"""WITH $docShinglesSqlCte,
        |inter AS (
        |  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS n_inter
        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_i, doc_j,
+       |  n_inter / (sa.n + sb.n - n_inter) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON doc_i = sa.doc_id
+       |JOIN sizes sb ON doc_j = sb.doc_id
+       |WHERE n_inter / (sa.n + sb.n - n_inter) >= $threshold
+       |ORDER BY 1, 2""".stripMargin
+
+  /** Capped-jaccard oracle: the SAME hot-shingle candidate cap as the
+    * inverted-index operator (a pair is a candidate only if it shares
+    * ≥1 shingle with DF ≤ maxDf; the intersection count itself stays
+    * exact over ALL shingles — the containmentSql pattern). At the
+    * driver's gate scales the cap never fires, so this agrees with the
+    * uncapped form there; on a clone-rich corpus (the 10× bench data
+    * replicates every doc 10 times, lifting every shingle DF 10×) the
+    * cap DOES fire, and the oracle must encode the operator's recall
+    * semantics rather than pretend it doesn't — the sf1 oracle run is
+    * what caught the divergence. */
+  private[graft] def jaccardPairsCappedSql(threshold: Double): String =
+    s"""WITH $docShinglesSqlCte,
+       |df_t AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+       |cold AS (SELECT doc_id, s FROM sh JOIN df_t USING (s)
+       |         WHERE df <= $defaultMaxShingleDf),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+       |  FROM cold a JOIN cold b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  JOIN cand ON cand.doc_i = a.doc_id AND cand.doc_j = b.doc_id
        |  GROUP BY 1, 2)
        |SELECT doc_i, doc_j,
        |  n_inter / (sa.n + sb.n - n_inter) AS jaccard
@@ -118,8 +152,10 @@ object Dedup {
     * pair (jaccard ≥ 0.8) is missed only if EVERY shingle it shares is
     * hot, which for near-dup docs means both are built almost entirely
     * of ubiquitous shingles. 64 is far above any legitimate per-pair
-    * shingle DF at sf0.01 (the DuckDB oracle proves the pair set is
-    * unchanged) while bounding any posting list to 64·63/2 pairs. */
+    * shingle DF at the driver's gate scales (where capped == uncapped)
+    * while bounding any posting list to 64·63/2 pairs; the oracle
+    * ([[jaccardPairsCappedSql]]) models the cap, so parity holds at
+    * every scale, including clone-rich corpora where it fires. */
   private[graft] val defaultMaxShingleDf = 64L
 
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
@@ -130,10 +166,12 @@ object Dedup {
     * tokens) can hold qualifying pairs whose EVERY shared shingle
     * exceeds the cap — those pairs are silently dropped. Raise maxDf
     * (or pass Long.MaxValue to disable) for such corpora; the
-    * per-shingle pair cost is maxDf·(maxDf−1)/2. At the shipped test
+    * per-shingle pair cost is maxDf·(maxDf−1)/2. At the driver's gate
     * scales the cap provably never fires (max shingle DF at sf0.1 is
-    * ≤ 64, measured), so the oracle checks the exact semantics and the
-    * DF-cap spec covers the capped path with a planted hot shingle. */
+    * ≤ 64, measured); at the 10× clone-rich bench scale it does, and
+    * the capped oracle verifies exactly that semantics. The DF-cap
+    * spec additionally covers the capped path with a planted hot
+    * shingle. */
   def ngramJaccard(spark: SparkSession, dir: String, maxDf: Long): DataFrame =
     ngramJaccardCapped(docShingleHashes(spark, dir), maxDf)
 
@@ -1224,11 +1262,12 @@ object Dedup {
     * [[defaultMaxShingleDf]]: a templated corpus where thousands of
     * docs share one 16-char prefix would otherwise go quadratic in
     * that posting list. Recall-only trade (a pair sharing a hot P-key
-    * can still surface via its S-key, and vice versa); at the shipped
-    * oracle scales the cap provably never fires (max key DF is 3 at
-    * sf0.01, 10 at sf0.1 — measured), so the DuckDB oracle checks the
-    * exact semantics and the planted-hot-key spec covers the capped
-    * path. */
+    * can still surface via its S-key, and vice versa); at the driver's
+    * gate scales the cap provably never fires (max key DF is 3 at
+    * sf0.01, 10 at sf0.1 — measured), and the oracle models the cap
+    * (see [[levenshteinPairsSql]]) so parity also holds on clone-rich
+    * corpora where it fires; the planted-hot-key spec covers the
+    * capped path. */
   private[graft] val defaultMaxLevKeyDf = 64L
 
   /** Candidate pairs via prefix/suffix blocking over a (doc_id, text)
@@ -1277,16 +1316,25 @@ object Dedup {
       .distinct()
       .orderBy("doc_i", "doc_j")
 
+  /** Mirrors the operator's two-key blocking AND its key-DF cap (the
+    * jaccardPairsCappedSql pattern): candidates come only from keys
+    * with DF ≤ the cap, distances stay exact. At the driver's gate
+    * scales the cap never fires (max key DF 3 at sf0.01, 10 at
+    * sf0.1); the 10× clone-rich bench corpus lifts key DFs past it,
+    * which is exactly the semantics the operator ships. */
   val levenshteinPairsSql: String =
     s"""WITH t AS (SELECT doc_id, text FROM documents),
        |keys AS (
        |  SELECT doc_id, text, 'P' || left(text, $levBlockChars) AS k FROM t
        |  UNION ALL
        |  SELECT doc_id, text, 'S' || right(text, $levBlockChars) AS k FROM t),
+       |df_t AS (SELECT k, count(*) AS df FROM keys GROUP BY 1),
+       |cold AS (SELECT doc_id, text, k FROM keys JOIN df_t USING (k)
+       |         WHERE df <= $defaultMaxLevKeyDf),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j,
        |    a.text AS text_i, b.text AS text_j
-       |  FROM keys a JOIN keys b ON a.k = b.k AND a.doc_id < b.doc_id)
+       |  FROM cold a JOIN cold b ON a.k = b.k AND a.doc_id < b.doc_id)
        |SELECT doc_i, doc_j,
        |  CAST(levenshtein(text_i, text_j) AS INT) AS lev_dist,
        |  CAST(len(text_i) AS INT) AS len_i,
@@ -1314,7 +1362,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_exact"            -> exactSql,
-    "dedup_ngram_jaccard"    -> jaccardPairsSql(0.8),
+    "dedup_ngram_jaccard"    -> jaccardPairsCappedSql(0.8),
     // 32×2 banding misses a jaccard-0.8 pair with p ≈ 6e-15, and
     // candidates are exact-verified — the exact jaccard SQL is the oracle.
     "dedup_minhash_lsh"      -> jaccardPairsSql(0.8),

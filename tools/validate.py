@@ -49,6 +49,22 @@ def main(sf_dir, out_dir):
             path = f"{path}/*.parquet"
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    # Vintage normalization: the driver's events.ts is a parquet
+    # TIMESTAMP; Spark-rewritten corpora (graft.BenchData) carry the
+    # same instants as plain BIGINT epoch-nanos (the engine's
+    # Tables.eventsRaw footer probe handles both sides). Re-derive the
+    # TIMESTAMP here so the one set of oracle SQL works on either
+    # vintage. Nanos -> micros is exact for these corpora (they are
+    # micros-vintage instants scaled up, so ts % 1000 == 0).
+    ts_type = con.execute(
+        "SELECT column_type FROM (DESCRIBE SELECT ts FROM events)").fetchone()[0]
+    if ts_type == "BIGINT":
+        epath = f"{sf_dir}/events.parquet"
+        if os.path.isdir(epath):
+            epath = f"{epath}/*.parquet"
+        con.execute(
+            "CREATE OR REPLACE VIEW events AS SELECT * REPLACE "
+            f"(make_timestamp(ts // 1000) AS ts) FROM read_parquet('{epath}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = 0
     for name, sql in sorted(oracles.items()):
