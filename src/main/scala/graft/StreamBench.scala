@@ -79,6 +79,22 @@ object StreamBench {
     out.toString
   }
 
+  /** Arriving-docs drop folder for the dedup probe stream: the
+    * corpus's batch partition (doc_id % 10 == 7) written as `k`
+    * single-file slices, one micro-batch each under
+    * maxFilesPerTrigger=1. */
+  def docSplit(spark: SparkSession, dir: String, k: Int): String = {
+    val docs = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % graft.operators.Dedup.batchStride ===
+        lit(graft.operators.Dedup.batchRes))
+    val out = Files.createTempDirectory("graft_docstream_in")
+    (0 until k).foreach { i =>
+      docs.filter(pmod(col("doc_id"), lit(k.toLong)) === lit(i.toLong))
+        .coalesce(1).write.mode("append").parquet(out.toString)
+    }
+    out.toString
+  }
+
   /** Run one streaming query to termination and pull its metrics:
     * (per-batch trigger ms, per-batch state rows, wall s, out rows). */
   def runTimed(spark: SparkSession, start: () => StreamingQuery, sink: String)
@@ -121,6 +137,7 @@ object StreamBench {
 
     val t0 = System.nanoTime()
     val sessionIn = timeSplit(spark, sfDir, splits)
+    val probeIn = docSplit(spark, sfDir, 4)
     val records = Seq(
       run("tumbling_agg", EventsStream.tumblingAgg(spark, sfDir, _)),
       run("sliding_agg", EventsStream.slidingAgg(spark, sfDir, _)),
@@ -128,7 +145,9 @@ object StreamBench {
       run("clickview_join", EventsStream.clickViewJoin(spark, sfDir, _)),
       run("enriched_agg", EventsStream.enrichedAgg(spark, sfDir, _)),
       run("sessionize",
-        SessionStream.run(spark, sessionIn, _, maxFilesPerTrigger = Some(1))))
+        SessionStream.run(spark, sessionIn, _, maxFilesPerTrigger = Some(1))),
+      run("doc_dedup_probe", graft.streaming.DocDedupStream.run(
+        spark, sfDir, probeIn, _, maxFilesPerTrigger = Some(1))))
     val totalWall = (System.nanoTime() - t0) / 1e9
 
     val report = reportJson(sfDir, totalWall, records)

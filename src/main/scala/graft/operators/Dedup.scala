@@ -590,20 +590,41 @@ object Dedup {
     minhashBands(docsSh).select(col("doc_id"),
       expr("xxhash64(band_idx, band_hash)").as("band_key"))
 
-  def incrementalBucketed(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val fp = graft.sources.Bucketing.sourceFingerprint(spark, s"$dir/documents.parquet")
-    val docsAll = docShingleHashes(spark, dir).filter(size(col("sh")) > 0)
+  /** Prepared signature frame (doc_id, sh sorted, n) over any
+    * (doc_id, text) frame — the input contract of [[probeIndexed]];
+    * also how the index side is prepared. */
+  private[graft] def prepSignatures(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.withColumn("sh", expr(s"shingles3_h64($toksSpark)"))
+      .filter(size(col("sh")) > 0)
       .withColumn("sh", sort_array(col("sh")))
       .withColumn("n", size(col("sh")))
+      .select("doc_id", "sh", "n")
+  }
+
+  /** Build (or freshness-skip) the two at-rest index tables from
+    * `dir`'s non-batch documents. Idempotent per corpus state. */
+  private[graft] def ensureIndexed(spark: SparkSession, dir: String): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    val fp = graft.sources.Bucketing.sourceFingerprint(spark, s"$dir/documents.parquet")
+    val idxDocs = prepSignatures(Tables.loadBalanced(spark, dir, "documents"))
+      .filter(!(col("doc_id") % batchStride === batchRes))
       .persist()
-    val isBatch = col("doc_id") % batchStride === batchRes
     graft.sources.Bucketing.ensureBucketed(
-      bandKeys(docsAll.filter(!isBatch)), bandIdxTable, idxBuckets,
-      Seq("band_key"), fp)
+      bandKeys(idxDocs), bandIdxTable, idxBuckets, Seq("band_key"), fp)
     graft.sources.Bucketing.ensureBucketed(
-      docsAll.filter(!isBatch), idxDocsTable, idxBuckets, Seq("doc_id"), fp)
-    val batch = docsAll.filter(isBatch)
+      idxDocs, idxDocsTable, idxBuckets, Seq("doc_id"), fp)
+    idxDocs.unpersist(blocking = false): Unit
+  }
+
+  /** Probe a prepared batch frame (doc_id, sh sorted, n — see
+    * [[prepSignatures]]) against the at-rest index tables: band-key
+    * equi-join for candidates, merge-count verification. UNSORTED —
+    * the batch catalog query adds its deterministic orderBy; the
+    * streaming probe (graft.streaming.DocDedupStream) appends each
+    * micro-batch's rows as they verify. */
+  private[graft] def probeIndexed(batch: DataFrame): DataFrame = {
+    val spark = batch.sparkSession
     val candidates = bandKeys(batch).as("a")
       .join(spark.table(bandIdxTable).as("b"), col("a.band_key") === col("b.band_key"))
       .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("doc_idx"))
@@ -617,7 +638,14 @@ object Dedup {
       .withColumn("jaccard", col("n_inter") / (col("na") + col("nb") - col("n_inter")))
       .filter(col("jaccard") >= 0.8)
       .select("doc_new", "doc_idx", "jaccard")
-      .orderBy("doc_new", "doc_idx")
+  }
+
+  def incrementalBucketed(spark: SparkSession, dir: String): DataFrame = {
+    ensureIndexed(spark, dir)
+    val batch = prepSignatures(Tables.loadBalanced(spark, dir, "documents"))
+      .filter(col("doc_id") % batchStride === batchRes)
+      .persist() // feeds band generation AND the verification join
+    probeIndexed(batch).orderBy("doc_new", "doc_idx")
   }
 
   // ---------------------------------------------------------------------

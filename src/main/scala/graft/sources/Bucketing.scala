@@ -46,14 +46,22 @@ object Bucketing {
     * non-local warehouses all clean correctly. */
   def rewriteBucketed(df: DataFrame, table: String, buckets: Int,
       keys: Seq[String]): Unit = {
-    val spark = df.sparkSession
+    dropManaged(df.sparkSession, table)
+    writeBucketed(df, table, buckets, keys)
+  }
+
+  /** Drop a managed table AND its warehouse directory (an in-memory
+    * catalog forgets its tables across JVMs but the directories
+    * persist, and a managed-table write refuses a location it has no
+    * catalog entry for). Shared by the bucketed rewrites and the
+    * streaming probe's sink table. */
+  def dropManaged(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog.defaultTablePath(
         org.apache.spark.sql.catalyst.TableIdentifier(table)))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
-    writeBucketed(df, table, buckets, keys)
+    if (fs.exists(loc)) fs.delete(loc, true): Unit
   }
 
   /** Digest of a source table's file listing — qualified root path +

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.operators.Dedup
+
+/** Streaming near-dup detection against the AT-REST band index — the
+  * steady-state shape of 100 TB corpus dedup: documents arrive
+  * continuously (a crawl drop folder), each micro-batch computes its
+  * minhash band keys in flight and probes the bucketed index tables
+  * that [[graft.operators.Dedup.ensureIndexed]] maintains, appending
+  * the verified pairs. The index is NEVER recomputed or reshuffled by
+  * the stream (the dedup_incremental_bucketed property, now on a
+  * stream), and no stream state accumulates: each arriving document
+  * is probed once, so there is nothing to watermark away.
+  *
+  * The probe itself (candidate distinct + two verification joins) is
+  * not expressible as a single append-mode streaming plan — streaming
+  * `distinct` without event time would grow unbounded state for a
+  * dedup that is structurally per-batch. `foreachBatch` is the
+  * correct Spark idiom here: each micro-batch runs the SAME batch
+  * probe plan (`Dedup.probeIndexed` — shared code, so stream and
+  * batch semantics cannot drift) and appends its verified pairs to
+  * the sink table. A doc pair can repeat across micro-batches only if
+  * the same doc_id re-arrives, which the drop-folder contract
+  * excludes (same as the daily-batch contract).
+  */
+object DocDedupStream {
+
+  private[graft] val docsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Start the probe stream: `batchDir` is the arriving-docs folder
+    * (parquet files, documents schema), `corpusDir` the at-rest corpus
+    * whose index is ensured before the stream starts. Results
+    * accumulate in managed table `<queryName>_tbl`, with `queryName`
+    * registered as a temp view over it (StreamBench/spec read the
+    * view; reruns drop and recreate the table). */
+  def run(spark: SparkSession, corpusDir: String, batchDir: String,
+      queryName: String, maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    Dedup.ensureIndexed(spark, corpusDir)
+    val tbl = s"${queryName}_tbl"
+    graft.sources.Bucketing.dropManaged(spark, tbl)
+    // schema-only seed so the view resolves before the first batch
+    Dedup.probeIndexed(
+        Dedup.prepSignatures(spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), docsSchema)))
+      .limit(0).write.saveAsTable(tbl)
+    spark.sql(s"CREATE OR REPLACE TEMP VIEW `$queryName` AS SELECT * FROM `$tbl`")
+
+    val reader = spark.readStream.schema(docsSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(batchDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Dedup.probeIndexed(Dedup.prepSignatures(batch).persist())
+          .write.mode("append").insertInto(tbl)
+        // the write runs on the micro-batch's CLONED session; the
+        // outer session's relation cache still holds the pre-stream
+        // file listing — refresh so readers of the view see the rows
+        spark.catalog.refreshTable(tbl)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}

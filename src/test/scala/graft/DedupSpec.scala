@@ -474,4 +474,24 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
         s"band index must read co-located, got:\n${probe.queryExecution.executedPlan}")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
+
+  test("streaming probe of arriving docs equals the batch probe (shared plan)") {
+    val batchDocs = Tables.load(spark, SF, "documents")
+      .filter(col("doc_id") % Dedup.batchStride === lit(Dedup.batchRes))
+    // the drop folder: three parquet slices -> three micro-batches
+    val dir = java.nio.file.Files.createTempDirectory("graft_docstream").toString
+    (0 until 3).foreach { i =>
+      batchDocs.filter(pmod(col("doc_id"), lit(3)) === lit(i.toLong))
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val q = graft.streaming.DocDedupStream.run(
+      spark, SF, dir, "graft_docdedup_spec", maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val got = spark.table("graft_docdedup_spec").collect().map(key).toSet
+    val want = Dedup.incrementalBucketed(spark, SF).collect().map(key).toSet
+    assert(got === want, "stream-accumulated pairs must equal the batch probe")
+    assert(want.nonEmpty, "fixture corpus must contain batch-vs-index near-dups")
+    spark.sql("DROP TABLE IF EXISTS graft_docdedup_spec_tbl")
+  }
 }
