@@ -272,7 +272,9 @@ object GraftFunctions {
     ("tok_stats", classOf[TokStats],
       (c: Seq[Expression]) => TokStats(c(0), c(1))),
     ("tok_counts", classOf[TokCounts],
-      (c: Seq[Expression]) => TokCounts(c.head)))
+      (c: Seq[Expression]) => TokCounts(c.head)),
+    ("lev_banded", classOf[LevBanded],
+      (c: Seq[Expression]) => LevBanded(c(0), c(1), c(2))))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

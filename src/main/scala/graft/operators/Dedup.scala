@@ -1330,19 +1330,23 @@ object Dedup {
       .select("doc_i", "doc_j", "text_i", "text_j")
   }
 
-  def levenshteinPairs(spark: SparkSession, dir: String): DataFrame =
+  def levenshteinPairs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     levCandidates(
         Tables.loadBalanced(spark, dir, "documents").select("doc_id", "text"))
-      .withColumn("lev_dist", levenshtein(col("text_i"), col("text_j"), levMaxDist))
+      .withColumn("lev_dist", expr(s"lev_banded(text_i, text_j, $levMaxDist)"))
       .filter(col("lev_dist") =!= -1)
       .select(col("doc_i"), col("doc_j"), col("lev_dist"),
         length(col("text_i")).as("len_i"), length(col("text_j")).as("len_j"))
       // the banded DP is a FILTER, so it verifies map-side inside the
       // join stage; only the verified answer set (five fixed-width
       // columns, O(near-dups) rows) reaches this dedup exchange — a
-      // P+S double match costs one redundant DP, never a text shuffle
+      // P+S double match costs one redundant DP, never a text shuffle.
+      // The DP runs in the lev_banded kernel (value-identical to the
+      // built-in levenshtein(l, r, k); see TextKernels.levBanded).
       .distinct()
       .orderBy("doc_i", "doc_j")
+  }
 
   /** Mirrors the operator's two-key blocking AND its key-DF cap (the
     * jaccardPairsCappedSql pattern): candidates come only from keys

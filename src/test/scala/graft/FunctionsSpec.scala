@@ -173,6 +173,20 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
       "per-doc term frequencies must be computed in-row, not via a (doc, term) exchange")
   }
 
+  test("lev_banded equals the built-in threshold levenshtein (incl. -1 edge)") {
+    forAllSeeded(Gen.zip(textGen, textGen, Gen.oneOf(0, 1, 3, 10)), 40) {
+      case (a: String, b: String, k: Int) =>
+        val df = spark.createDataFrame(
+          java.util.List.of(Row(a, b)),
+          StructType(Seq(StructField("l", StringType), StructField("r", StringType))))
+        val row = df.select(
+          expr(s"lev_banded(l, r, $k)"),
+          expr(s"levenshtein(l, r, $k)")).head()
+        assert(row.getInt(0) === row.getInt(1),
+          s"lev_banded($k) on <$a> vs <$b>")
+    }
+  }
+
   test("tok_counts equals the explode + groupBy term-frequency composition") {
     forAllSeeded(textGen, 30) { s: String =>
       val df = spark.createDataFrame(
