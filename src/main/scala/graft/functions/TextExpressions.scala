@@ -200,15 +200,22 @@ object TextKernels {
   }
 
   /** Per-document term counts over a token array, first-occurrence
-    * order — see [[TokCounts]]. */
+    * order — see [[TokCounts]]. Null entries are skipped: the
+    * tokenizers never emit them, and admitting one would put a null
+    * `term` under a containsNull=false element schema, which an
+    * unsafe writer would then dereference (the function is registered
+    * for general SQL use, so a hand-built array with nulls is in
+    * scope). */
   def tokCounts(toks: ArrayData): ArrayData = {
     val n = toks.numElements()
     val counts = new java.util.LinkedHashMap[UTF8String, Array[Int]]()
     var i = 0
     while (i < n) {
-      val t = toks.getUTF8String(i)
-      val c = counts.get(t)
-      if (c == null) counts.put(t, Array(1)) else c(0) += 1
+      val t = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+      if (t != null) {
+        val c = counts.get(t)
+        if (c == null) counts.put(t, Array(1)) else c(0) += 1
+      }
       i += 1
     }
     val out = new Array[Any](counts.size)

@@ -59,8 +59,12 @@ object DocDedupStream {
     reader.parquet(batchDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        Dedup.probeIndexed(Dedup.prepSignatures(batch).persist())
-          .write.mode("append").insertInto(tbl)
+        // persisted: feeds band generation AND the verification join;
+        // released per micro-batch — a continuous stream must not
+        // accrete one cache entry per trigger
+        val prepared = Dedup.prepSignatures(batch).persist()
+        try Dedup.probeIndexed(prepared).write.mode("append").insertInto(tbl)
+        finally prepared.unpersist(blocking = false): Unit
         // the write runs on the micro-batch's CLONED session; the
         // outer session's relation cache still holds the pre-stream
         // file listing — refresh so readers of the view see the rows

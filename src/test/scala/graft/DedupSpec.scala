@@ -459,20 +459,30 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
 
     // the at-rest index must plan WITHOUT an Exchange above its scan,
     // even when the batch side is too big to broadcast — its bucketing
-    // IS the join distribution
+    // IS the join distribution. AQE must be off for the walk: the
+    // adaptive root is a LeafExecNode, so collect() over an adaptive
+    // plan never reaches any ShuffleExchangeExec and the assertion
+    // would pass vacuously.
     val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val probe = spark.range(100).select(
           col("id").as("doc_new"), pmod(col("id") * 7919L, lit(1L << 20)).as("band_key"))
         .join(spark.table(Dedup.bandIdxTable), "band_key")
-      val offenders = probe.queryExecution.executedPlan.collect {
-        case e: ShuffleExchangeExec
-            if e.collectLeaves().exists(_.toString.contains(Dedup.bandIdxTable)) => e
-      }
+      val exec = probe.queryExecution.executedPlan
+      val allShuffles = exec.collect { case e: ShuffleExchangeExec => e }
+      val offenders = allShuffles.filter(
+        _.collectLeaves().exists(_.toString.contains(Dedup.bandIdxTable)))
+      assert(allShuffles.nonEmpty,
+        s"probe side must shuffle to the index's bucketing (walk sanity):\n$exec")
       assert(offenders.isEmpty,
-        s"band index must read co-located, got:\n${probe.queryExecution.executedPlan}")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        s"band index must read co-located, got:\n$exec")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
   }
 
   test("streaming probe of arriving docs equals the batch probe (shared plan)") {
@@ -492,6 +502,9 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     val want = Dedup.incrementalBucketed(spark, SF).collect().map(key).toSet
     assert(got === want, "stream-accumulated pairs must equal the batch probe")
     assert(want.nonEmpty, "fixture corpus must contain batch-vs-index near-dups")
+    // drop the view BEFORE its backing table — a dangling view in the
+    // suite-shared session would break later catalog-wide resolution
+    spark.sql("DROP VIEW IF EXISTS graft_docdedup_spec")
     spark.sql("DROP TABLE IF EXISTS graft_docdedup_spec_tbl")
   }
 }
