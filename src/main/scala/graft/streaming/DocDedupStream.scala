@@ -40,24 +40,37 @@ object DocDedupStream {
     * (parquet files, documents schema), `corpusDir` the at-rest corpus
     * whose index is ensured before the stream starts. Results
     * accumulate in managed table `<queryName>_tbl`, with `queryName`
-    * registered as a temp view over it (StreamBench/spec read the
-    * view; reruns drop and recreate the table). */
+    * registered as a temp view over it.
+    *
+    * Restart contract: without `checkpointDir` each run() is a fresh
+    * one-shot — the sink table is dropped and every file in the drop
+    * folder reprocessed (the spec/bench shape). WITH `checkpointDir`,
+    * a rerun RESUMES: the file-source log replays only files not yet
+    * committed, and an existing sink table is kept, so stop/restart
+    * (or a periodic AvailableNow cron over a growing folder) appends
+    * each arriving file's pairs exactly once. */
   def run(spark: SparkSession, corpusDir: String, batchDir: String,
-      queryName: String, maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+      queryName: String, maxFilesPerTrigger: Option[Int] = None,
+      checkpointDir: Option[String] = None): StreamingQuery = {
     Dedup.ensureIndexed(spark, corpusDir)
     val tbl = s"${queryName}_tbl"
-    graft.sources.Bucketing.dropManaged(spark, tbl)
-    // schema-only seed so the view resolves before the first batch
-    Dedup.probeIndexed(
-        Dedup.prepSignatures(spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](), docsSchema)))
-      .limit(0).write.saveAsTable(tbl)
+    val resume = checkpointDir.isDefined && spark.catalog.tableExists(tbl)
+    if (!resume) {
+      graft.sources.Bucketing.dropManaged(spark, tbl)
+      // schema-only seed so the view resolves before the first batch
+      Dedup.probeIndexed(
+          Dedup.prepSignatures(spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), docsSchema)))
+        .limit(0).write.saveAsTable(tbl)
+    }
     spark.sql(s"CREATE OR REPLACE TEMP VIEW `$queryName` AS SELECT * FROM `$tbl`")
 
     val reader = spark.readStream.schema(docsSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.parquet(batchDir)
+    val writer = reader.parquet(batchDir)
       .writeStream
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // persisted: feeds band generation AND the verification join;
         // released per micro-batch — a continuous stream must not

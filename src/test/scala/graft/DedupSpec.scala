@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{col, lit, pmod}
+import org.apache.spark.sql.functions.{col, expr, lit, pmod}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Dedup
 
@@ -506,5 +506,35 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     // suite-shared session would break later catalog-wide resolution
     spark.sql("DROP VIEW IF EXISTS graft_docdedup_spec")
     spark.sql("DROP TABLE IF EXISTS graft_docdedup_spec_tbl")
+  }
+
+  test("checkpointed probe stream resumes: restart appends only new files' pairs, exactly once") {
+    val batchDocs = Tables.load(spark, SF, "documents")
+      .filter(col("doc_id") % Dedup.batchStride === lit(Dedup.batchRes))
+    def slice(i: Int) = batchDocs.filter(
+      expr(s"pmod(doc_id div ${Dedup.batchStride}, 3) = $i"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_docstream_ck").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_docstream_ckpt").toString
+    // day 1: two files arrive, stream drains them and stops
+    slice(0).coalesce(1).write.mode("append").parquet(dir)
+    slice(1).coalesce(1).write.mode("append").parquet(dir)
+    graft.streaming.DocDedupStream.run(
+      spark, SF, dir, "graft_docdedup_ckpt", Some(1), Some(ckpt)).awaitTermination()
+    val afterDay1 = spark.table("graft_docdedup_ckpt").count()
+    // day 2: one more file lands; the RESTARTED run must process only it
+    slice(2).coalesce(1).write.mode("append").parquet(dir)
+    graft.streaming.DocDedupStream.run(
+      spark, SF, dir, "graft_docdedup_ckpt", Some(1), Some(ckpt)).awaitTermination()
+    val rows = spark.table("graft_docdedup_ckpt").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows.size === rows.toSet.size,
+      "a restart must not reprocess already-committed files (duplicate pairs)")
+    val want = Dedup.incrementalBucketed(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows.toSet === want, "resumed stream must converge to the batch probe")
+    assert(rows.size >= afterDay1.toInt,
+      "the day-2 run must keep day 1's committed rows")
+    spark.sql("DROP VIEW IF EXISTS graft_docdedup_ckpt")
+    spark.sql("DROP TABLE IF EXISTS graft_docdedup_ckpt_tbl")
   }
 }
