@@ -45,18 +45,34 @@ object DocDedupStream {
     * Restart contract: without `checkpointDir` each run() is a fresh
     * one-shot — the sink table is dropped and every file in the drop
     * folder reprocessed (the spec/bench shape). WITH `checkpointDir`,
-    * a rerun RESUMES: the file-source log replays only files not yet
-    * committed, and an existing sink table is kept, so stop/restart
-    * (or a periodic AvailableNow cron over a growing folder) appends
-    * each arriving file's pairs exactly once. */
+    * the sink table and the checkpoint advance as a UNIT: a rerun
+    * resumes (the file-source log replays only files not yet
+    * committed, the existing sink is kept) iff the checkpoint has
+    * committed offsets AND the sink table exists; any other pairing —
+    * a fresh checkpoint over a stale table (would re-append committed
+    * files' pairs) or a used checkpoint over a dropped table (would
+    * silently skip them) — starts fresh, clearing BOTH. So
+    * stop/restart (or a periodic AvailableNow cron over a growing
+    * folder) appends each arriving file's pairs exactly once. */
   def run(spark: SparkSession, corpusDir: String, batchDir: String,
       queryName: String, maxFilesPerTrigger: Option[Int] = None,
       checkpointDir: Option[String] = None): StreamingQuery = {
     Dedup.ensureIndexed(spark, corpusDir)
     val tbl = s"${queryName}_tbl"
-    val resume = checkpointDir.isDefined && spark.catalog.tableExists(tbl)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val ckptUsed = checkpointDir.exists { d =>
+      val p = new org.apache.hadoop.fs.Path(d, "offsets")
+      val fs = p.getFileSystem(hconf)
+      fs.exists(p) && fs.listStatus(p).nonEmpty
+    }
+    val resume = ckptUsed && spark.catalog.tableExists(tbl)
     if (!resume) {
       graft.sources.Bucketing.dropManaged(spark, tbl)
+      checkpointDir.foreach { d => // fresh start clears the other half
+        val p = new org.apache.hadoop.fs.Path(d)
+        val fs = p.getFileSystem(hconf)
+        if (fs.exists(p)) fs.delete(p, true): Unit
+      }
       // schema-only seed so the view resolves before the first batch
       Dedup.probeIndexed(
           Dedup.prepSignatures(spark.createDataFrame(

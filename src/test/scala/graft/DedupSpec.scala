@@ -515,8 +515,14 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       expr(s"pmod(doc_id div ${Dedup.batchStride}, 3) = $i"))
     val dir = java.nio.file.Files.createTempDirectory("graft_docstream_ck").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_docstream_ckpt").toString
-    // day 1: two files arrive, stream drains them and stops
+    // stale-sink edge: an earlier NON-checkpointed run leaves rows in
+    // the sink table; the first checkpointed run (fresh checkpoint)
+    // must start fresh — keeping them would duplicate slice 0's pairs
+    // when the fresh file-source log reprocesses every file
     slice(0).coalesce(1).write.mode("append").parquet(dir)
+    graft.streaming.DocDedupStream.run(
+      spark, SF, dir, "graft_docdedup_ckpt", Some(1), None).awaitTermination()
+    // day 1: a second file arrives, the checkpointed stream drains both
     slice(1).coalesce(1).write.mode("append").parquet(dir)
     graft.streaming.DocDedupStream.run(
       spark, SF, dir, "graft_docdedup_ckpt", Some(1), Some(ckpt)).awaitTermination()
