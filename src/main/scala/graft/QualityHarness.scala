@@ -195,13 +195,28 @@ object QualityHarness {
       spark.catalog.clearCache()
       g
     }
-    Seq(
-      gate("sim_ann_lsh", Similarity.annLshOver(corpus), 0.6),
-      gate("sim_ann_ivf", Similarity.ivfTopKOver(corpus), 0.6),
+    // inline ivfpq collected ONCE: feeds its recall row AND the
+    // served-identity row below (same de-tautologized inline side as
+    // the driver-SF gate — train-per-call, never the served marker)
+    val inline = Similarity.ivfPqTopKOver(corpus).collect()
+    spark.catalog.clearCache()
+    val ivfpqGate = Gate(s"sim_ann_ivfpq@$tag", "corpus_recall_vs_exact_at_10",
       // 0.5 → 0.8 with the refine stage (measured 0.95 at sf1 vs plain
       // IVF's 0.97 coarse ceiling; the floor keeps margin for corpora
       // with different clone structure)
-      gate("sim_ann_ivfpq", Similarity.ivfPqTopKOver(corpus), 0.8))
+      recallVsExact(inline), 0.8, higherIsBetter = true)
+    // served == inline at the SF-SCALED corpus too (r13 gated the
+    // serving path at the driver SF only): exact row identity carries
+    // the inline recall floor over to the at-rest index path
+    val served = Similarity.ivfPqServed(spark, corpusDir).collect().toSeq
+    spark.catalog.clearCache()
+    val servedGate = Gate(s"sim_ann_ivfpq_served@$tag", "served_equals_inline",
+      if (served == inline.toSeq && served.nonEmpty) 1.0 else 0.0, 1.0,
+      higherIsBetter = true)
+    Seq(
+      gate("sim_ann_lsh", Similarity.annLshOver(corpus), 0.6),
+      gate("sim_ann_ivf", Similarity.ivfTopKOver(corpus), 0.6),
+      ivfpqGate, servedGate)
   }
 
   /** Evaluate all gates and write the JSON artifact; returns the

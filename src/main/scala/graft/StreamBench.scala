@@ -33,7 +33,10 @@ object StreamBench {
 
   /** JSON for one op run — pure, so the bookkeeping spec can pin the
     * shape without a streaming run. `-1` entries mark batches where
-    * the source reported no metric (e.g. a stateless op's state rows). */
+    * the source reported no metric (e.g. a stateless op's state rows);
+    * the artifact's top-level `state_rows_sentinel` note repeats this
+    * so a reader of the JSON alone can't mis-parse −1 as a
+    * regression. */
   def recordJson(name: String, batchMs: Seq[Long], stateRows: Seq[Long],
       wallS: Double, outRows: Long): String =
     s""""$name": {"batch_ms": [${batchMs.mkString(",")}], """ +
@@ -44,22 +47,30 @@ object StreamBench {
   def reportJson(sfDir: String, totalWallS: Double, records: Seq[String]): String =
     records.mkString(
       s"""{"metric": "stream_total", "value": ${num(totalWallS)}, """ +
-        s""""unit": "sec", "sf": "$sfDir", "ops": {""",
+        s""""unit": "sec", "sf": "$sfDir", """ +
+        """"state_rows_sentinel": """ +
+        """"-1 = no stateful operator in that micro-batch's plan", """ +
+        """"ops": {""",
       ", ", "}}")
 
   private def num(d: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
 
   /** Rewrite `dir`'s events as `k` single-file time slices with
-    * ascending mtimes under a fresh temp dir (the file source orders
-    * micro-batches by mtime, keeping the watermark honest). Shared
-    * with StreamSkewBench. */
+    * ascending mtimes (the file source orders micro-batches by mtime,
+    * keeping the watermark honest), laid out as a directory-layout
+    * events table — `<out>/events.parquet/pNN.parquet` — so the
+    * returned dir streams through EVERY events consumer: pass `<out>`
+    * to the EventsStream ops (their layout probe sees the directory)
+    * and `<out>/events.parquet` to SessionStream.run. Shared with
+    * StreamSkewBench. */
   def timeSplit(spark: SparkSession, dir: String, k: Int): String = {
     val ev = Tables.loadEvents(spark, dir)
     val mm = ev.agg(min("sec"), max("sec")).head()
     val (minS, maxS) = (mm.getLong(0), mm.getLong(1))
     val width = math.max(1L, (maxS - minS) / k + 1)
     val out = Files.createTempDirectory("graft_stream_in")
+    val evDir = Files.createDirectories(out.resolve("events.parquet"))
     val base = System.currentTimeMillis() - 600000
     (0 until k).foreach { i =>
       val lo = minS + i * width
@@ -72,7 +83,7 @@ object StreamBench {
       val part =
         try listing.filter(_.toString.endsWith(".parquet")).findFirst().get()
         finally listing.close()
-      val dst = out.resolve(f"p$i%02d.parquet")
+      val dst = evDir.resolve(f"p$i%02d.parquet")
       Files.move(part, dst): Unit
       dst.toFile.setLastModified(base + i * 1000L): Unit
     }
@@ -131,31 +142,52 @@ object StreamBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String, start: String => StreamingQuery): String = {
-      val sink = s"graft_sb_$name"
-      val (trig, state, wall, outRows) = runTimed(spark, () => start(sink), sink)
-      System.err.println(s"[stream-bench] $name: ${num(wall)} s, $outRows rows")
-      recordJson(name, trig, state, wall, outRows)
-    }
+    // optional comma-separated op subset (e.g. the sf1 latency probe
+    // runs only sessionize + doc_dedup_probe against the big corpus)
+    val only = sys.env.get("SPARK_GRAFT_STREAM_OPS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String): Boolean = only.forall(_.contains(name))
+
+    def run(name: String, start: String => StreamingQuery): Option[String] =
+      if (!selected(name)) None
+      else {
+        val sink = s"graft_sb_$name"
+        val (trig, state, wall, outRows) = runTimed(spark, () => start(sink), sink)
+        System.err.println(s"[stream-bench] $name: ${num(wall)} s, $outRows rows")
+        Some(recordJson(name, trig, state, wall, outRows))
+      }
 
     // setup OUTSIDE the timed window: input slicing AND the one-time
     // at-rest dedup index build — the probe op measures the steady
     // state where the index already exists (run()'s own ensureIndexed
-    // is then a fingerprint-gated no-op)
-    val sessionIn = timeSplit(spark, sfDir, splits)
-    val probeIn = docSplit(spark, sfDir, 4)
-    graft.operators.Dedup.ensureIndexed(spark, sfDir)
+    // is then a fingerprint-gated no-op). Every op streams the
+    // time-sliced copy with maxFilesPerTrigger=1, one micro-batch per
+    // slice, so each artifact row carries a real multi-batch
+    // trajectory (flat-state evidence needs >= 2 points per op).
+    val evOps = Set("tumbling_agg", "sliding_agg", "dedup_counts",
+      "clickview_join", "enriched_agg", "sessionize")
+    val sessionIn =
+      if (evOps.exists(selected)) timeSplit(spark, sfDir, splits) else ""
+    val probeIn =
+      if (selected("doc_dedup_probe")) docSplit(spark, sfDir, 4) else ""
+    if (selected("doc_dedup_probe"))
+      graft.operators.Dedup.ensureIndexed(spark, sfDir)
     val t0 = System.nanoTime()
     val records = Seq(
-      run("tumbling_agg", EventsStream.tumblingAgg(spark, sfDir, _)),
-      run("sliding_agg", EventsStream.slidingAgg(spark, sfDir, _)),
-      run("dedup_counts", EventsStream.dedupCounts(spark, sfDir, _)),
-      run("clickview_join", EventsStream.clickViewJoin(spark, sfDir, _)),
-      run("enriched_agg", EventsStream.enrichedAgg(spark, sfDir, _)),
-      run("sessionize",
-        SessionStream.run(spark, sessionIn, _, maxFilesPerTrigger = Some(1))),
+      run("tumbling_agg",
+        EventsStream.tumblingAgg(spark, sessionIn, _, Some(1))),
+      run("sliding_agg",
+        EventsStream.slidingAgg(spark, sessionIn, _, Some(1))),
+      run("dedup_counts",
+        EventsStream.dedupCounts(spark, sessionIn, _, Some(1))),
+      run("clickview_join",
+        EventsStream.clickViewJoin(spark, sessionIn, _, Some(1))),
+      run("enriched_agg", EventsStream.enrichedAgg(spark, sessionIn, _,
+        Some(1), dimDir = Some(sfDir))),
+      run("sessionize", SessionStream.run(spark, s"$sessionIn/events.parquet",
+        _, maxFilesPerTrigger = Some(1))),
       run("doc_dedup_probe", graft.streaming.DocDedupStream.run(
-        spark, sfDir, probeIn, _, maxFilesPerTrigger = Some(1))))
+        spark, sfDir, probeIn, _, maxFilesPerTrigger = Some(1)))).flatten
     val totalWall = (System.nanoTime() - t0) / 1e9
 
     val report = reportJson(sfDir, totalWall, records)

@@ -63,7 +63,9 @@ object StreamSkewBench {
       StreamBench.runTimed(spark, start, sink)
 
     def sessionRun(tag: String, dir: String): String = {
-      val in = timeSplit(dir, splits)
+      // timeSplit lays the slices out as <out>/events.parquet/pNN —
+      // SessionStream streams the inner table dir directly
+      val in = s"${timeSplit(dir, splits)}/events.parquet"
       val (trig, state, wall, outRows) = runTimed(
         () => SessionStream.run(spark, in, s"graft_sskew_$tag",
           maxFilesPerTrigger = Some(1)),

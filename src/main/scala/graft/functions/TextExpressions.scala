@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** One-pass text statistics kernel for the text-analysis tier.
@@ -251,10 +251,15 @@ object TokCounts {
 }
 
 case class TokCounts(child: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
 
   override def dataType: DataType = TokCounts.dataType
   override def prettyName: String = "tok_counts"
+  // registered for general SQL use: a wrong-typed argument must fail
+  // at ANALYSIS with a named error (and compatible types get an
+  // implicit cast), not as a runtime ClassCastException mid-query
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
 
   override protected def nullSafeEval(a: Any): Any =
     TextKernels.tokCounts(a.asInstanceOf[ArrayData])
@@ -269,10 +274,16 @@ case class TokCounts(child: Expression)
 /** `lev_banded(l, r, k) -> int` — threshold Levenshtein, −1 past k;
   * see [[TextKernels.levBanded]]. */
 case class LevBanded(first: Expression, second: Expression, third: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ImplicitCastInputTypes {
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "lev_banded"
+  // analysis-time typing for the SQL surface: lev_banded(l, r, 10L)
+  // gets the BIGINT threshold implicitly cast to INT instead of a
+  // runtime ClassCastException
+  override def inputTypes: Seq[DataType] =
+    Seq(StringType, StringType, IntegerType)
 
   override protected def nullSafeEval(l: Any, r: Any, k: Any): Any =
     TextKernels.levBanded(l.asInstanceOf[UTF8String],
@@ -290,10 +301,12 @@ case class LevBanded(first: Expression, second: Expression, third: Expression)
 /** `tok_stats(text, stops: array<string>) -> struct(n_tokens,
   * sum_tok_len, n_bpe, n_punct, n_stop)` — see [[TextKernels]]. */
 case class TokStats(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = TextKernels.tokStatsSchema
   override def prettyName: String = "tok_stats"
+  override def inputTypes: Seq[DataType] =
+    Seq(StringType, ArrayType(StringType))
 
   override protected def nullSafeEval(t: Any, s: Any): Any =
     TextKernels.tokStats(t.asInstanceOf[UTF8String], s.asInstanceOf[ArrayData])

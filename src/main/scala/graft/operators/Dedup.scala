@@ -60,7 +60,7 @@ object Dedup {
     * tokenization inlined per element when Catalyst pushes
     * `size(sh) > 0` below the projection — see the Shingles3 kernel
     * scaladoc for the full autopsy. */
-  private def docShingleHashes(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def docShingleHashes(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     Tables.loadBalanced(spark, dir, "documents")
       .withColumn("sh", expr(s"shingles3_h64($toksSpark)"))
@@ -453,6 +453,24 @@ object Dedup {
             .stripMargin)).as("band"))
       .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
 
+  /** Band-collision candidate pairs over a hashed-shingle frame —
+    * factored out of [[minhashLsh]] so the dedup skew bench
+    * (graft.DedupSkewBench) can count the candidate stage in
+    * isolation. Banding has no DF cap: a genuine M-clone group yields
+    * all C(M,2) of its pairs as candidates, which is OUTPUT-optimal —
+    * those pairs ARE the answer set — and each costs one merge-count
+    * to verify. */
+  private[graft] def minhashCandidates(docsSh: DataFrame): DataFrame = {
+    val bands = minhashBands(docsSh)
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx")
+          && col("a.band_hash") === col("b.band_hash")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      .distinct()
+  }
+
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     // doc_id, sh (hashed shingles), n — shared by candidate generation
@@ -471,14 +489,7 @@ object Dedup {
       .withColumn("sh", sort_array(col("sh")))
       .withColumn("n", size(col("sh")))
       .persist()
-    val bands = minhashBands(docs)
-    val candidates = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band_idx") === col("b.band_idx")
-          && col("a.band_hash") === col("b.band_hash")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
-      .distinct()
+    val candidates = minhashCandidates(docs)
     // Exact verification: merge-count over the sorted hash arrays
     // (inter_count_sorted — one linear pass per pair, no per-pair
     // allocation).
@@ -1193,11 +1204,28 @@ object Dedup {
 
   def clusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = minhashLsh(spark, dir).select(col("doc_i"), col("doc_j"))
+    val (labels, _) = propagateLabels(spark,
+      Tables.load(spark, dir, "documents").select(col("doc_id")), pairs)
+    labels
+      .withColumn("is_keeper", col("cluster_id") === col("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Min-label propagation over the near-dup pair graph; returns the
+    * converged (doc_id, cluster_id) labels and the number of rounds
+    * run. Factored out of [[clusters]] so the diameter guard can be
+    * spec-asserted on a planted long-chain fixture (DedupSpec) —
+    * rounds grow LINEARLY with component diameter, which is fine for
+    * near-dup clusters (diameter ≤ 2–3 in practice; the sf1 clone
+    * groups are stars around the base doc) but the wrong algorithm
+    * for a corpus whose duplicate graph forms long chains. */
+  private[graft] def propagateLabels(spark: SparkSession, docs: DataFrame,
+      pairs: DataFrame): (DataFrame, Int) = {
     val und = pairs.union(
         pairs.select(col("doc_j").as("doc_i"), col("doc_i").as("doc_j")))
       .persist()
     val trunc = new Truncator(spark)
-    var labels = trunc.truncate(Tables.load(spark, dir, "documents").select(col("doc_id"))
+    var labels = trunc.truncate(docs.select(col("doc_id"))
       .withColumn("cluster_id", col("doc_id")), eager = true)
     // Convergence is only CHECKED every checkEvery rounds, and on check
     // rounds the count() doubles as the action that materializes the
@@ -1229,10 +1257,23 @@ object Dedup {
         converged = updated.filter(col("new_label") =!= col("cluster_id")).count() == 0
       labels = updated.select(col("doc_id"), col("new_label").as("cluster_id"))
     }
+    // DIAMETER GUARD: min-label propagation is O(diameter) rounds, so
+    // a component whose diameter exceeds maxRounds exits this loop
+    // UNCONVERGED — labels would be wrong (the exact DuckDB oracle
+    // would flag it, but a production run has no oracle). Warn loudly
+    // and name the remedy: the large-star/small-star alternation
+    // (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    // SoCC'14) converges in O(log² n) rounds regardless of diameter
+    // and is the drop-in replacement for this loop if a real corpus
+    // ever produces chain-shaped duplicate graphs.
+    if (!converged)
+      System.err.println(
+        s"[graft] clusters: label propagation NOT converged after " +
+          s"$maxRounds rounds — a duplicate component has diameter > " +
+          s"$maxRounds; labels are incorrect for it. Switch the loop to " +
+          "the large-star/small-star alternation for chain-shaped graphs.")
     und.unpersist(blocking = false)
-    labels
-      .withColumn("is_keeper", col("cluster_id") === col("doc_id"))
-      .orderBy("doc_id")
+    (labels, round)
   }
 
   /** Exact oracle: transitive closure of the (undirected) near-dup

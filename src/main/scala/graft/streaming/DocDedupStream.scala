@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
@@ -53,7 +54,23 @@ object DocDedupStream {
     * files' pairs) or a used checkpoint over a dropped table (would
     * silently skip them) — starts fresh, clearing BOTH. So
     * stop/restart (or a periodic AvailableNow cron over a growing
-    * folder) appends each arriving file's pairs exactly once. */
+    * folder) appends each arriving file's pairs exactly once.
+    *
+    * The per-batch write is IDEMPOTENT on Spark's replay contract: the
+    * sink table is partitioned by the foreachBatch batchId and each
+    * micro-batch dynamically overwrites exactly its own partition, so
+    * a crash between a successful table write and the stream's commit
+    * log (Spark then re-runs that batchId on restart) rewrites the
+    * same partition instead of appending its pairs twice. The resume
+    * gate above handles whole-half mismatches; the batch_id partition
+    * handles the half-committed batch inside a resume.
+    *
+    * Catalog scope: the sink is a MANAGED table, so the resume path
+    * requires a catalog that survives the restart (a Hive metastore in
+    * production). Under the default in-memory catalog a fresh JVM
+    * never sees the table, so a cross-JVM rerun starts fresh —
+    * correct (both halves are cleared, no duplicates) but it
+    * reprocesses the whole folder; see RUNBOOK.md. */
   def run(spark: SparkSession, corpusDir: String, batchDir: String,
       queryName: String, maxFilesPerTrigger: Option[Int] = None,
       checkpointDir: Option[String] = None): StreamingQuery = {
@@ -73,13 +90,19 @@ object DocDedupStream {
         val fs = p.getFileSystem(hconf)
         if (fs.exists(p)) fs.delete(p, true): Unit
       }
-      // schema-only seed so the view resolves before the first batch
+      // schema-only seed so the view resolves before the first batch;
+      // partitioned by batch_id so each micro-batch owns one partition
+      // it can idempotently overwrite on replay
       Dedup.probeIndexed(
           Dedup.prepSignatures(spark.createDataFrame(
             new java.util.ArrayList[org.apache.spark.sql.Row](), docsSchema)))
-        .limit(0).write.saveAsTable(tbl)
+        .limit(0).withColumn("batch_id", lit(-1L))
+        .write.partitionBy("batch_id").saveAsTable(tbl)
     }
-    spark.sql(s"CREATE OR REPLACE TEMP VIEW `$queryName` AS SELECT * FROM `$tbl`")
+    // the view hides the bookkeeping partition column — consumers see
+    // the probe's own schema
+    spark.sql(s"CREATE OR REPLACE TEMP VIEW `$queryName` AS " +
+      s"SELECT doc_new, doc_idx, jaccard FROM `$tbl`")
 
     val reader = spark.readStream.schema(docsSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
@@ -87,13 +110,29 @@ object DocDedupStream {
       .writeStream
     checkpointDir.foreach(d => writer.option("checkpointLocation", d))
     writer
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // persisted: feeds band generation AND the verification join;
         // released per micro-batch — a continuous stream must not
         // accrete one cache entry per trigger
         val prepared = Dedup.prepSignatures(batch).persist()
-        try Dedup.probeIndexed(prepared).write.mode("append").insertInto(tbl)
-        finally prepared.unpersist(blocking = false): Unit
+        // dynamic overwrite of THIS batch's partition only: a replayed
+        // batchId (crash after write, before the stream's commit log)
+        // rewrites its own partition instead of double-appending. The
+        // SESSION conf is required — the per-write
+        // option("partitionOverwriteMode") is not consulted on the
+        // insertInto path (measured: it silently degrades to a STATIC
+        // overwrite that wipes every other batch's partition). Set on
+        // the micro-batch's cloned session and restored after.
+        val bs = batch.sparkSession
+        val pom = "spark.sql.sources.partitionOverwriteMode"
+        val prev = bs.conf.get(pom, "static")
+        bs.conf.set(pom, "dynamic")
+        try Dedup.probeIndexed(prepared).withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").insertInto(tbl)
+        finally {
+          bs.conf.set(pom, prev)
+          prepared.unpersist(blocking = false): Unit
+        }
         // the write runs on the micro-batch's CLONED session; the
         // outer session's relation cache still holds the pre-stream
         // file listing — refresh so readers of the view see the rows

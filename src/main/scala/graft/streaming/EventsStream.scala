@@ -21,8 +21,12 @@ object EventsStream {
     * consumers that must place their own watermark, e.g. after a
     * rename — Spark disallows redefining one). events.ts is nanosecond
     * parquet → read as long, rebuild a microsecond TimestampType for
-    * event-time semantics. */
-  private def rawEventsSource(spark: SparkSession, dir: String): DataFrame = {
+    * event-time semantics. `maxFilesPerTrigger` slices a multi-file
+    * (directory-layout) table into one micro-batch per file — the
+    * bench idiom that turns a one-shot drain into a real multi-batch
+    * trajectory. */
+  private def rawEventsSource(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     // explicit nanos-as-long schema (no session-wide legacy conf).
     // Layout-aware source: the streaming file source needs a DIRECTORY
     // base path, so a directory-layout table (every Spark-written
@@ -47,6 +51,7 @@ object EventsStream {
               s"inside $dir; neither exists", e)
       }
     val reader = spark.readStream.schema(graft.Tables.eventsSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val src =
       if (isDir) reader.parquet(p.toString)
       else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -73,14 +78,17 @@ object EventsStream {
   }
 
   /** Watermarked shared source for the window/dedup shapes. */
-  private def eventsSource(spark: SparkSession, dir: String): DataFrame =
-    rawEventsSource(spark, dir).withWatermark("ts_utc", "2 hours")
+  private def eventsSource(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    rawEventsSource(spark, dir, maxFilesPerTrigger)
+      .withWatermark("ts_utc", "2 hours")
 
   /** 1-hour tumbling aggregation as a stream over the events parquet.
     * Watermark bounds state for continuous runs; with AvailableNow +
     * complete mode it simply drains the backlog. */
-  def tumblingAgg(spark: SparkSession, dir: String, queryName: String): StreamingQuery = {
-    eventsSource(spark, dir)
+  def tumblingAgg(spark: SparkSession, dir: String, queryName: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    eventsSource(spark, dir, maxFilesPerTrigger)
       .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -108,8 +116,9 @@ object EventsStream {
     * overlapping-window face of
     * [[graft.operators.Events.slidingAgg]]: each event lands in two
     * windows; watermark bounds the open-window state. */
-  def slidingAgg(spark: SparkSession, dir: String, queryName: String): StreamingQuery = {
-    eventsSource(spark, dir)
+  def slidingAgg(spark: SparkSession, dir: String, queryName: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    eventsSource(spark, dir, maxFilesPerTrigger)
       .groupBy(window(col("ts_utc"), "1 hour", "30 minutes"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -153,8 +162,9 @@ object EventsStream {
     * exercised against real duplicates rather than vacuously passing on
     * an already-unique feed. The watermark attached by [[eventsSource]]
     * survives the projection (the event-time column is untouched). */
-  private def dupedEventsSource(spark: SparkSession, dir: String): DataFrame =
-    eventsSource(spark, dir)
+  private def dupedEventsSource(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    eventsSource(spark, dir, maxFilesPerTrigger)
       .withColumn("copy", explode(
         when(col("event_id") % 10 === 0, array(lit(0), lit(1)))
           .otherwise(array(lit(0)))))
@@ -168,8 +178,9 @@ object EventsStream {
     * stream lifetime; a duplicate arriving later than the delay is the
     * standard documented miss window. `DedupStreamSpec` asserts the
     * streamed counts equal the batch distinct counts. */
-  def dedupCounts(spark: SparkSession, dir: String, queryName: String): StreamingQuery =
-    dupedEventsSource(spark, dir)
+  def dedupCounts(spark: SparkSession, dir: String, queryName: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    dupedEventsSource(spark, dir, maxFilesPerTrigger)
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"))
@@ -197,13 +208,14 @@ object EventsStream {
     * property that makes this runnable continuously, not just under
     * AvailableNow. Append mode (stream-stream inner joins emit
     * matches only once both sides' watermarks clear them). */
-  def clickViewJoin(spark: SparkSession, dir: String, queryName: String): StreamingQuery = {
-    val views = rawEventsSource(spark, dir)
+  def clickViewJoin(spark: SparkSession, dir: String, queryName: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val views = rawEventsSource(spark, dir, maxFilesPerTrigger)
       .filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
         col("ts_utc").as("v_ts"))
       .withWatermark("v_ts", "2 hours")
-    val clicks = rawEventsSource(spark, dir)
+    val clicks = rawEventsSource(spark, dir, maxFilesPerTrigger)
       .filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         col("ts_utc").as("c_ts"))
@@ -257,9 +269,14 @@ object EventsStream {
     * stream-stream there is nothing to watermark away). Unmatched
     * users degrade to an explicit 'UNKNOWN' segment rather than
     * silently dropping events. */
-  def enrichedAgg(spark: SparkSession, dir: String, queryName: String): StreamingQuery = {
-    eventsSource(spark, dir)
-      .join(broadcast(userSegments(spark, dir)), Seq("user_id"), "left")
+  def enrichedAgg(spark: SparkSession, dir: String, queryName: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      dimDir: Option[String] = None): StreamingQuery = {
+    // the static dimension may live in a different dir than the event
+    // stream (e.g. a time-sliced drop folder enriched against the
+    // warehouse dims) — default is the co-located layout
+    eventsSource(spark, dir, maxFilesPerTrigger)
+      .join(broadcast(userSegments(spark, dimDir.getOrElse(dir))), Seq("user_id"), "left")
       .withColumn("segment", coalesce(col("segment"), lit("UNKNOWN")))
       .groupBy(window(col("ts_utc"), "1 hour"), col("segment"))
       .agg(count(lit(1)).as("n_events"))

@@ -28,6 +28,34 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       s"simhash found $found of ${jacPairs.size} very-near dups at hamming<=3")
   }
 
+  test("clusters diameter guard: planted 12-node chain converges, rounds linear in diameter") {
+    import spark.implicits._
+    val docs = (1L to 12L).toDF("doc_id")
+    val pairs = (1L to 11L).map(i => (i, i + 1)).toDF("doc_i", "doc_j")
+    val (labels, rounds) = Dedup.propagateLabels(spark, docs, pairs)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 12L).forall(got(_) == 1L), s"chain must collapse to min label, got $got")
+    // min-label moves one hop per round: diameter 11 ⇒ 11 productive
+    // rounds, and the check cadence (round 2, then every 4) detects
+    // convergence by round 12 — pinning the linear-in-diameter cost
+    // the in-code guard documents (large-star/small-star is the
+    // fallback if a real corpus produces chain-shaped dup graphs)
+    assert(rounds >= 11 && rounds <= 16, s"rounds=$rounds")
+  }
+
+  test("clusters diameter guard: a chain past the round cap exits unconverged (warning path)") {
+    import spark.implicits._
+    // diameter 39 > maxRounds 32: the loop must stop at the cap and
+    // leave the component visibly unconverged (stderr warning names
+    // the large-star/small-star remedy) rather than spin forever
+    val docs = (1L to 40L).toDF("doc_id")
+    val pairs = (1L to 39L).map(i => (i, i + 1)).toDF("doc_i", "doc_j")
+    val (labels, rounds) = Dedup.propagateLabels(spark, docs, pairs)
+    assert(rounds === 32, s"must stop at the cap, ran $rounds")
+    val lbls = labels.collect().map(_.getLong(1))
+    assert(lbls.exists(_ != 1L), "past-cap chain must remain unconverged at the far end")
+  }
+
   test("clusters: pair endpoints co-clustered, keeper is component min") {
     val labels = Dedup.clusters(spark, SF).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -542,5 +570,45 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       "the day-2 run must keep day 1's committed rows")
     spark.sql("DROP VIEW IF EXISTS graft_docdedup_ckpt")
     spark.sql("DROP TABLE IF EXISTS graft_docdedup_ckpt_tbl")
+  }
+
+  test("probe sink is replay-idempotent: re-writing a batch's partition overwrites, never appends") {
+    val batchDocs = Tables.load(spark, SF, "documents")
+      .filter(col("doc_id") % Dedup.batchStride === lit(Dedup.batchRes))
+    val dir = java.nio.file.Files.createTempDirectory("graft_docstream_idem").toString
+    (0 until 2).foreach { i =>
+      // slice on doc_id DIV stride — the ids are all ≡ batchRes (mod
+      // stride), so a plain mod-2 slice would be structurally empty
+      batchDocs.filter(expr(s"pmod(doc_id div ${Dedup.batchStride}, 2) = $i"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    graft.streaming.DocDedupStream.run(
+      spark, SF, dir, "graft_docdedup_idem", maxFilesPerTrigger = Some(1))
+      .awaitTermination()
+    val tbl = "graft_docdedup_idem_tbl"
+    val full = spark.table(tbl)
+    val before = full.count()
+    val batchIds = full.select("batch_id").distinct().collect().map(_.getLong(0))
+    assert(batchIds.length >= 2, "fixture must span multiple micro-batches")
+    // simulate Spark's crash-replay of a committed batch: the SAME
+    // rows re-inserted under the same batch_id through the stream's
+    // write shape (dynamic partition overwrite) must replace that
+    // partition, leaving the pair set unchanged
+    val replayId = batchIds.min
+    val replay = full.filter(col("batch_id") === replayId).collect().toSeq
+    assert(replay.nonEmpty, "replayed batch must carry pairs")
+    import scala.jdk.CollectionConverters._
+    // the SESSION conf, same as the stream's write path (the per-write
+    // option is silently ignored on insertInto — see DocDedupStream)
+    val pom = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(pom, "static")
+    spark.conf.set(pom, "dynamic")
+    try spark.createDataFrame(replay.asJava, full.schema)
+      .write.mode("overwrite").insertInto(tbl)
+    finally spark.conf.set(pom, prev)
+    assert(spark.table(tbl).count() === before,
+      "a replayed micro-batch must not double-append its pairs")
+    spark.sql("DROP VIEW IF EXISTS graft_docdedup_idem")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 }

@@ -33,6 +33,10 @@ class StreamBenchSpec extends AnyFunSuite {
     assert(report.startsWith(
       """{"metric": "stream_total", "value": 12.500, "unit": "sec", """))
     assert(report.contains(""""sf": "target/benchdata/sf1""""))
+    // the -1 state-rows sentinel is documented IN the artifact, so a
+    // reader of the JSON alone can't mis-parse it as a regression
+    assert(report.contains(
+      """"state_rows_sentinel": "-1 = no stateful operator"""))
     assert(report.contains(""""ops": {"a": """))
     assert(report.contains(""", "b": {"batch_ms": [], """))
     assert(report.endsWith("}}"))

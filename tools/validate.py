@@ -6,7 +6,13 @@ Verify dump used, and compares (column-name-sorted, row-sorted) values
 against the Spark parquet output. Purely a builder-side dev tool —
 the engine itself is Scala/Spark only.
 
-Usage: python3 tools/validate.py <sfDir> <verifyOutDir>
+Usage: python3 tools/validate.py <sfDir> <verifyOutDir> [artifactJson]
+
+With a third argument, also writes the per-query results in the
+driver's CORRECTNESS_r{N}.json format (rows/schema/hash match flags;
+queries dumped by Verify without an oracle get err="no_oracle") — the
+per-round sf1 artifact (CORRECTNESS_sf1_r{N}.json) is produced this
+way by tools/verify.sh.
 """
 import json
 import math
@@ -59,6 +65,16 @@ def main(sf_dir, out_dir):
     ts_type = con.execute(
         "SELECT column_type FROM (DESCRIBE SELECT ts FROM events)").fetchone()[0]
     if ts_type == "BIGINT":
+        # the // 1000 rewrite is exact only for micros-vintage instants
+        # scaled up to nanos (ts % 1000 == 0) — guard the assumption so
+        # a future true-nanos corpus fails loudly instead of validating
+        # against silently truncated timestamps
+        n_sub = con.execute(
+            "SELECT count(*) FROM events WHERE ts % 1000 != 0").fetchone()[0]
+        if n_sub:
+            sys.exit(f"FATAL: {n_sub} events rows carry sub-microsecond ts "
+                     "precision; the make_timestamp(ts // 1000) oracle view "
+                     "would silently truncate them")
         epath = f"{sf_dir}/events.parquet"
         if os.path.isdir(epath):
             epath = f"{epath}/*.parquet"
@@ -67,6 +83,14 @@ def main(sf_dir, out_dir):
             f"(make_timestamp(ts // 1000) AS ts) FROM read_parquet('{epath}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = 0
+    records = {}
+
+    def rec(name, rows=None, schema=None, hsh=None, spark_rows=None,
+            oracle_rows=None, err=None):
+        records[name] = {
+            "rows_match": rows, "schema_match": schema, "hash_match": hsh,
+            "spark_rows": spark_rows, "oracle_rows": oracle_rows, "err": err}
+
     for name, sql in sorted(oracles.items()):
         try:
             got = con.execute(
@@ -75,9 +99,13 @@ def main(sf_dir, out_dir):
             got, want = canon(got), canon(want)
             if list(got.columns) != list(want.columns):
                 print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}")
+                rec(name, rows=len(got) == len(want), schema=False, hsh=False,
+                    spark_rows=len(got), oracle_rows=len(want))
                 continue
             if len(got) != len(want):
                 print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
+                rec(name, rows=False, schema=True, hsh=False,
+                    spark_rows=len(got), oracle_rows=len(want))
                 continue
             # Dtype-strict: the driver hashes values type-sensitively, so an
             # int64 column vs a float64 oracle column (e.g. DuckDB count_if
@@ -88,6 +116,8 @@ def main(sf_dir, out_dir):
             if dbad:
                 c, g, w = dbad[0]
                 print(f"FAIL {name}: dtype {c} spark={g} oracle={w}")
+                rec(name, rows=True, schema=False, hsh=False,
+                    spark_rows=len(got), oracle_rows=len(want))
                 continue
             bad = None
             for col in got.columns:
@@ -101,13 +131,34 @@ def main(sf_dir, out_dir):
             if bad:
                 col, i, a, b = bad
                 print(f"FAIL {name}: {col}[{i}] spark={a!r} oracle={b!r}")
+                rec(name, rows=True, schema=True, hsh=False,
+                    spark_rows=len(got), oracle_rows=len(want))
             else:
                 n_ok += 1
                 print(f"OK   {name} ({len(got)} rows)")
+                rec(name, rows=True, schema=True, hsh=True,
+                    spark_rows=len(got), oracle_rows=len(want))
         except Exception as e:  # noqa: BLE001
             print(f"ERR  {name}: {str(e)[:300]}")
+            rec(name, err=str(e)[:300])
+    # queries Verify dumped without an oracle (QUALITY-gated): same
+    # rows-only row the driver records for them
+    for d in sorted(os.listdir(out_dir)):
+        if d in oracles or not os.path.isdir(f"{out_dir}/{d}"):
+            continue
+        try:
+            n = con.execute("SELECT count(*) FROM read_parquet("
+                            f"'{out_dir}/{d}/*.parquet')").fetchone()[0]
+            rec(d, spark_rows=n, err="no_oracle")
+        except Exception as e:  # noqa: BLE001
+            rec(d, err=str(e)[:300])
     print(f"{n_ok}/{len(oracles)} queries match")
+    return records
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    recs = main(sys.argv[1], sys.argv[2])
+    if len(sys.argv) > 3:
+        with open(sys.argv[3], "w") as f:
+            json.dump(recs, f, indent=2)
+        print(f"wrote {sys.argv[3]}")

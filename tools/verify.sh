@@ -19,5 +19,16 @@ SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} java $OPENS -Xmx12g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" "$MAIN" "$SF" "$OUT" 2>&1 | grep -v '^2[0-9/]*' || true
 if [ "$MAIN" = "graft.Verify" ]; then
-  python3 /root/repo/tools/validate.py "$SF" "$OUT"
+  # sf1 runs emit the driver-format artifact for the CURRENT round
+  # (latest committed CORRECTNESS_r{N} + 1), so 10x-scale oracle
+  # coverage is a per-round file, not prose. Override the path with
+  # SPARK_GRAFT_CORRECTNESS_OUT; subset runs never write one.
+  ART="${SPARK_GRAFT_CORRECTNESS_OUT:-}"
+  if [ -z "$ART" ] && [ -z "${SPARK_GRAFT_VERIFY_QUERIES:-}" ] \
+      && [[ "$SF" == */sf1 || "$SF" == */sf1/ ]]; then
+    N=$(ls /root/repo/CORRECTNESS_r*.json 2>/dev/null \
+        | sed 's/.*_r0*\([0-9]*\)\.json/\1/' | sort -n | tail -1)
+    [ -n "$N" ] && ART="/root/repo/CORRECTNESS_sf1_r$((N + 1)).json"
+  fi
+  python3 /root/repo/tools/validate.py "$SF" "$OUT" $ART
 fi
