@@ -120,8 +120,12 @@ object StreamBench {
     val prog = q.recentProgress.toSeq.filter(_.numInputRows > 0)
     val trig = prog.map(p =>
       Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(-1L))
+    // SUM across state operators — a plan can carry several (e.g.
+    // dedup_counts = dropDuplicatesWithinWatermark + aggregate), and
+    // the first alone under-reports the stream's real state footprint
     val state = prog.map(p =>
-      p.stateOperators.headOption.map(_.numRowsTotal).getOrElse(-1L))
+      if (p.stateOperators.isEmpty) -1L
+      else p.stateOperators.map(_.numRowsTotal).sum)
     val outRows = spark.table(sink).count()
     spark.sql(s"DROP VIEW IF EXISTS $sink"): Unit
     (trig, state, wall, outRows)
