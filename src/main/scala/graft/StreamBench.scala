@@ -15,15 +15,16 @@ import graft.streaming.{EventsStream, SessionStream}
   * stream regressions show up in a diffable `bench_reports/
   * stream_r{N}.json` rather than only in local ScalaTest runs.
   *
-  * The six ops mirror the spec-asserted streaming surface:
-  * tumbling/sliding windowed aggs, exactly-once dedup counts over an
-  * at-least-once feed, the stream-stream interval join, stream-static
-  * broadcast enrichment, and `flatMapGroupsWithState` sessionization.
-  * The five EventsStream ops run in their production shape — one
-  * `Trigger.AvailableNow` drain of the corpus. Sessionization streams
-  * a time-split copy with `maxFilesPerTrigger=1` (the
-  * StreamSkewBench idiom) so the artifact carries a real multi-batch
-  * state-rows trajectory, not a single-batch point.
+  * The ops mirror the spec-asserted streaming surface:
+  * tumbling/sliding windowed aggs (complete-mode drain AND the
+  * append-mode continuous twin whose watermark evicts closed
+  * windows), exactly-once dedup counts over an at-least-once feed,
+  * the stream-stream interval join, stream-static broadcast
+  * enrichment, `flatMapGroupsWithState` sessionization, and the
+  * at-rest-index dedup probe. Every op streams a time-split copy
+  * with `maxFilesPerTrigger=1` (the StreamSkewBench idiom) so each
+  * artifact row carries a real multi-batch state-rows trajectory,
+  * not a single-batch point.
   *
   * Stdout contract matches graft.Bench: a compact summary line is
   * printed FIRST and again LAST (tail-anchored captures see the final
@@ -168,8 +169,8 @@ object StreamBench {
     // time-sliced copy with maxFilesPerTrigger=1, one micro-batch per
     // slice, so each artifact row carries a real multi-batch
     // trajectory (flat-state evidence needs >= 2 points per op).
-    val evOps = Set("tumbling_agg", "sliding_agg", "dedup_counts",
-      "clickview_join", "enriched_agg", "sessionize")
+    val evOps = Set("tumbling_agg", "tumbling_agg_append", "sliding_agg",
+      "dedup_counts", "clickview_join", "enriched_agg", "sessionize")
     val sessionIn =
       if (evOps.exists(selected)) timeSplit(spark, sfDir, splits) else ""
     val probeIn =
@@ -180,6 +181,11 @@ object StreamBench {
     val records = Seq(
       run("tumbling_agg",
         EventsStream.tumblingAgg(spark, sessionIn, _, Some(1))),
+      // the continuous-pipeline twin: append mode + watermark eviction
+      // — its state trajectory stays at the open-window horizon while
+      // complete-mode tumbling_agg's grows with windows-ever-seen
+      run("tumbling_agg_append",
+        EventsStream.tumblingAggAppend(spark, sessionIn, _, Some(1))),
       run("sliding_agg",
         EventsStream.slidingAgg(spark, sessionIn, _, Some(1))),
       run("dedup_counts",

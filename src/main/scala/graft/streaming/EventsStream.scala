@@ -112,6 +112,37 @@ object EventsStream {
     graft.operators.Events.tumblingAgg(spark, dir)
       .select("bucket_hr", "event_type", "n_events", "sum_value")
 
+  /** APPEND-mode twin of [[tumblingAgg]] — the shape that runs
+    * FOREVER: a window emits exactly once, when the event-time
+    * watermark passes its end, and its state row is EVICTED, so state
+    * tracks the open-window horizon (watermark delay + in-flight
+    * span), not windows-ever-seen. Complete mode re-emits the full
+    * result per trigger and must keep every window alive — right for
+    * a bounded drain, unbounded state on a continuous stream; this is
+    * the bounded-state variant the 100 TB pipeline schedules.
+    * Documented append caveat: windows inside the final watermark
+    * horizon (the last `delay` of event time) are NOT emitted by an
+    * AvailableNow drain — they emit on the next drain, once later
+    * events push the watermark past them. EventsSpec pins emitted ==
+    * batch-rows-outside-the-horizon, value-exactly. */
+  def tumblingAggAppend(spark: SparkSession, dir: String, queryName: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    eventsSource(spark, dir, maxFilesPerTrigger)
+      .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .select(
+        expr("unix_timestamp(window.start) div 3600").as("bucket_hr"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Sliding-window (1 h, slide 30 min) streaming aggregation — the
     * overlapping-window face of
     * [[graft.operators.Events.slidingAgg]]: each event lands in two

@@ -50,6 +50,29 @@ class EventsSpec extends AnyFunSuite with SparkSuite {
     assert(streamed === batch)
   }
 
+  test("append-mode tumbling agg emits exactly the windows behind the watermark, value-exact") {
+    val q = EventsStream.tumblingAggAppend(spark, SF, "stream_append_out")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("stream_append_out")
+      .selectExpr("bucket_hr", "event_type", "n_events", "sum_value")
+      .collect().map(_.toSeq).toSet
+    val batch = EventsStream.batchEquivalent(spark, SF)
+      .collect().map(_.toSeq).toSet
+    // final watermark = max event time − 2h: every window strictly
+    // behind it MUST have emitted (exactly once, batch-identical
+    // values); nothing outside the batch result may appear; windows
+    // inside the horizon emit on the NEXT drain (documented caveat)
+    val maxSec = Tables.loadEvents(spark, SF)
+      .agg(org.apache.spark.sql.functions.max("sec")).head().getLong(0)
+    val horizonHr = (maxSec - 7200) / 3600 // window end <= this hour is closed
+    val mustEmit = batch.filter(r => r.head.asInstanceOf[Long] + 1 < horizonHr)
+    assert(got.nonEmpty, "drain must close at least the early windows")
+    assert(got.subsetOf(batch), "append rows must match batch values exactly")
+    assert(mustEmit.subsetOf(got),
+      "every window strictly behind the final watermark must have emitted")
+  }
+
   test("mergeable HLL sketches: weekly union estimate within 5% of exact") {
     val approx = graft.operators.Events.hllDistinct(spark, SF).collect()
       .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2).toDouble).toMap
