@@ -56,6 +56,38 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(lbls.exists(_ != 1L), "past-cap chain must remain unconverged at the far end")
   }
 
+  test("large-star/small-star closes the past-cap chain min-label cannot, in O(log^2) rounds") {
+    import spark.implicits._
+    // the same 40-node chain the plain loop exits UNCONVERGED on at
+    // its 32-round cap: the star alternation must close it fast
+    val docs = (1L to 40L).toDF("doc_id")
+    val pairs = (1L to 39L).map(i => (i, i + 1)).toDF("doc_i", "doc_j")
+    val (labels, rounds) = Dedup.propagateLabelsStar(spark, docs, pairs)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 40L).forall(got(_) == 1L), s"chain must collapse to min label, got $got")
+    assert(rounds <= 12, s"star alternation must be diameter-proof, ran $rounds rounds")
+  }
+
+  test("star and min-label propagation agree on a deterministic random graph + singletons") {
+    import spark.implicits._
+    // 120 nodes, ~90 hash-derived edges (plus guaranteed singletons):
+    // small-diameter shape where BOTH algorithms converge — labels
+    // must be identical node-for-node
+    val docs = (1L to 120L).toDF("doc_id")
+    val pairs = (1 to 90).map { i =>
+      val a = 1L + math.floorMod(i * 7919L, 100L)
+      val b = 1L + math.floorMod(i * 104729L + 13L, 100L)
+      (a, b)
+    }.filter { case (a, b) => a != b }.toDF("doc_i", "doc_j")
+    val (plain, _) = Dedup.propagateLabels(spark, docs, pairs)
+    val (star, _) = Dedup.propagateLabelsStar(spark, docs, pairs)
+    val p = plain.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s = star.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p === s, "the two component algorithms must produce identical labels")
+    assert((101L to 120L).forall(k => s(k) == k) && s(120L) === 120L,
+      "edge-free docs must self-label in both")
+  }
+
   test("clusters: pair endpoints co-clustered, keeper is component min") {
     val labels = Dedup.clusters(spark, SF).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
