@@ -1204,23 +1204,45 @@ object Dedup {
 
   def clusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = minhashLsh(spark, dir).select(col("doc_i"), col("doc_j"))
-    val (labels, _) = propagateLabels(spark,
+    componentLabels(spark,
       Tables.load(spark, dir, "documents").select(col("doc_id")), pairs)
-    labels
       .withColumn("is_keeper", col("cluster_id") === col("doc_id"))
       .orderBy("doc_id")
   }
 
+  /** Component labels with the diameter fallback WIRED IN: min-label
+    * propagation first (one shuffle per round, converges in ~2 rounds
+    * on the star-shaped graphs real near-dup corpora produce); if it
+    * exits its round cap unconverged — a component with diameter
+    * beyond the cap, i.e. a chain-shaped duplicate graph — the
+    * large-star/small-star alternation recomputes the labels
+    * diameter-proof instead of shipping wrong ones. DedupSpec pins
+    * the fallback on the 40-node chain the plain loop cannot close. */
+  private[graft] def componentLabels(spark: SparkSession, docs: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    val (labels, _, converged) = propagateLabels(spark, docs, pairs)
+    if (converged) labels
+    else {
+      System.err.println(
+        "[graft] clusters: falling back to large-star/small-star for the " +
+          "over-diameter component graph")
+      propagateLabelsStar(spark, docs, pairs)._1
+    }
+  }
+
   /** Min-label propagation over the near-dup pair graph; returns the
-    * converged (doc_id, cluster_id) labels and the number of rounds
-    * run. Factored out of [[clusters]] so the diameter guard can be
-    * spec-asserted on a planted long-chain fixture (DedupSpec) —
-    * rounds grow LINEARLY with component diameter, which is fine for
-    * near-dup clusters (diameter ≤ 2–3 in practice; the sf1 clone
-    * groups are stars around the base doc) but the wrong algorithm
-    * for a corpus whose duplicate graph forms long chains. */
+    * (doc_id, cluster_id) labels, the number of rounds run, and
+    * whether the loop CONVERGED (labels are wrong for any component
+    * whose diameter exceeds the round cap — [[componentLabels]] falls
+    * back to the star alternation on that signal). Factored out of
+    * [[clusters]] so the diameter guard can be spec-asserted on a
+    * planted long-chain fixture (DedupSpec) — rounds grow LINEARLY
+    * with component diameter, which is fine for near-dup clusters
+    * (diameter ≤ 2–3 in practice; the sf1 clone groups are stars
+    * around the base doc) but the wrong algorithm for a corpus whose
+    * duplicate graph forms long chains. */
   private[graft] def propagateLabels(spark: SparkSession, docs: DataFrame,
-      pairs: DataFrame): (DataFrame, Int) = {
+      pairs: DataFrame): (DataFrame, Int, Boolean) = {
     val und = pairs.union(
         pairs.select(col("doc_j").as("doc_i"), col("doc_i").as("doc_j")))
       .persist()
@@ -1270,11 +1292,11 @@ object Dedup {
       System.err.println(
         s"[graft] clusters: label propagation NOT converged after " +
           s"$maxRounds rounds — a duplicate component has diameter > " +
-          s"$maxRounds; labels are incorrect for it. Use " +
-          "propagateLabelsStar (large-star/small-star, O(log^2 n) " +
-          "rounds regardless of diameter) for chain-shaped graphs.")
+          s"$maxRounds; labels are incorrect for it. " +
+          "[[componentLabels]] falls back to propagateLabelsStar " +
+          "(large-star/small-star, diameter-proof) on this signal.")
     und.unpersist(blocking = false)
-    (labels, round)
+    (labels, round, converged)
   }
 
   /** Connected components via the LARGE-STAR/SMALL-STAR alternation

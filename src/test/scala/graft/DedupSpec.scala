@@ -32,7 +32,8 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     import spark.implicits._
     val docs = (1L to 12L).toDF("doc_id")
     val pairs = (1L to 11L).map(i => (i, i + 1)).toDF("doc_i", "doc_j")
-    val (labels, rounds) = Dedup.propagateLabels(spark, docs, pairs)
+    val (labels, rounds, converged) = Dedup.propagateLabels(spark, docs, pairs)
+    assert(converged, "diameter-11 chain is inside the cap")
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((1L to 12L).forall(got(_) == 1L), s"chain must collapse to min label, got $got")
     // min-label moves one hop per round: diameter 11 ⇒ 11 productive
@@ -50,10 +51,17 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     // the large-star/small-star remedy) rather than spin forever
     val docs = (1L to 40L).toDF("doc_id")
     val pairs = (1L to 39L).map(i => (i, i + 1)).toDF("doc_i", "doc_j")
-    val (labels, rounds) = Dedup.propagateLabels(spark, docs, pairs)
+    val (labels, rounds, converged) = Dedup.propagateLabels(spark, docs, pairs)
     assert(rounds === 32, s"must stop at the cap, ran $rounds")
+    assert(!converged, "the cap exit must be SIGNALLED, not silent")
     val lbls = labels.collect().map(_.getLong(1))
     assert(lbls.exists(_ != 1L), "past-cap chain must remain unconverged at the far end")
+    // ...and the operator-facing entry point repairs exactly this case
+    // by falling back to the star alternation
+    val fixed = Dedup.componentLabels(spark, docs, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 40L).forall(fixed(_) == 1L),
+      "componentLabels must fall back to star and return correct labels")
   }
 
   test("large-star/small-star closes the past-cap chain min-label cannot, in O(log^2) rounds") {
@@ -79,7 +87,7 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       val b = 1L + math.floorMod(i * 104729L + 13L, 100L)
       (a, b)
     }.filter { case (a, b) => a != b }.toDF("doc_i", "doc_j")
-    val (plain, _) = Dedup.propagateLabels(spark, docs, pairs)
+    val (plain, _, _) = Dedup.propagateLabels(spark, docs, pairs)
     val (star, _) = Dedup.propagateLabelsStar(spark, docs, pairs)
     val p = plain.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val s = star.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
