@@ -48,6 +48,11 @@ object DedupSkewBench {
     val template = docs
       .filter(size(split(col("text"), "\\s+")) >= 12)
       .orderBy("doc_id").limit(1)
+    // fail loudly rather than measure the base corpus under a
+    // "multiplicity=N" label: an empty plant would make the
+    // bounded-under-skew claim vacuous
+    require(template.count() == 1,
+      s"no document in $baseDir has >= 12 tokens; cannot plant a hot template")
     val clones = template
       .withColumn("__rep", explode(expr(s"sequence(1, $mult)")))
       .withColumn("doc_id", lit(900000000L) + col("__rep"))
@@ -76,13 +81,15 @@ object DedupSkewBench {
     plantHotTemplate(spark, baseDir, hotDir, mult)
 
     def timedCount(df: => DataFrame): (Long, Double) = {
-      // min of 2 reps, cache cleared between (the operators persist
-      // their shared scans internally)
+      // min of 2 reps; the cache teardown of the operators' internally
+      // persisted frames runs OUTSIDE the timed window (it is harness
+      // bookkeeping, not operator cost)
       val reps = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val n = df.count()
+        val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        (n, (System.nanoTime() - t0) / 1e9)
+        (n, dt)
       }
       (reps.head._1, reps.map(_._2).min)
     }

@@ -148,9 +148,20 @@ object StreamBench {
     spark.sparkContext.setLogLevel("WARN")
 
     // optional comma-separated op subset (e.g. the sf1 latency probe
-    // runs only sessionize + doc_dedup_probe against the big corpus)
+    // runs only sessionize + doc_dedup_probe against the big corpus).
+    // Unknown names fail fast: a typo must not commit an empty artifact
+    // wearing a success-shaped summary line as round evidence.
+    val knownOps = Set("tumbling_agg", "tumbling_agg_append", "sliding_agg",
+      "dedup_counts", "clickview_join", "enriched_agg", "sessionize",
+      "doc_dedup_probe")
     val only = sys.env.get("SPARK_GRAFT_STREAM_OPS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(knownOps)
+      require(unknown.isEmpty,
+        s"unknown SPARK_GRAFT_STREAM_OPS: ${unknown.mkString(", ")} " +
+          s"(known: ${knownOps.toSeq.sorted.mkString(", ")})")
+    }
     def selected(name: String): Boolean = only.forall(_.contains(name))
 
     def run(name: String, start: String => StreamingQuery): Option[String] =
@@ -169,8 +180,7 @@ object StreamBench {
     // time-sliced copy with maxFilesPerTrigger=1, one micro-batch per
     // slice, so each artifact row carries a real multi-batch
     // trajectory (flat-state evidence needs >= 2 points per op).
-    val evOps = Set("tumbling_agg", "tumbling_agg_append", "sliding_agg",
-      "dedup_counts", "clickview_join", "enriched_agg", "sessionize")
+    val evOps = knownOps - "doc_dedup_probe"
     val sessionIn =
       if (evOps.exists(selected)) timeSplit(spark, sfDir, splits) else ""
     val probeIn =

@@ -1220,14 +1220,21 @@ object Dedup {
     * the fallback on the 40-node chain the plain loop cannot close. */
   private[graft] def componentLabels(spark: SparkSession, docs: DataFrame,
       pairs: DataFrame): DataFrame = {
-    val (labels, _, converged) = propagateLabels(spark, docs, pairs)
-    if (converged) labels
-    else {
-      System.err.println(
-        "[graft] clusters: falling back to large-star/small-star for the " +
-          "over-diameter component graph")
-      propagateLabelsStar(spark, docs, pairs)._1
-    }
+    // persisted across the two attempts: the fallback must pay only
+    // the star rounds, not a second full evaluation of the pair
+    // pipeline (for clusters that is the whole minhash candidate +
+    // verification plan)
+    val p = pairs.persist()
+    try {
+      val (labels, _, converged) = propagateLabels(spark, docs, p)
+      if (converged) labels
+      else {
+        System.err.println(
+          "[graft] clusters: falling back to large-star/small-star for " +
+            "the over-diameter component graph")
+        propagateLabelsStar(spark, docs, p)._1
+      }
+    } finally p.unpersist(blocking = false): Unit
   }
 
   /** Min-label propagation over the near-dup pair graph; returns the
@@ -1349,12 +1356,13 @@ object Dedup {
     }
     // small-star: edges already point large -> small; for each node a,
     // m = min of its smaller neighbors; re-hang those neighbors (and a
-    // itself) onto m.
+    // itself) onto m. ONE join per round — both endpoints emitted from
+    // the same joined row via explode (a union of two identical joins
+    // would double the round's shuffle volume).
     def smallStar(e: DataFrame): DataFrame = {
       val m = e.groupBy("u").agg(min(col("v")).as("m"))
       e.join(m, "u")
-        .select(col("v").as("n"), col("m"))
-        .union(e.join(m, "u").select(col("u").as("n"), col("m")))
+        .select(explode(array(col("v"), col("u"))).as("n"), col("m"))
         .filter(col("n") =!= col("m"))
         .select(col("n").as("u"), col("m").as("v")).distinct()
     }

@@ -82,7 +82,12 @@ object DocDedupStream {
       val fs = p.getFileSystem(hconf)
       fs.exists(p) && fs.listStatus(p).nonEmpty
     }
-    val resume = ckptUsed && spark.catalog.tableExists(tbl)
+    // resume also requires the sink to carry the batch_id partition
+    // layout: a table written by a pre-partitioning binary would make
+    // every replayed insertInto fail on column count — better to start
+    // fresh (both halves cleared) than crash-loop on restart
+    val resume = ckptUsed && spark.catalog.tableExists(tbl) &&
+      spark.table(tbl).columns.contains("batch_id")
     if (!resume) {
       graft.sources.Bucketing.dropManaged(spark, tbl)
       checkpointDir.foreach { d => // fresh start clears the other half

@@ -26,7 +26,10 @@ if [ "$MAIN" = "graft.Verify" ]; then
   ART="${SPARK_GRAFT_CORRECTNESS_OUT:-}"
   if [ -z "$ART" ] && [ -z "${SPARK_GRAFT_VERIFY_QUERIES:-}" ] \
       && [[ "$SF" == */sf1 || "$SF" == */sf1/ ]]; then
-    N=$(ls /root/repo/CORRECTNESS_r*.json 2>/dev/null \
+    # max over BOTH artifact families: if this round's sf1 artifact is
+    # already committed but the driver's CORRECTNESS_r{N} is not yet, a
+    # re-run must still advance, not clobber the committed file
+    N=$(ls /root/repo/CORRECTNESS_r*.json /root/repo/CORRECTNESS_sf1_r*.json 2>/dev/null \
         | sed 's/.*_r0*\([0-9]*\)\.json/\1/' | sort -n | tail -1)
     [ -n "$N" ] && ART="/root/repo/CORRECTNESS_sf1_r$((N + 1)).json"
   fi
