@@ -23,6 +23,35 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
       check(gen.pureApply(Gen.Parameters.default, Seed(0xC0FFEE + i)))
     }
 
+  test("SQL-registered kernels type-check at ANALYSIS: implicit casts and named errors") {
+    // a BIGINT threshold is implicitly cast to INT instead of a
+    // runtime ClassCastException (the expressions are documented as
+    // registered for general SQL use)
+    val d = spark.sql(
+      "SELECT lev_banded('kitten', 'sitting', CAST(10 AS BIGINT)) AS d")
+      .head().getInt(0)
+    assert(d === 3)
+    // a wrong-typed argument fails when the query is ANALYZED, with
+    // the function named — not mid-execution on a worker
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT tok_counts('not an array')").queryExecution.analyzed
+    }
+    assert(e1.getMessage.contains("tok_counts"))
+    // (a castable wrong type is coerced instead — e.g. tok_stats'
+    // first arg accepts anything stringifiable, standard coercion —
+    // so the negative cases use genuinely non-castable types)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT tok_stats('text', 'not an array')")
+        .queryExecution.analyzed
+    }
+    assert(e2.getMessage.contains("tok_stats"))
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT lev_banded('a', 'b', array(1))")
+        .queryExecution.analyzed
+    }
+    assert(e3.getMessage.contains("lev_banded"))
+  }
+
   private val textGen: Gen[String] = for {
     n <- Gen.choose(0, 40)
     words <- Gen.listOfN(n, Gen.oneOf(
