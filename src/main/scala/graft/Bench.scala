@@ -186,16 +186,20 @@ object Bench {
     probeSentinels()
     (1 to nReps).foreach(_ => runPass())
 
-    // Self-heal: when NO pass is sentinel-quiet, a burst poisoned every
-    // min — add bounded extra passes until one is quiet or the budget is
-    // spent. Each extra pass costs one catalog pass; a burst shorter
-    // than that window ends inside it.
+    // Self-heal: while fewer than TWO passes are sentinel-quiet, add
+    // bounded extra passes. One quiet pass means the headline ships on
+    // that single pass's numbers (the r14 driver artifact did exactly
+    // that, at 63% spread, and cost a judge cycle to adjudicate); two
+    // quiet passes make the min a corroborated reading. Each extra
+    // pass costs one catalog pass; a burst shorter than that window
+    // ends inside it.
     var extraPasses = 0
     def quietNow(): Set[Int] =
       BenchNoise.quietPasses(sentinelTimes.toMap, passTimes.size, BurstSpreadPct)
     while (BenchNoise.needsExtraPass(quietNow(), extraPasses, maxExtra)) {
       System.err.println(
-        s"[bench] no sentinel-quiet pass after ${passTimes.size} passes " +
+        s"[bench] only ${quietNow().size} sentinel-quiet pass(es) after " +
+          s"${passTimes.size} passes " +
           s"(spread ${jsonNum(BenchNoise.spreadPct(sentinelTimes.toMap))}%) — " +
           s"self-heal pass ${extraPasses + 1}/$maxExtra")
       runPass()

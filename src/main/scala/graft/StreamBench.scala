@@ -33,24 +33,26 @@ import graft.streaming.{EventsStream, SessionStream}
 object StreamBench {
 
   /** JSON for one op run — pure, so the bookkeeping spec can pin the
-    * shape without a streaming run. `-1` entries mark batches where
-    * the source reported no metric (e.g. a stateless op's state rows);
-    * the artifact's top-level `state_rows_sentinel` note repeats this
-    * so a reader of the JSON alone can't mis-parse −1 as a
-    * regression. */
+    * shape without a streaming run. A micro-batch where the source
+    * reported no metric (internally recorded as a negative value —
+    * e.g. a stateless op's state rows, or a missing trigger duration)
+    * is emitted as JSON `null`: the schema is self-describing, where
+    * the pre-schema-2 `-1` sentinel needed a top-level note to keep
+    * readers from mis-parsing it as a regression. */
   def recordJson(name: String, batchMs: Seq[Long], stateRows: Seq[Long],
-      wallS: Double, outRows: Long): String =
-    s""""$name": {"batch_ms": [${batchMs.mkString(",")}], """ +
-      s""""state_rows": [${stateRows.mkString(",")}], """ +
+      wallS: Double, outRows: Long): String = {
+    def arr(xs: Seq[Long]): String =
+      xs.map(x => if (x < 0) "null" else x.toString).mkString("[", ",", "]")
+    s""""$name": {"batch_ms": ${arr(batchMs)}, """ +
+      s""""state_rows": ${arr(stateRows)}, """ +
       s""""wall_s": ${num(wallS)}, "out_rows": $outRows}"""
+  }
 
   /** The full artifact object — pure. */
   def reportJson(sfDir: String, totalWallS: Double, records: Seq[String]): String =
     records.mkString(
       s"""{"metric": "stream_total", "value": ${num(totalWallS)}, """ +
-        s""""unit": "sec", "sf": "$sfDir", """ +
-        """"state_rows_sentinel": """ +
-        """"-1 = no stateful operator in that micro-batch's plan", """ +
+        s""""unit": "sec", "sf": "$sfDir", "schema": 2, """ +
         """"ops": {""",
       ", ", "}}")
 
@@ -157,6 +159,12 @@ object StreamBench {
     val only = sys.env.get("SPARK_GRAFT_STREAM_OPS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names =>
+      // an empty/whitespace value would pass the unknown-name check
+      // vacuously, deselect every op, and commit an empty ops:{}
+      // artifact wearing a success-shaped summary line
+      require(names.nonEmpty,
+        "SPARK_GRAFT_STREAM_OPS is set but selects no ops " +
+          s"(known: ${knownOps.toSeq.sorted.mkString(", ")})")
       val unknown = names.diff(knownOps)
       require(unknown.isEmpty,
         s"unknown SPARK_GRAFT_STREAM_OPS: ${unknown.mkString(", ")} " +

@@ -70,9 +70,9 @@ object StreamSkewBench {
         () => SessionStream.run(spark, in, s"graft_sskew_$tag",
           maxFilesPerTrigger = Some(1)),
         s"graft_sskew_$tag")
-      s""""session_$tag": {"batch_ms": [${trig.mkString(",")}], """ +
-        s""""state_rows": [${state.mkString(",")}], """ +
-        s""""wall_s": ${num(wall)}, "out_rows": $outRows}"""
+      // StreamBench.recordJson: schema-2 shape (no-metric batches
+      // emit null, never a -1 sentinel)
+      StreamBench.recordJson(s"session_$tag", trig, state, wall, outRows)
     }
 
     def tumblingRun(tag: String, dir: String): String = {

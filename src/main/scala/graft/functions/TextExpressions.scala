@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** One-pass text statistics kernel for the text-analysis tier.
@@ -158,6 +158,15 @@ object TextKernels {
     * candidate pair (hundreds of thousands of rows). One linear band
     * per row, two reused int rows, early abandon when a full band row
     * exceeds k. */
+  /** LONG-threshold entry point (the SQL surface declares BIGINT so a
+    * wide threshold is never silently truncated mod 2³² — e.g.
+    * k = 4294967299L must behave as unbounded, not as k = 3). Any
+    * k ≥ max(|l|,|r|) already means "exact distance", so clamping to
+    * 2³⁰ is value-identical for every real string while keeping the
+    * kernel's `inf = k + 1` arithmetic overflow-free. */
+  def levBanded(l: UTF8String, r: UTF8String, k: Long): Int =
+    levBanded(l, r, math.max(-1L, math.min(k, 1L << 30)).toInt)
+
   def levBanded(l: UTF8String, r: UTF8String, k: Int): Int = {
     if (k < 0) return -1
     var a = codepoints(l)
@@ -279,15 +288,16 @@ case class LevBanded(first: Expression, second: Expression, third: Expression)
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "lev_banded"
-  // analysis-time typing for the SQL surface: lev_banded(l, r, 10L)
-  // gets the BIGINT threshold implicitly cast to INT instead of a
-  // runtime ClassCastException
+  // analysis-time typing for the SQL surface: the threshold is BIGINT
+  // (INT literals upcast losslessly), so an out-of-int-range k is
+  // never truncated mod 2³² into a silently-narrow band — the kernel's
+  // Long entry point clamps it to "unbounded" instead
   override def inputTypes: Seq[DataType] =
-    Seq(StringType, StringType, IntegerType)
+    Seq(StringType, StringType, LongType)
 
   override protected def nullSafeEval(l: Any, r: Any, k: Any): Any =
     TextKernels.levBanded(l.asInstanceOf[UTF8String],
-      r.asInstanceOf[UTF8String], k.asInstanceOf[Int])
+      r.asInstanceOf[UTF8String], k.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,

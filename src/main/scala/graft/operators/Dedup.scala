@@ -1218,23 +1218,42 @@ object Dedup {
     * large-star/small-star alternation recomputes the labels
     * diameter-proof instead of shipping wrong ones. DedupSpec pins
     * the fallback on the 40-node chain the plain loop cannot close. */
+  /** Diagnostics from one [[componentLabels]] run: rounds the
+    * min-label loop spent, whether it converged, and (when it did
+    * not) the star alternation's rounds — what ClustersChainBench
+    * records so the fallback path is a measured artifact, not only a
+    * 40-node spec fixture. */
+  private[graft] final case class ComponentDiag(
+      propagateRounds: Int, propagateConverged: Boolean, starRounds: Int)
+
   private[graft] def componentLabels(spark: SparkSession, docs: DataFrame,
-      pairs: DataFrame): DataFrame = {
+      pairs: DataFrame): DataFrame =
+    componentLabelsDiag(spark, docs, pairs)._1
+
+  private[graft] def componentLabelsDiag(spark: SparkSession, docs: DataFrame,
+      pairs: DataFrame): (DataFrame, ComponentDiag) = {
     // persisted across the two attempts: the fallback must pay only
     // the star rounds, not a second full evaluation of the pair
     // pipeline (for clusters that is the whole minhash candidate +
-    // verification plan)
-    val p = pairs.persist()
+    // verification plan). A caller that already persisted the frame
+    // keeps ownership of its cache — persisting again would register
+    // a second entry and the finally-unpersist would evict the
+    // caller's copy out from under it (Spark caching isn't
+    // ref-counted).
+    val alreadyCached =
+      pairs.storageLevel.useMemory || pairs.storageLevel.useDisk
+    val p = if (alreadyCached) pairs else pairs.persist()
     try {
-      val (labels, _, converged) = propagateLabels(spark, docs, p)
-      if (converged) labels
+      val (labels, rounds, converged) = propagateLabels(spark, docs, p)
+      if (converged) (labels, ComponentDiag(rounds, converged, 0))
       else {
         System.err.println(
           "[graft] clusters: falling back to large-star/small-star for " +
             "the over-diameter component graph")
-        propagateLabelsStar(spark, docs, p)._1
+        val (starLabels, starRounds) = propagateLabelsStar(spark, docs, p)
+        (starLabels, ComponentDiag(rounds, converged, starRounds))
       }
-    } finally p.unpersist(blocking = false): Unit
+    } finally if (!alreadyCached) p.unpersist(blocking = false): Unit
   }
 
   /** Min-label propagation over the near-dup pair graph; returns the

@@ -24,13 +24,21 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
     }
 
   test("SQL-registered kernels type-check at ANALYSIS: implicit casts and named errors") {
-    // a BIGINT threshold is implicitly cast to INT instead of a
-    // runtime ClassCastException (the expressions are documented as
-    // registered for general SQL use)
+    // the threshold is declared BIGINT (the expressions are documented
+    // as registered for general SQL use); INT literals upcast
     val d = spark.sql(
       "SELECT lev_banded('kitten', 'sitting', CAST(10 AS BIGINT)) AS d")
       .head().getInt(0)
     assert(d === 3)
+    // an out-of-int-range threshold behaves as UNBOUNDED — it must not
+    // truncate mod 2³² into a narrow band (4294967299 = 2³² + 3 would
+    // read as k = 3 under int truncation; distance 5 > 3 exposes that)
+    val wide = spark.sql(
+      "SELECT lev_banded('aaaaaa', 'bbbbba', 4294967299) AS d")
+      .head().getInt(0)
+    assert(wide === 5, "BIGINT threshold beyond Int range must not truncate")
+    assert(spark.sql("SELECT lev_banded('a', 'b', CAST(-9223372036854775808 AS BIGINT)) AS d")
+      .head().getInt(0) === -1, "hugely negative threshold stays the -1 sentinel")
     // a wrong-typed argument fails when the query is ANALYZED, with
     // the function named — not mid-execution on a worker
     val e1 = intercept[org.apache.spark.sql.AnalysisException] {

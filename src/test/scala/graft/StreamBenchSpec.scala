@@ -8,20 +8,23 @@ import org.scalatest.funsuite.AnyFunSuite
   * BenchNoiseSpec idiom that guards graft.Bench's artifact. */
 class StreamBenchSpec extends AnyFunSuite {
 
-  test("recordJson carries per-batch arrays and scalars verbatim") {
+  test("recordJson carries per-batch arrays and scalars verbatim, nulling no-metric batches") {
     val r = StreamBench.recordJson("sessionize",
       batchMs = Seq(120L, 80L, -1L), stateRows = Seq(10L, 7L, 0L),
       wallS = 1.2345, outRows = 42L)
     assert(r ===
-      """"sessionize": {"batch_ms": [120,80,-1], "state_rows": [10,7,0], """ +
+      """"sessionize": {"batch_ms": [120,80,null], "state_rows": [10,7,0], """ +
         """"wall_s": 1.235, "out_rows": 42}""")
   }
 
-  test("recordJson of a single-batch stateless op stays valid JSON") {
+  test("recordJson of a single-batch stateless op emits null state rows, not a -1 sentinel") {
     val r = StreamBench.recordJson("tumbling_agg",
       batchMs = Seq(95L), stateRows = Seq(-1L), wallS = 0.5, outRows = 7L)
     assert(r.contains(""""batch_ms": [95]"""))
-    assert(r.contains(""""state_rows": [-1]"""))
+    // schema 2: a stateless micro-batch is self-describing JSON null —
+    // no out-of-band sentinel documentation needed to read the artifact
+    assert(r.contains(""""state_rows": [null]"""))
+    assert(!r.contains("-1"))
   }
 
   test("reportJson wraps records into one parseable object") {
@@ -33,10 +36,9 @@ class StreamBenchSpec extends AnyFunSuite {
     assert(report.startsWith(
       """{"metric": "stream_total", "value": 12.500, "unit": "sec", """))
     assert(report.contains(""""sf": "target/benchdata/sf1""""))
-    // the -1 state-rows sentinel is documented IN the artifact, so a
-    // reader of the JSON alone can't mis-parse it as a regression
-    assert(report.contains(
-      """"state_rows_sentinel": "-1 = no stateful operator"""))
+    // the schema marker records the -1→null sentinel retirement
+    assert(report.contains(""""schema": 2"""))
+    assert(!report.contains("state_rows_sentinel"))
     assert(report.contains(""""ops": {"a": """))
     assert(report.contains(""", "b": {"batch_ms": [], """))
     assert(report.endsWith("}}"))

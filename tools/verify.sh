@@ -28,10 +28,16 @@ if [ "$MAIN" = "graft.Verify" ]; then
       && [[ "$SF" == */sf1 || "$SF" == */sf1/ ]]; then
     # max over BOTH artifact families: if this round's sf1 artifact is
     # already committed but the driver's CORRECTNESS_r{N} is not yet, a
-    # re-run must still advance, not clobber the committed file
-    N=$(ls /root/repo/CORRECTNESS_r*.json /root/repo/CORRECTNESS_sf1_r*.json 2>/dev/null \
+    # re-run must still advance, not clobber the committed file.
+    # COMMITTED artifacts only (git ls-files): a stray/uncommitted
+    # CORRECTNESS_r*.json in the working tree must not inflate N and
+    # land the sf1 artifact under a future round's label.
+    N=$(git -C /root/repo ls-files 'CORRECTNESS_r*.json' 'CORRECTNESS_sf1_r*.json' \
         | sed 's/.*_r0*\([0-9]*\)\.json/\1/' | sort -n | tail -1)
     [ -n "$N" ] && ART="/root/repo/CORRECTNESS_sf1_r$((N + 1)).json"
+    if [ -n "$ART" ] && [ -e "$ART" ]; then
+      echo "[verify] WARNING: $ART already exists (uncommitted re-run this round) — overwriting" >&2
+    fi
   fi
   python3 /root/repo/tools/validate.py "$SF" "$OUT" $ART
 fi
