@@ -252,6 +252,39 @@ object Bench {
         s""""quiet_passes":$quietJson,"n_passes":${passTimes.size},""" +
         s""""extra_passes":$extraPasses}"""
 
+    // Per-query regression gate: evaluate the headline against the
+    // committed quiet-epoch ceilings (bench_budgets.json), sentinel-
+    // normalized so a uniformly loaded host raises ceilings by the
+    // measured ambient factor instead of flagging the whole catalog.
+    // An absent file or an SF tier with no pinned epoch (skew corpora,
+    // ad-hoc dirs) renders {"checked": false} — visible skip, not
+    // silence. Evaluated on the HEADLINE (quiet-pass mins): the raw
+    // mins can carry burst contamination the budgets don't model.
+    val budgetsPath = java.nio.file.Paths
+      .get(sys.env.getOrElse("SPARK_GRAFT_BUDGETS_PATH", "bench_budgets.json"))
+      .toAbsolutePath
+    val sentinelMins = sentinelTimes.toMap.flatMap { case (n, samples) =>
+      val pos = samples.filter(_ > 0)
+      if (pos.isEmpty) None else Some(n -> pos.min)
+    }
+    val budgetBlock = BenchBudgets.blockJson(
+      if (!java.nio.file.Files.exists(budgetsPath)) None
+      else {
+        val budgets = BenchBudgets.parse(new String(
+          java.nio.file.Files.readAllBytes(budgetsPath),
+          java.nio.charset.StandardCharsets.UTF_8))
+        val key = BenchBudgets.sfKey(sfDir)
+        budgets.epochs.get(key).map { epoch =>
+          val (factor, violations, unbudgeted) = BenchBudgets.evaluate(
+            epoch, budgets.toleranceX, budgets.absSlackS, headlineTimes,
+            sentinelMins)
+          violations.foreach(v => System.err.println(
+            s"[bench] BUDGET VIOLATION: ${v.query} ${v.sec}s > " +
+              s"ceiling ${v.budgetS}s (ambient factor $factor)"))
+          (key, factor, violations, unbudgeted)
+        }
+      })
+
     // Complete artifact on disk. The driver's stdout capture keeps only the
     // tail of the (long) JSON line, which truncated rounds 1-10 to a
     // partial query table with the total cut off mid-number; this file is
@@ -271,7 +304,8 @@ object Bench {
         s""""unit":"sec","sf":"$sfDir","cpus":"$cpus",""" +
         s""""reps":$nReps,"generated_at":"${java.time.Instant.now()}",""" +
         s""""ivfpq_prebuild_s":${jsonNum(ivfpqPrebuildS)},"excluded":$excludedJson,""" +
-        s""""noise":$noiseJson,"queries":$qs,"per_rep":$perRepJson}"""
+        s""""noise":$noiseJson,"budget":$budgetBlock,""" +
+        s""""queries":$qs,"per_rep":$perRepJson}"""
     try {
       Option(reportPath.getParent).foreach(java.nio.file.Files.createDirectories(_): Unit)
       java.nio.file.Files.write(reportPath,
@@ -297,10 +331,12 @@ object Bench {
         s""""quiet_passes":$quietJson,"extra_passes":$extraPasses}"""
     val compactLine =
       s"""{"metric":"total","value":${jsonNum(total)},"unit":"sec","sf":"$sfDir",""" +
-        s""""raw_value":${jsonNum(rawTotal)},"report":"$reportPath","noise":$compactNoise}"""
+        s""""raw_value":${jsonNum(rawTotal)},"report":"$reportPath",""" +
+        s""""budget":$budgetBlock,"noise":$compactNoise}"""
     println(compactLine)
     println(
       s"""{"queries":$qs,"sf":"$sfDir","reps":$nReps,"noise":$noiseJson,""" +
+        s""""budget":$budgetBlock,""" +
         s""""report":"$reportPath","metric":"total","value":${jsonNum(total)},"unit":"sec"}""")
     println(compactLine)
     spark.stop()

@@ -1,0 +1,129 @@
+package graft
+
+import org.json4s.{DefaultFormats, JDouble, JInt, JObject, JValue}
+import org.json4s.jackson.JsonMethods
+
+/** Per-query regression budgets for the bench artifact.
+  *
+  * Cross-round comparison used to need prose attribution every round
+  * ("untouched-median 1.06×, the r13c host pairing ran ~18% fast…").
+  * This pins the comparison machine-readable instead: a committed
+  * `bench_budgets.json` carries, per SF tier, the quiet-epoch headline
+  * seconds of every query plus the same epoch's sentinel floors, and
+  * each bench run emits a `budget` block — the ceiling factor it
+  * applied and the (ideally empty) `violations` list — into its
+  * artifact.
+  *
+  * Ceiling construction, per query:
+  *
+  *   budget(q) = epoch(q) × tolerance × ambientFactor + absSlackS
+  *
+  *  - `tolerance` absorbs plan-level run-to-run jitter (GC phase, page
+  *    cache, codegen luck) that the sentinels cannot see;
+  *  - `ambientFactor` is the SENTINEL-NORMALIZED part: the geometric
+  *    mean of (this run's sentinel floor / the epoch's sentinel
+  *    floor), clamped to ≥ 1 — a uniformly slow host epoch raises
+  *    every ceiling by the factor the sentinels actually measured,
+  *    instead of flagging the whole catalog (the r13c/r14 "ambient
+  *    epoch" adjudication, automated). Clamping at 1 means a FASTER
+  *    host never tightens ceilings below the committed epoch's.
+  *  - `absSlackS` keeps sub-second queries from tripping on absolute
+  *    noise a relative tolerance can't cover.
+  *
+  * A query with no committed epoch value (new this round) has no
+  * ceiling; it is listed under `unbudgeted` so silence is visible, and
+  * gets a budget when the epoch file is next regenerated
+  * (`tools/gen_budgets.py`).
+  */
+object BenchBudgets {
+
+  final case class Violation(query: String, sec: Double, budgetS: Double)
+
+  final case class Epoch(sentinels: Map[String, Double], queries: Map[String, Double])
+
+  final case class Budgets(toleranceX: Double, absSlackS: Double,
+      epochs: Map[String, Epoch])
+
+  private implicit val formats: DefaultFormats.type = DefaultFormats
+
+  private def numMap(v: JValue): Map[String, Double] = v match {
+    case JObject(fields) => fields.collect {
+      case (k, JDouble(d)) => k -> d
+      case (k, JInt(i))    => k -> i.toDouble
+    }.toMap
+    case _ => Map.empty
+  }
+
+  /** Parse `bench_budgets.json`. Throws on malformed JSON — a corrupt
+    * committed budget file should fail the bench loudly, not silently
+    * skip the gate it exists to provide. */
+  def parse(json: String): Budgets = {
+    val root = JsonMethods.parse(json)
+    val epochs = (root \ "epochs") match {
+      case JObject(fields) => fields.map { case (sfKey, e) =>
+        sfKey -> Epoch(numMap(e \ "sentinels"), numMap(e \ "queries"))
+      }.toMap
+      case _ => Map.empty[String, Epoch]
+    }
+    Budgets((root \ "tolerance_x").extract[Double],
+      (root \ "abs_slack_s").extract[Double], epochs)
+  }
+
+  /** The SF key a bench run files its budgets under: the basename of
+    * the data dir ("/root/testdata/sf0.1" and "target/benchdata/sf1"
+    * → "sf0.1" / "sf1"), so driver and local runs over the same tier
+    * share one epoch. */
+  def sfKey(sfDir: String): String =
+    java.nio.file.Paths.get(sfDir).getFileName.toString
+
+  /** Sentinel-normalized ambient factor: geometric mean over sentinels
+    * of (current quiet floor / epoch floor), clamped to ≥ 1. Sentinels
+    * missing from either side contribute nothing; no usable sentinel
+    * → factor 1 (the conservative ceiling). */
+  def ambientFactor(epochSentinels: Map[String, Double],
+      currentSentinelMins: Map[String, Double]): Double = {
+    val ratios = epochSentinels.toSeq.flatMap { case (name, epochMin) =>
+      currentSentinelMins.get(name).filter(_ > 0).filter(_ => epochMin > 0)
+        .map(cur => math.log(cur / epochMin))
+    }
+    if (ratios.isEmpty) 1.0
+    else math.max(1.0, math.exp(ratios.sum / ratios.size))
+  }
+
+  /** Evaluate one run against its epoch: (ambient factor, violations,
+    * unbudgeted query names). Failed queries (headline < 0) are never
+    * violations — the -1 failure sentinel is its own, louder, signal. */
+  def evaluate(epoch: Epoch, toleranceX: Double, absSlackS: Double,
+      headline: Map[String, Double], currentSentinelMins: Map[String, Double])
+      : (Double, Seq[Violation], Seq[String]) = {
+    val factor = ambientFactor(epoch.sentinels, currentSentinelMins)
+    val violations = headline.toSeq.sortBy(_._1).flatMap { case (q, sec) =>
+      epoch.queries.get(q).flatMap { e =>
+        val budget = e * toleranceX * factor + absSlackS
+        if (sec >= 0 && sec > budget) Some(Violation(q, sec, budget)) else None
+      }
+    }
+    val unbudgeted = headline.keys.filterNot(epoch.queries.contains).toSeq.sorted
+    (factor, violations, unbudgeted)
+  }
+
+  private def num(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+
+  /** The `budget` block for the bench artifact — pure, spec-pinned.
+    * `None` (no budget file / unknown SF tier) renders as an explicit
+    * skip marker rather than an absent key, so "no gate ran" is
+    * distinguishable from "gate ran clean" in the JSON alone. */
+  def blockJson(result: Option[(String, Double, Seq[Violation], Seq[String])])
+      : String = result match {
+    case None => """{"checked": false}"""
+    case Some((sfKey, factor, violations, unbudgeted)) =>
+      val vs = violations.map(v =>
+        s"""{"query":"${v.query}","sec":${num(v.sec)},""" +
+          s""""budget_s":${num(v.budgetS)}}""").mkString("[", ",", "]")
+      val un = unbudgeted.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"checked": true, "sf_key": "$sfKey", """ +
+        s""""ambient_factor": ${num(factor)}, """ +
+        s""""violations": $vs, "unbudgeted": $un}"""
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure bookkeeping for the per-query regression gate
+  * (`bench_budgets.json` → the bench artifact's `budget` block) — the
+  * BenchNoiseSpec idiom: the algebra is pinned without a Spark run. */
+class BenchBudgetsSpec extends AnyFunSuite {
+
+  private val sampleJson =
+    """{
+      | "schema": 1, "tolerance_x": 1.5, "abs_slack_s": 0.5,
+      | "epochs": {
+      |  "sf0.1": {
+      |   "artifact": "bench_reports/example.json",
+      |   "sentinels": {"dedup_exact": 0.40, "mm_binary_meta": 0.10},
+      |   "queries": {"q_fast": 1.0, "q_slow": 10.0}
+      |  }
+      | }
+      |}""".stripMargin
+
+  test("parse reads tolerance, slack, and per-SF epochs") {
+    val b = BenchBudgets.parse(sampleJson)
+    assert(b.toleranceX === 1.5)
+    assert(b.absSlackS === 0.5)
+    assert(b.epochs("sf0.1").queries === Map("q_fast" -> 1.0, "q_slow" -> 10.0))
+    assert(b.epochs("sf0.1").sentinels("dedup_exact") === 0.40)
+  }
+
+  test("sfKey is the data dir basename, shared by driver and local paths") {
+    assert(BenchBudgets.sfKey("/root/testdata/sf0.1") === "sf0.1")
+    assert(BenchBudgets.sfKey("target/benchdata/sf1") === "sf1")
+  }
+
+  test("ambientFactor: geometric mean of sentinel ratios, clamped >= 1") {
+    val epoch = Map("a" -> 0.40, "b" -> 0.10)
+    // 2x on one sentinel, 1x on the other -> sqrt(2)
+    val f = BenchBudgets.ambientFactor(epoch, Map("a" -> 0.80, "b" -> 0.10))
+    assert(math.abs(f - math.sqrt(2.0)) < 1e-9)
+    // a FASTER host never tightens ceilings below the committed epoch
+    assert(BenchBudgets.ambientFactor(epoch, Map("a" -> 0.20, "b" -> 0.05)) === 1.0)
+    // no usable sentinel -> the conservative factor 1
+    assert(BenchBudgets.ambientFactor(epoch, Map.empty) === 1.0)
+    assert(BenchBudgets.ambientFactor(epoch, Map("a" -> -1.0)) === 1.0)
+  }
+
+  test("evaluate: violations above the scaled ceiling, unbudgeted named, failures skipped") {
+    val b = BenchBudgets.parse(sampleJson)
+    val epoch = b.epochs("sf0.1")
+    // calm sentinels -> factor 1; ceilings 1*1.5+0.5=2.0 and 10*1.5+0.5=15.5
+    val (f, violations, unbudgeted) = BenchBudgets.evaluate(
+      epoch, b.toleranceX, b.absSlackS,
+      headline = Map("q_fast" -> 2.5, "q_slow" -> 12.0, "q_new" -> 3.0),
+      currentSentinelMins = Map("dedup_exact" -> 0.40, "mm_binary_meta" -> 0.10))
+    assert(f === 1.0)
+    assert(violations.map(v => (v.query, v.budgetS)) === Seq(("q_fast", 2.0)))
+    assert(unbudgeted === Seq("q_new"))
+    // an ambient epoch (sentinels uniformly 2x) lifts the ceiling over 2.5
+    val (f2, v2, _) = BenchBudgets.evaluate(
+      epoch, b.toleranceX, b.absSlackS, Map("q_fast" -> 2.5),
+      Map("dedup_exact" -> 0.80, "mm_binary_meta" -> 0.20))
+    assert(math.abs(f2 - 2.0) < 1e-9)
+    assert(v2.isEmpty, "sentinel-normalized ceiling must absorb the ambient epoch")
+    // a failed query (-1 headline sentinel) is not a budget violation
+    val (_, v3, _) = BenchBudgets.evaluate(
+      epoch, b.toleranceX, b.absSlackS, Map("q_fast" -> -1.0),
+      Map("dedup_exact" -> 0.40))
+    assert(v3.isEmpty)
+  }
+
+  test("blockJson: explicit skip marker vs clean vs violating runs") {
+    assert(BenchBudgets.blockJson(None) === """{"checked": false}""")
+    val clean = BenchBudgets.blockJson(Some(("sf1", 1.07, Seq.empty, Seq.empty)))
+    assert(clean.contains(""""checked": true"""))
+    assert(clean.contains(""""sf_key": "sf1""""))
+    assert(clean.contains(""""ambient_factor": 1.070"""))
+    assert(clean.contains(""""violations": []"""))
+    val bad = BenchBudgets.blockJson(Some(("sf0.1", 1.0,
+      Seq(BenchBudgets.Violation("q", 3.21, 2.5)), Seq("q_new"))))
+    assert(bad.contains(
+      """"violations": [{"query":"q","sec":3.210,"budget_s":2.500}]"""))
+    assert(bad.contains(""""unbudgeted": ["q_new"]"""))
+  }
+}

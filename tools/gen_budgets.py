@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Regenerate bench_budgets.json from quiet-epoch bench artifacts.
+
+Usage: tools/gen_budgets.py <sf0.1_artifact> <sf1_artifact>
+
+Each artifact must be a graft.Bench full report (target/bench_report
+.json shape) from a run with quiet passes (noise.burst == false) — the
+budgets are ceilings, so pinning them from a contaminated run would
+bake the contamination in. The epoch's per-query seconds are the
+artifact's headline mins; the epoch's sentinel floors are the min
+positive sentinel samples. Tolerance/slack are policy, kept here so a
+regeneration can't silently change them.
+"""
+import json
+import sys
+
+TOLERANCE_X = 1.6   # plan-level jitter the sentinels can't see
+ABS_SLACK_S = 0.5   # absolute noise floor for sub-second queries
+
+
+def epoch(path):
+    with open(path) as f:
+        art = json.load(f)
+    noise = art["noise"]
+    if noise.get("burst", True):
+        sys.exit(f"refusing to pin budgets from a burst-flagged run: {path}")
+    sentinels = {}
+    for name, samples in noise["sentinels"].items():
+        pos = [s for s in samples if s > 0]
+        if pos:
+            sentinels[name] = min(pos)
+    queries = {q: v for q, v in art["queries"].items()
+               if isinstance(v, (int, float)) and v >= 0}
+    return art["sf"], {"artifact": path, "sentinels": sentinels,
+                       "queries": queries}
+
+
+def main():
+    if len(sys.argv) != 3:
+        sys.exit(__doc__)
+    epochs = {}
+    for path in sys.argv[1:]:
+        sf_dir, e = epoch(path)
+        key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        epochs[key] = e
+    out = {
+        "schema": 1,
+        "tolerance_x": TOLERANCE_X,
+        "abs_slack_s": ABS_SLACK_S,
+        "note": ("Per-query bench ceilings: budget = epoch_s * tolerance_x *"
+                 " ambient_factor + abs_slack_s, where ambient_factor is the"
+                 " sentinel-normalized host-load ratio (>= 1) the bench"
+                 " computes at run time. Regenerate with tools/gen_budgets.py"
+                 " from quiet-epoch artifacts only."),
+        "epochs": epochs,
+    }
+    with open("bench_budgets.json", "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
+    for key, e in sorted(epochs.items()):
+        print(f"[budgets] {key}: {len(e['queries'])} queries from {e['artifact']}")
+
+
+if __name__ == "__main__":
+    main()
