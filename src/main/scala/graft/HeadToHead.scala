@@ -169,6 +169,60 @@ object HeadToHead {
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     println(s"""{"metric": "head_to_head_graft_$mode", """ +
       s""""cold_s": ${num(cold)}, "warm_s": ${num(warm)}, "rows": $rows}""")
+    writeArtifact(mode, cold, warm, rows)
     spark.stop()
+  }
+
+  /** Merge this run's numbers into the machine-readable head-to-head
+    * artifact (default `target/headtohead.json`, override with
+    * SPARK_GRAFT_H2H_REPORT_PATH). The only reference-anchored perf
+    * number used to live in BASELINE.md prose, re-typed each round;
+    * the per-round file under `bench_reports/headtohead_r{N}.json` is
+    * this artifact, copied.
+    *
+    * MERGE, not overwrite: the protocol runs each mode in its own JVM
+    * (a second mode in one JVM would report a fake "cold"), so the
+    * faithful and corrected runs land in the same file one after the
+    * other. The reference side is its own PySpark program run
+    * separately (kept out of this repo — it is the reference's plan,
+    * not engine code); the orchestration injects its measured numbers
+    * via SPARK_GRAFT_H2H_REF_{COLD_S,WARM_S,ROWS} so the artifact
+    * carries both sides of the comparison. */
+  private def writeArtifact(mode: String, coldS: Double, warmS: Double,
+      rows: Long): Unit = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    def num(d: Double): JDouble = JDouble(math.rint(d * 100) / 100)
+    val path = java.nio.file.Paths
+      .get(sys.env.getOrElse("SPARK_GRAFT_H2H_REPORT_PATH", "target/headtohead.json"))
+      .toAbsolutePath
+    val existing: JValue =
+      if (java.nio.file.Files.exists(path))
+        JsonMethods.parseOpt(new String(java.nio.file.Files.readAllBytes(path),
+          java.nio.charset.StandardCharsets.UTF_8)).getOrElse(JObject())
+      else JObject()
+    val ref = (for {
+      c <- sys.env.get("SPARK_GRAFT_H2H_REF_COLD_S").flatMap(_.toDoubleOption)
+      w <- sys.env.get("SPARK_GRAFT_H2H_REF_WARM_S").flatMap(_.toDoubleOption)
+      r <- sys.env.get("SPARK_GRAFT_H2H_REF_ROWS").flatMap(_.toLongOption)
+    } yield JObject("reference" -> JObject(
+      "cold_s" -> num(c), "warm_s" -> num(w), "rows" -> JLong(r),
+      "program" -> JString("reference PySpark plan, own program, same CSVs/host"))))
+      .getOrElse(JObject())
+    val merged = existing.merge(JObject(
+      "metric" -> JString("head_to_head"),
+      "unit" -> JString("sec"),
+      "generated_at" -> JString(java.time.Instant.now().toString),
+      "protocol" -> JString("five headered CSVs (graft.HeadToHeadData) -> " +
+        "CSV read, pipeline build, date-partitioned parquet write; cold then " +
+        "warm in one JVM per mode, timed after session creation"),
+      "graft" -> JObject(mode -> JObject(
+        "cold_s" -> num(coldS), "warm_s" -> num(warmS), "rows" -> JLong(rows)))))
+      .merge(ref)
+    Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_): Unit)
+    java.nio.file.Files.write(path,
+      (JsonMethods.pretty(JsonMethods.render(merged)) + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    System.err.println(s"[h2h] artifact merged into $path")
   }
 }
