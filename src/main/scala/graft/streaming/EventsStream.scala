@@ -143,6 +143,40 @@ object EventsStream {
       .start()
   }
 
+  /** [[tumblingAggAppend]] with a DURABLE sink + checkpoint — the
+    * shape that actually runs as a scheduled cadence: each
+    * AvailableNow drain appends the windows the advancing watermark
+    * closed to a parquet directory, and the NEXT drain resumes from
+    * the checkpoint (file-source log: already-committed files never
+    * reprocess; state store: windows still open at the previous
+    * drain's end keep their partial aggregates, so a window straddling
+    * two drains' files emits once, value-exact, when it finally
+    * closes). The memory-sink twin above cannot express this — the
+    * memory sink does not support recovery, so a second drain there
+    * starts a fresh query. EventsSpec's two-drain case pins the
+    * documented in-horizon-tail caveat end-to-end: windows inside
+    * drain 1's final watermark horizon emit on drain 2, exactly once,
+    * batch-identical. */
+  def tumblingAggAppendDurable(spark: SparkSession, dir: String,
+      outPath: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    eventsSource(spark, dir, maxFilesPerTrigger)
+      .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .select(
+        expr("unix_timestamp(window.start) div 3600").as("bucket_hr"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Sliding-window (1 h, slide 30 min) streaming aggregation — the
     * overlapping-window face of
     * [[graft.operators.Events.slidingAgg]]: each event lands in two

@@ -73,6 +73,72 @@ class EventsSpec extends AnyFunSuite with SparkSuite {
       "every window strictly behind the final watermark must have emitted")
   }
 
+  test("append-mode agg across TWO drains: the horizon tail emits on drain 2, exactly once, value-exact") {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files, Path}
+    // four time slices via the bench splitter, then staged into the
+    // live folder two per drain — drain 1 leaves its final-watermark
+    // horizon unemitted (the documented AvailableNow caveat), drain 2
+    // RESUMES from the checkpoint and must close that tail with
+    // batch-exact values (windows straddling the two drains' files
+    // prove the state store carried drain 1's partial aggregates)
+    val staged = Path.of(StreamBench.timeSplit(spark, SF, 4), "events.parquet")
+    val live = Files.createTempDirectory("graft_twodrain")
+    val liveEv = Files.createDirectories(live.resolve("events.parquet"))
+    val out = Files.createTempDirectory("graft_twodrain_out").toString
+    val ckpt = Files.createTempDirectory("graft_twodrain_ckpt").toString
+    def stage(i: Int): Unit =
+      Files.move(staged.resolve(f"p$i%02d.parquet"),
+        liveEv.resolve(f"p$i%02d.parquet")): Unit
+    def drain(): Unit = {
+      val q = EventsStream.tumblingAggAppendDurable(
+        spark, live.toString, out, ckpt, maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+    }
+    def emitted(): Set[Seq[Any]] = spark.read.parquet(out)
+      .selectExpr("bucket_hr", "event_type", "n_events", "sum_value")
+      .collect().map(_.toSeq).toSet
+
+    stage(0); stage(1)
+    drain()
+    val got1 = emitted()
+    stage(2); stage(3)
+    drain()
+    val got2 = emitted()
+
+    val batch = EventsStream.batchEquivalent(spark, SF)
+      .collect().map(_.toSeq).toSet
+    def closedBehind(maxSec: Long): Set[Seq[Any]] =
+      batch.filter(r => r.head.asInstanceOf[Long] + 1 < (maxSec - 7200) / 3600)
+    val ev = Tables.loadEvents(spark, SF)
+    val mm = ev.agg(min("sec"), max("sec")).head()
+    val (minS, fullMax) = (mm.getLong(0), mm.getLong(1))
+    // drain 1 saw slices 0-1 = sec < minS + 2*width, replicating
+    // timeSplit's slicing arithmetic exactly — a midpoint approximation
+    // would mis-place boundary events and corrupt the tail set
+    val width = math.max(1L, (fullMax - minS) / 4 + 1)
+    val halfMax = ev.filter(col("sec") < minS + 2 * width)
+      .agg(max("sec")).head().getLong(0)
+
+    // drain 1: value-exact, and everything behind ITS watermark closed
+    assert(got1.nonEmpty && got1.subsetOf(batch))
+    // drain 2: exactly once across drains (no re-emission of drain 1's
+    // windows), still value-exact against the full-input batch twin
+    val dupes = spark.read.parquet(out)
+      .groupBy("bucket_hr", "event_type").count().filter("count > 1").count()
+    assert(dupes === 0, "a window must emit exactly once across drains")
+    assert(got2.subsetOf(batch), "all emitted rows must be batch-exact")
+    assert(closedBehind(fullMax).subsetOf(got2),
+      "every window behind drain 2's watermark must have emitted")
+    // the TAIL: windows inside drain 1's horizon but behind drain 2's
+    // watermark — the last untested line of the append contract: they
+    // were withheld by drain 1 and must arrive with drain 2, intact
+    val tail = closedBehind(fullMax) -- closedBehind(halfMax)
+    assert(tail.nonEmpty, "fixture must exercise the horizon tail")
+    assert(tail.subsetOf(got2 -- got1),
+      "the drain-1 horizon tail must emit on drain 2, value-exact")
+  }
+
   test("mergeable HLL sketches: weekly union estimate within 5% of exact") {
     val approx = graft.operators.Events.hllDistinct(spark, SF).collect()
       .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2).toDouble).toMap
