@@ -1266,7 +1266,11 @@ object Dedup {
     * with component diameter, which is fine for near-dup clusters
     * (diameter ≤ 2–3 in practice; the sf1 clone groups are stars
     * around the base doc) but the wrong algorithm for a corpus whose
-    * duplicate graph forms long chains. */
+    * duplicate graph forms long chains. A chain doesn't pay the full
+    * cap before the fallback: the falling changed-label count is
+    * linearly projected at each convergence check, and a projection
+    * past the cap exits unconverged immediately (~4 rounds on a pure
+    * path vs 32 — measured in ClustersChainBench's artifact). */
   private[graft] def propagateLabels(spark: SparkSession, docs: DataFrame,
       pairs: DataFrame): (DataFrame, Int, Boolean) = {
     val und = pairs.union(
@@ -1287,8 +1291,21 @@ object Dedup {
     val checkEvery = 4
     val maxRounds = 32
     var converged = false
+    var hopeless = false
     var round = 0
-    while (!converged && round < maxRounds) {
+    // early chain tell: the changed-label count at consecutive check
+    // rounds projects the rounds left (min-label moves the frontier
+    // O(1) nodes per round on a chain, so `changed` falls LINEARLY —
+    // slope ~1/round on a pure path). When the linear projection lands
+    // past the cap, paying the remaining rounds is waste: exit
+    // unconverged NOW and let componentLabels take the star fallback.
+    // A wrong projection is a cost choice, never a correctness one —
+    // the fallback recomputes labels from the pairs. On star-shaped
+    // real corpora `changed` collapses to 0 by the first checks and
+    // the projection never fires.
+    var prevChanged = -1L
+    var prevCheckRound = 0
+    while (!converged && !hopeless && round < maxRounds) {
       round += 1
       val nbrMin = labels.join(und, labels("doc_id") === und("doc_i"))
         .groupBy(col("doc_j").as("nbr_doc"))
@@ -1301,8 +1318,21 @@ object Dedup {
         .select(col("doc_id"), col("cluster_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("new_label")), eager = !isCheck)
-      if (isCheck)
-        converged = updated.filter(col("new_label") =!= col("cluster_id")).count() == 0
+      if (isCheck) {
+        val changed = updated.filter(col("new_label") =!= col("cluster_id")).count()
+        converged = changed == 0
+        if (!converged && prevChanged >= 0) {
+          val slope = (prevChanged - changed).toDouble / (round - prevCheckRound)
+          hopeless = slope <= 0 || round + changed / slope > maxRounds
+          if (hopeless) System.err.println(
+            s"[graft] clusters: label propagation projects past the " +
+              s"$maxRounds-round cap at round $round ($changed labels still " +
+              s"moving, slope ${slope}/round) — exiting early for the " +
+              "star fallback")
+        }
+        prevChanged = changed
+        prevCheckRound = round
+      }
       labels = updated.select(col("doc_id"), col("new_label").as("cluster_id"))
     }
     // DIAMETER GUARD: min-label propagation is O(diameter) rounds, so
@@ -1317,8 +1347,10 @@ object Dedup {
     if (!converged)
       System.err.println(
         s"[graft] clusters: label propagation NOT converged after " +
-          s"$maxRounds rounds — a duplicate component has diameter > " +
-          s"$maxRounds; labels are incorrect for it. " +
+          s"$round rounds (cap $maxRounds" +
+          (if (hopeless) ", exited early on the chain projection" else "") +
+          ") — a duplicate component's diameter exceeds what min-label " +
+          "propagation can close here; labels are incorrect for it. " +
           "[[componentLabels]] falls back to propagateLabelsStar " +
           "(large-star/small-star, diameter-proof) on this signal.")
     und.unpersist(blocking = false)
