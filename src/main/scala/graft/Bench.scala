@@ -267,23 +267,35 @@ object Bench {
       val pos = samples.filter(_ > 0)
       if (pos.isEmpty) None else Some(n -> pos.min)
     }
-    val budgetBlock = BenchBudgets.blockJson(
-      if (!java.nio.file.Files.exists(budgetsPath)) None
+    val budgetBlock =
+      if (!java.nio.file.Files.exists(budgetsPath))
+        BenchBudgets.blockJson(None, Some("no bench_budgets.json at " + budgetsPath))
       else {
         val budgets = BenchBudgets.parse(new String(
           java.nio.file.Files.readAllBytes(budgetsPath),
           java.nio.charset.StandardCharsets.UTF_8))
         val key = BenchBudgets.sfKey(sfDir)
-        budgets.epochs.get(key).map { epoch =>
-          val (factor, violations, unbudgeted) = BenchBudgets.evaluate(
-            epoch, budgets.toleranceX, budgets.absSlackS, headlineTimes,
-            sentinelMins)
-          violations.foreach(v => System.err.println(
-            s"[bench] BUDGET VIOLATION: ${v.query} ${v.sec}s > " +
-              s"ceiling ${v.budgetS}s (ambient factor $factor)"))
-          (key, factor, violations, unbudgeted)
+        budgets.epochs.get(key) match {
+          case None =>
+            BenchBudgets.blockJson(None, Some(s"no pinned epoch for sf key '$key'"))
+          case Some(epoch) if epoch.cpus.exists(_ != cpus) =>
+            // a different local[N] shifts the heavy tier by the core
+            // ratio while the sub-second sentinels barely move —
+            // neither knob can normalize it, so refuse loudly instead
+            // of reporting structurally-false violations
+            BenchBudgets.blockJson(None, Some(
+              s"epoch pinned at cpus=${epoch.cpus.get}, this run used " +
+                s"cpus=$cpus — incomparable harness config"))
+          case Some(epoch) =>
+            val (factor, violations, unbudgeted) = BenchBudgets.evaluate(
+              epoch, budgets.toleranceX, budgets.absSlackS, headlineTimes,
+              sentinelMins)
+            violations.foreach(v => System.err.println(
+              s"[bench] BUDGET VIOLATION: ${v.query} ${v.sec}s > " +
+                s"ceiling ${v.budgetS}s (ambient factor $factor)"))
+            BenchBudgets.blockJson(Some((key, factor, violations, unbudgeted)))
         }
-      })
+      }
 
     // Complete artifact on disk. The driver's stdout capture keeps only the
     // tail of the (long) JSON line, which truncated rounds 1-10 to a

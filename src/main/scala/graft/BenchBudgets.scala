@@ -39,7 +39,14 @@ object BenchBudgets {
 
   final case class Violation(query: String, sec: Double, budgetS: Double)
 
-  final case class Epoch(sentinels: Map[String, Double], queries: Map[String, Double])
+  /** `cpus` pins the epoch's harness config: a run at a different
+    * local[N] is structurally incomparable (shuffle-heavy queries
+    * scale with cores while sub-second scans barely move, so neither
+    * the tolerance nor the sentinel factor can normalize it — the very
+    * first gated run demonstrated this, reading 1.5–2.4× on the heavy
+    * tier at cpus=8 against a cpus=32 epoch with CALM sentinels). */
+  final case class Epoch(sentinels: Map[String, Double],
+      queries: Map[String, Double], cpus: Option[String])
 
   final case class Budgets(toleranceX: Double, absSlackS: Double,
       epochs: Map[String, Epoch])
@@ -61,7 +68,8 @@ object BenchBudgets {
     val root = JsonMethods.parse(json)
     val epochs = (root \ "epochs") match {
       case JObject(fields) => fields.map { case (sfKey, e) =>
-        sfKey -> Epoch(numMap(e \ "sentinels"), numMap(e \ "queries"))
+        sfKey -> Epoch(numMap(e \ "sentinels"), numMap(e \ "queries"),
+          (e \ "cpus").extractOpt[String])
       }.toMap
       case _ => Map.empty[String, Epoch]
     }
@@ -111,12 +119,15 @@ object BenchBudgets {
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
 
   /** The `budget` block for the bench artifact — pure, spec-pinned.
-    * `None` (no budget file / unknown SF tier) renders as an explicit
-    * skip marker rather than an absent key, so "no gate ran" is
-    * distinguishable from "gate ran clean" in the JSON alone. */
-  def blockJson(result: Option[(String, Double, Seq[Violation], Seq[String])])
-      : String = result match {
-    case None => """{"checked": false}"""
+    * `None` (no budget file / unknown SF tier / incomparable harness
+    * config) renders as an explicit skip marker WITH its reason, so
+    * "no gate ran" is distinguishable from "gate ran clean" — and
+    * attributable — in the JSON alone. */
+  def blockJson(result: Option[(String, Double, Seq[Violation], Seq[String])],
+      skipReason: Option[String] = None): String = result match {
+    case None =>
+      val r = skipReason.map(s => s""", "reason": "$s"""").getOrElse("")
+      s"""{"checked": false$r}"""
     case Some((sfKey, factor, violations, unbudgeted)) =>
       val vs = violations.map(v =>
         s"""{"query":"${v.query}","sec":${num(v.sec)},""" +

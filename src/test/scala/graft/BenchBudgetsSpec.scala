@@ -13,6 +13,7 @@ class BenchBudgetsSpec extends AnyFunSuite {
       | "epochs": {
       |  "sf0.1": {
       |   "artifact": "bench_reports/example.json",
+      |   "cpus": "32",
       |   "sentinels": {"dedup_exact": 0.40, "mm_binary_meta": 0.10},
       |   "queries": {"q_fast": 1.0, "q_slow": 10.0}
       |  }
@@ -25,6 +26,8 @@ class BenchBudgetsSpec extends AnyFunSuite {
     assert(b.absSlackS === 0.5)
     assert(b.epochs("sf0.1").queries === Map("q_fast" -> 1.0, "q_slow" -> 10.0))
     assert(b.epochs("sf0.1").sentinels("dedup_exact") === 0.40)
+    // the epoch's harness config rides along (absent in older files)
+    assert(b.epochs("sf0.1").cpus === Some("32"))
   }
 
   test("sfKey is the data dir basename, shared by driver and local paths") {
@@ -70,6 +73,10 @@ class BenchBudgetsSpec extends AnyFunSuite {
 
   test("blockJson: explicit skip marker vs clean vs violating runs") {
     assert(BenchBudgets.blockJson(None) === """{"checked": false}""")
+    // a skipped gate names WHY (missing file, unpinned tier, or a
+    // cpus-incomparable run — the failure mode the first gated run hit)
+    assert(BenchBudgets.blockJson(None, Some("epoch pinned at cpus=32")) ===
+      """{"checked": false, "reason": "epoch pinned at cpus=32"}""")
     val clean = BenchBudgets.blockJson(Some(("sf1", 1.07, Seq.empty, Seq.empty)))
     assert(clean.contains(""""checked": true"""))
     assert(clean.contains(""""sf_key": "sf1""""))

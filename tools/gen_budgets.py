@@ -31,8 +31,10 @@ def epoch(path):
             sentinels[name] = min(pos)
     queries = {q: v for q, v in art["queries"].items()
                if isinstance(v, (int, float)) and v >= 0}
-    return art["sf"], {"artifact": path, "sentinels": sentinels,
-                       "queries": queries}
+    # cpus pins the harness config: runs at a different local[N] are
+    # structurally incomparable and the bench refuses to gate them
+    return art["sf"], {"artifact": path, "cpus": art["cpus"],
+                       "sentinels": sentinels, "queries": queries}
 
 
 def main():
