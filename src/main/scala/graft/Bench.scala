@@ -267,7 +267,11 @@ object Bench {
       val pos = samples.filter(_ > 0)
       if (pos.isEmpty) None else Some(n -> pos.min)
     }
-    val budgetBlock =
+    // any failure here (malformed committed file, IO) must not sink
+    // the run: the timing work is already done, and a lost 15-minute
+    // artifact is a worse outcome than a loudly-skipped gate — the
+    // reason field carries the error for the round record
+    val budgetBlock = try {
       if (!java.nio.file.Files.exists(budgetsPath))
         BenchBudgets.blockJson(None, Some("no bench_budgets.json at " + budgetsPath))
       else {
@@ -296,6 +300,10 @@ object Bench {
             BenchBudgets.blockJson(Some((key, factor, violations, unbudgeted)))
         }
       }
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] budget gate failed, skipping: $e")
+      BenchBudgets.blockJson(None, Some("budget gate error: " + e.toString.take(160)))
+    }
 
     // Complete artifact on disk. The driver's stdout capture keeps only the
     // tail of the (long) JSON line, which truncated rounds 1-10 to a

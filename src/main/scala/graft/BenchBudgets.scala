@@ -61,9 +61,10 @@ object BenchBudgets {
     case _ => Map.empty
   }
 
-  /** Parse `bench_budgets.json`. Throws on malformed JSON — a corrupt
-    * committed budget file should fail the bench loudly, not silently
-    * skip the gate it exists to provide. */
+  /** Parse `bench_budgets.json`. Throws on malformed JSON; the bench
+    * catches at the gate boundary and records the error as the skip
+    * `reason` — loud in the artifact, but never sinking a completed
+    * run's timing work over a config-file typo. */
   def parse(json: String): Budgets = {
     val root = JsonMethods.parse(json)
     val epochs = (root \ "epochs") match {
@@ -126,7 +127,10 @@ object BenchBudgets {
   def blockJson(result: Option[(String, Double, Seq[Violation], Seq[String])],
       skipReason: Option[String] = None): String = result match {
     case None =>
-      val r = skipReason.map(s => s""", "reason": "$s"""").getOrElse("")
+      // reasons can carry arbitrary error text — keep the JSON valid
+      val r = skipReason.map(s =>
+        s""", "reason": "${s.replaceAll("[\"\\\\\\n\\r\\t]", " ")}"""")
+        .getOrElse("")
       s"""{"checked": false$r}"""
     case Some((sfKey, factor, violations, unbudgeted)) =>
       val vs = violations.map(v =>

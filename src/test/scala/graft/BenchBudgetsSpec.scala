@@ -77,6 +77,9 @@ class BenchBudgetsSpec extends AnyFunSuite {
     // cpus-incomparable run — the failure mode the first gated run hit)
     assert(BenchBudgets.blockJson(None, Some("epoch pinned at cpus=32")) ===
       """{"checked": false, "reason": "epoch pinned at cpus=32"}""")
+    // arbitrary error text (the parse-failure path) must stay valid JSON
+    assert(BenchBudgets.blockJson(None, Some("bad \"quote\"\nand\tline")) ===
+      """{"checked": false, "reason": "bad  quote  and line"}""")
     val clean = BenchBudgets.blockJson(Some(("sf1", 1.07, Seq.empty, Seq.empty)))
     assert(clean.contains(""""checked": true"""))
     assert(clean.contains(""""sf_key": "sf1""""))
