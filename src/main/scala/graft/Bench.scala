@@ -282,6 +282,14 @@ object Bench {
         budgets.epochs.get(key) match {
           case None =>
             BenchBudgets.blockJson(None, Some(s"no pinned epoch for sf key '$key'"))
+          case Some(_) if quiet.isEmpty =>
+            // no sentinel-quiet pass -> headlineTimes fell back to the
+            // burst-contaminated raw mins; gating those would record
+            // structurally-false violations on exactly the runs the
+            // artifact already labels headline_contaminated
+            BenchBudgets.blockJson(None, Some(
+              "headline contaminated (no sentinel-quiet pass) — " +
+                "burst-inflated mins are not gateable"))
           case Some(epoch) if epoch.cpus.exists(_ != cpus) =>
             // a different local[N] shifts the heavy tier by the core
             // ratio while the sub-second sentinels barely move —

@@ -85,7 +85,9 @@ object StreamSkewBench {
     val parts = Seq(
       sessionRun("uniform", uniformDir), sessionRun("skew", skewDir),
       tumblingRun("uniform", uniformDir), tumblingRun("skew", skewDir))
-    println(parts.mkString(s"""{"metric": "stream_skew", """, ", ", "}"))
+    // schema 2 = the StreamBench vintage marker (no-metric batches
+    // emit null; pre-schema-2 artifacts carried a -1 sentinel)
+    println(parts.mkString(s"""{"metric": "stream_skew", "schema": 2, """, ", ", "}"))
     spark.stop()
   }
 }

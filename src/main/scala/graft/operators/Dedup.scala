@@ -1302,7 +1302,12 @@ object Dedup {
     // A wrong projection is a cost choice, never a correctness one —
     // the fallback recomputes labels from the pairs. On star-shaped
     // real corpora `changed` collapses to 0 by the first checks and
-    // the projection never fires.
+    // the projection never fires. Known over-trigger: a "broom" (one
+    // moving hub dragging many leaves' labels each round) inflates
+    // `changed` and can divert to the star path even though min-label
+    // would converge under the cap — bounded waste (star closes any
+    // graph in O(log² n) rounds of 2 shuffles, comparable to the
+    // rounds min-label would have spent on such a shape).
     var prevChanged = -1L
     var prevCheckRound = 0
     while (!converged && !hopeless && round < maxRounds) {

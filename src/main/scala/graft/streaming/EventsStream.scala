@@ -86,8 +86,13 @@ object EventsStream {
   /** 1-hour tumbling aggregation as a stream over the events parquet.
     * Watermark bounds state for continuous runs; with AvailableNow +
     * complete mode it simply drains the backlog. */
-  def tumblingAgg(spark: SparkSession, dir: String, queryName: String,
-      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+  /** The shared hourly-bucket aggregation all three tumbling variants
+    * stream — ONE definition, so the complete/append/durable twins
+    * (whose equivalence the specs pin against the batch query) cannot
+    * drift apart in the agg itself; each variant only attaches its
+    * sink/output-mode wiring. */
+  private def hourlyAgg(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int]): DataFrame =
     eventsSource(spark, dir, maxFilesPerTrigger)
       .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
       .agg(
@@ -99,6 +104,10 @@ object EventsStream {
         // because window.start is hour-aligned
         expr("unix_timestamp(window.start) div 3600").as("bucket_hr"),
         col("event_type"), col("n_events"), col("sum_value"))
+
+  def tumblingAgg(spark: SparkSession, dir: String, queryName: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    hourlyAgg(spark, dir, maxFilesPerTrigger)
       .writeStream
       .format("memory")
       .queryName(queryName)
@@ -127,14 +136,7 @@ object EventsStream {
     * batch-rows-outside-the-horizon, value-exactly. */
   def tumblingAggAppend(spark: SparkSession, dir: String, queryName: String,
       maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
-    eventsSource(spark, dir, maxFilesPerTrigger)
-      .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
-      .select(
-        expr("unix_timestamp(window.start) div 3600").as("bucket_hr"),
-        col("event_type"), col("n_events"), col("sum_value"))
+    hourlyAgg(spark, dir, maxFilesPerTrigger)
       .writeStream
       .format("memory")
       .queryName(queryName)
@@ -160,14 +162,7 @@ object EventsStream {
   def tumblingAggAppendDurable(spark: SparkSession, dir: String,
       outPath: String, checkpointDir: String,
       maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
-    eventsSource(spark, dir, maxFilesPerTrigger)
-      .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
-      .select(
-        expr("unix_timestamp(window.start) div 3600").as("bucket_hr"),
-        col("event_type"), col("n_events"), col("sum_value"))
+    hourlyAgg(spark, dir, maxFilesPerTrigger)
       .writeStream
       .format("parquet")
       .option("path", outPath)

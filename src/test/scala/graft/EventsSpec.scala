@@ -132,8 +132,14 @@ class EventsSpec extends AnyFunSuite with SparkSuite {
       "every window behind drain 2's watermark must have emitted")
     // the TAIL: windows inside drain 1's horizon but behind drain 2's
     // watermark — the last untested line of the append contract: they
-    // were withheld by drain 1 and must arrive with drain 2, intact
-    val tail = closedBehind(fullMax) -- closedBehind(halfMax)
+    // were withheld by drain 1 and must arrive with drain 2, intact.
+    // Lower bound uses window END vs drain 1's raw watermark (strict
+    // >): a window ending exactly AT the watermark may already emit in
+    // drain 1 under the inclusive eviction rule, and closedBehind's
+    // conservative strict floor would misplace it into the tail when
+    // that boundary hour holds events.
+    val tail = closedBehind(fullMax).filter(r =>
+      (r.head.asInstanceOf[Long] + 1) * 3600 > halfMax - 7200)
     assert(tail.nonEmpty, "fixture must exercise the horizon tail")
     assert(tail.subsetOf(got2 -- got1),
       "the drain-1 horizon tail must emit on drain 2, value-exact")

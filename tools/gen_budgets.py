@@ -24,6 +24,11 @@ def epoch(path):
     noise = art["noise"]
     if noise.get("burst", True):
         sys.exit(f"refusing to pin budgets from a burst-flagged run: {path}")
+    # same evidence bar as the bench's own self-heal (minQuiet=2): a
+    # single quiet pass means these ceilings would derive from one
+    # pass's numbers
+    if len(noise.get("quiet_passes", [])) < 2:
+        sys.exit(f"refusing to pin budgets from a single-quiet-pass run: {path}")
     sentinels = {}
     for name, samples in noise["sentinels"].items():
         pos = [s for s in samples if s > 0]
