@@ -71,6 +71,24 @@ class BenchBudgetsSpec extends AnyFunSuite {
     assert(v3.isEmpty)
   }
 
+  test("the COMMITTED bench_budgets.json parses and is structurally sound") {
+    // guards regeneration mistakes at build time: a malformed or
+    // half-pinned committed file would otherwise only surface as a
+    // skipped gate deep inside a 15-minute bench run
+    val path = java.nio.file.Paths.get("bench_budgets.json")
+    assert(java.nio.file.Files.exists(path), "bench_budgets.json must be committed")
+    val b = BenchBudgets.parse(java.nio.file.Files.readString(path))
+    assert(b.toleranceX > 1.0 && b.absSlackS > 0.0)
+    assert(b.epochs.keySet === Set("sf0.1", "sf1"))
+    b.epochs.foreach { case (key, e) =>
+      assert(e.cpus.nonEmpty, s"$key epoch must pin its cpus config")
+      assert(e.sentinels.nonEmpty && e.sentinels.values.forall(_ > 0),
+        s"$key epoch needs positive sentinel floors")
+      assert(e.queries.size >= 90 && e.queries.values.forall(_ >= 0),
+        s"$key epoch must cover the catalog (got ${e.queries.size})")
+    }
+  }
+
   test("blockJson: explicit skip marker vs clean vs violating runs") {
     assert(BenchBudgets.blockJson(None) === """{"checked": false}""")
     // a skipped gate names WHY (missing file, unpinned tier, or a
