@@ -260,9 +260,9 @@ object Bench {
     // ad-hoc dirs) renders {"checked": false} — visible skip, not
     // silence. Evaluated on the HEADLINE (quiet-pass mins): the raw
     // mins can carry burst contamination the budgets don't model.
-    val budgetsPath = java.nio.file.Paths
-      .get(sys.env.getOrElse("SPARK_GRAFT_BUDGETS_PATH", "bench_budgets.json"))
-      .toAbsolutePath
+    val budgetsPath = sys.env.get("SPARK_GRAFT_BUDGETS_PATH")
+      .map(java.nio.file.Paths.get(_).toAbsolutePath)
+      .getOrElse(BenchBudgets.defaultBudgetsPath())
     val sentinelMins = sentinelTimes.toMap.flatMap { case (n, samples) =>
       val pos = samples.filter(_ > 0)
       if (pos.isEmpty) None else Some(n -> pos.min)

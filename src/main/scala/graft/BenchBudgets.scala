@@ -78,6 +78,32 @@ object BenchBudgets {
       (root \ "abs_slack_s").extract[Double], epochs)
   }
 
+  /** The default `bench_budgets.json` location, independent of the
+    * process CWD: a bench launched from outside the repo (the driver
+    * invokes `java -cp …/target/scala-2.13/classes graft.Bench` from
+    * its own directory) must still find the committed file, not
+    * silently downgrade the gate to `checked: false` naming a
+    * nonexistent CWD-relative path. Resolution: the CWD file when it
+    * exists, else walk UP from this class's code-source location (the
+    * classes dir lives at `<repo>/target/scala-2.13/classes`) to the
+    * first ancestor holding a `bench_budgets.json`. Falls back to the
+    * CWD path so the skip reason at least names a concrete location. */
+  def defaultBudgetsPath(): java.nio.file.Path = {
+    val cwd = java.nio.file.Paths.get("bench_budgets.json").toAbsolutePath
+    if (java.nio.file.Files.exists(cwd)) cwd
+    else {
+      val fromCode = for {
+        src <- Option(getClass.getProtectionDomain.getCodeSource)
+        loc <- Option(src.getLocation)
+        start = java.nio.file.Paths.get(loc.toURI)
+        hit <- Iterator.iterate(start)(_.getParent).takeWhile(_ != null)
+          .take(8).map(_.resolve("bench_budgets.json"))
+          .find(java.nio.file.Files.exists(_))
+      } yield hit
+      fromCode.getOrElse(cwd)
+    }
+  }
+
   /** The SF key a bench run files its budgets under: the basename of
     * the data dir ("/root/testdata/sf0.1" and "target/benchdata/sf1"
     * → "sf0.1" / "sf1"), so driver and local runs over the same tier
@@ -127,9 +153,11 @@ object BenchBudgets {
   def blockJson(result: Option[(String, Double, Seq[Violation], Seq[String])],
       skipReason: Option[String] = None): String = result match {
     case None =>
-      // reasons can carry arbitrary error text — keep the JSON valid
+      // reasons can carry arbitrary error text — keep the JSON valid.
+      // Full control range, not just \n\r\t: an exception message on
+      // the gate's error path can carry \b, \f, or raw U+0000-U+001F
       val r = skipReason.map(s =>
-        s""", "reason": "${s.replaceAll("[\"\\\\\\n\\r\\t]", " ")}"""")
+        s""", "reason": "${s.replaceAll("[\\p{Cntrl}\"\\\\]", " ")}"""")
         .getOrElse("")
       s"""{"checked": false$r}"""
     case Some((sfKey, factor, violations, unbudgeted)) =>

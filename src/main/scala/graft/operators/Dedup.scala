@@ -1268,9 +1268,10 @@ object Dedup {
     * around the base doc) but the wrong algorithm for a corpus whose
     * duplicate graph forms long chains. A chain doesn't pay the full
     * cap before the fallback: the falling changed-label count is
-    * linearly projected at each convergence check, and a projection
-    * past the cap exits unconverged immediately (~4 rounds on a pure
-    * path vs 32 — measured in ClustersChainBench's artifact). */
+    * linearly projected at each convergence check, and two
+    * consecutive projections past the cap exit unconverged early
+    * (~8 rounds on a pure path vs 32 — measured in
+    * ClustersChainBench's artifact). */
   private[graft] def propagateLabels(spark: SparkSession, docs: DataFrame,
       pairs: DataFrame): (DataFrame, Int, Boolean) = {
     val und = pairs.union(
@@ -1302,14 +1303,18 @@ object Dedup {
     // A wrong projection is a cost choice, never a correctness one —
     // the fallback recomputes labels from the pairs. On star-shaped
     // real corpora `changed` collapses to 0 by the first checks and
-    // the projection never fires. Known over-trigger: a "broom" (one
-    // moving hub dragging many leaves' labels each round) inflates
-    // `changed` and can divert to the star path even though min-label
-    // would converge under the cap — bounded waste (star closes any
-    // graph in O(log² n) rounds of 2 shuffles, comparable to the
-    // rounds min-label would have spent on such a shape).
+    // the projection never fires. Two CONSECUTIVE misses are required
+    // before exiting: a single slope<=0 observation between the
+    // round-2 and round-4 checks can be a transient plateau (a tie in
+    // changed counts, or the "broom" shape — one moving hub dragging
+    // many leaves' labels each round) that min-label would still
+    // converge under the cap; demanding a second miss at the next
+    // cadence check costs a chain ~4 extra rounds (exit ~8 vs ~4,
+    // still far under the 32-round cap) and spares a convergeable
+    // graph the costlier star diversion on one data point.
     var prevChanged = -1L
     var prevCheckRound = 0
+    var projMisses = 0
     while (!converged && !hopeless && round < maxRounds) {
       round += 1
       val nbrMin = labels.join(und, labels("doc_id") === und("doc_i"))
@@ -1328,7 +1333,9 @@ object Dedup {
         converged = changed == 0
         if (!converged && prevChanged >= 0) {
           val slope = (prevChanged - changed).toDouble / (round - prevCheckRound)
-          hopeless = slope <= 0 || round + changed / slope > maxRounds
+          val miss = slope <= 0 || round + changed / slope > maxRounds
+          projMisses = if (miss) projMisses + 1 else 0
+          hopeless = projMisses >= 2
           if (hopeless) System.err.println(
             s"[graft] clusters: label propagation projects past the " +
               s"$maxRounds-round cap at round $round ($changed labels still " +

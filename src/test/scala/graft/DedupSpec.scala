@@ -48,10 +48,11 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     import spark.implicits._
     // diameter 39 > maxRounds 32: the loop must exit visibly
     // unconverged — and EARLY: the changed-label count falls linearly
-    // on a chain (slope ~1/round), so by the second convergence check
-    // (round 4) the projection lands past the cap and the loop stops
-    // there instead of paying all 32 rounds before the star fallback
-    // (the r14 review's watch item)
+    // on a chain (slope ~1/round), so the projection lands past the
+    // cap at the round-4 AND round-8 checks (two consecutive misses,
+    // the r15 advisory's transient-plateau guard) and the loop stops
+    // at round 8 instead of paying all 32 rounds before the star
+    // fallback (the r14 review's watch item)
     val docs = (1L to 40L).toDF("doc_id")
     val pairs = (1L to 39L).map(i => (i, i + 1)).toDF("doc_i", "doc_j")
     val (labels, rounds, converged) = Dedup.propagateLabels(spark, docs, pairs)

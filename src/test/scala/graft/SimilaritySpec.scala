@@ -72,7 +72,7 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     val recall = recallOnPlanted(Similarity.annLshOver(corpus).collect())
     // 9 of 256 buckets probed ≈ 3.5% scanned; planted members are
     // near-duplicates of their query, so multiprobe must catch most
-    assert(recall > 0.6, s"LSH planted recall $recall (random scan ≈ 0.035)")
+    assert(recall > 0.85, s"LSH planted recall $recall (random scan ≈ 0.035)")
   }
 
   test("IVF recall on planted clusters discriminates from a random scan") {
@@ -80,7 +80,7 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     val recall = recallOnPlanted(Similarity.ivfTopKOver(corpus).collect())
     // nprobe=4 of K=16 lists ≈ 25% scanned; co-clustered members land
     // in the probed lists, so recall must far exceed that fraction
-    assert(recall > 0.6, s"IVF planted recall $recall (random scan ≈ 0.25)")
+    assert(recall > 0.9, s"IVF planted recall $recall (random scan ≈ 0.25)")
   }
 
   test("IVF: exact scores, ~nprobe/K of the corpus scanned, beats random") {
@@ -111,7 +111,7 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     // is re-ranked exactly — quantization costs shortlist membership
     // only, so planted recall must match plain IVF's floor (measured
     // 1.0 on the fixture).
-    assert(recall > 0.8, s"IVF-PQ planted recall $recall (random scan ≈ 0.25)")
+    assert(recall > 0.9, s"IVF-PQ planted recall $recall (random scan ≈ 0.25)")
   }
 
   test("IVF-PQ refine emits true cosine scores, never quantized ones") {

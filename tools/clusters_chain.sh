@@ -22,9 +22,14 @@ BENCH_LINE=$(tools/verify.sh "$BASE" /tmp/chain_bench_ignored graft.ClustersChai
   | grep '^{"metric":"clusters_chain"' | tail -1)
 [ -n "$BENCH_LINE" ] || { echo "bench emitted no artifact line" >&2; exit 1; }
 
-# complete the planted dir's table layout for the oracle harness
+# complete the planted dir's table layout for the oracle harness.
+# ln -sfn, unconditionally: [ -e ] is false for a DANGLING symlink (a
+# deleted/moved BASE would make plain ln fail under set -e), and a
+# stale-but-resolving link from a previous run with a different BASE
+# would silently pair the planted documents with another corpus's
+# tables for the oracle run.
 for t in region nation customer supplier part orders lineitem events embeddings; do
-  [ -e "$CHAIN_DIR/$t.parquet" ] || ln -s "$(readlink -f "$BASE")/$t.parquet" "$CHAIN_DIR/$t.parquet"
+  ln -sfn "$(readlink -f "$BASE")/$t.parquet" "$CHAIN_DIR/$t.parquet"
 done
 
 VERIFY_OUT=/tmp/chain_verify_out
