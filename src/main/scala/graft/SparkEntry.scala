@@ -31,12 +31,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ RetailPipeline.queries ++ Dedup.queries ++
       TextAnalysis.queries ++ Similarity.queries ++ Events.queries ++
-      Multimodal.queries ++ AsofJoin.queries ++ Sampling.queries ++
+      Multimodal.queries ++ MediaContainers.queries ++
+      AsofJoin.queries ++ Sampling.queries ++
       Curation.queries ++ Ranking.queries ++ Layout.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ RetailPipeline.oracles ++ Dedup.oracles ++
       TextAnalysis.oracles ++ Similarity.oracles ++ Events.oracles ++
-      Multimodal.oracles ++ AsofJoin.oracles ++ Sampling.oracles ++
+      Multimodal.oracles ++ MediaContainers.oracles ++
+      AsofJoin.oracles ++ Sampling.oracles ++
       Curation.oracles ++ Ranking.oracles ++ Layout.oracles
 }

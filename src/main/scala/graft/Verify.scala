@@ -7,8 +7,16 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER overrides the single-JVM default — the
+    // local-cluster[<workers>,<cores>,<memMB>] form runs executors as
+    // SEPARATE JVMs, which is the only local way to exercise the
+    // serialization boundary (native Expressions, Aggregators,
+    // broadcast codebooks, bucketed-table metadata all cross it on a
+    // real cluster). MasterConfig supplies the executor classpath +
+    // JDK17 opens those child JVMs need.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val spark = MasterConfig(SparkSession.builder()
+      .master(master), master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

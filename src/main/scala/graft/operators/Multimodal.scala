@@ -107,13 +107,17 @@ object Multimodal {
           .as("media_type"),
         col("text").cast("binary").as("payload"))
 
-  /** STUB decode for container formats the JDK ships no codec for
-    * (MP4/H.264, MKV, WebM, …): deterministic fake dimensions derived
+  /** STUB decode for codec PAYLOADS the JDK ships no decoder for
+    * (H.264, VP9, AAC, …): deterministic fake dimensions derived
     * from the payload, so the distributed plumbing is fully testable.
     * Formats with a pure-JDK codec decode for REAL elsewhere — PNG
     * ([[decodeRealPartition]]), WAV PCM ([[audioFeaturesPartition]]),
-    * multi-frame GIF ([[gifFrames]]) — leaving this seam as exactly
-    * the JNI/codec swap-in point a production deployment fills. */
+    * multi-frame GIF ([[gifFrames]]) — and since r16 the CONTAINER
+    * layer of MP4/MKV parses for real too ([[MediaContainers]],
+    * oracle-checked `mm_container_meta`: ISO BMFF box walk + EBML
+    * vint walk are plain byte structure, no codec needed) — leaving
+    * this seam as exactly the JNI/codec swap-in point a production
+    * deployment fills, now scoped to compressed payload decode only. */
   private def decodePartition(rows: Iterator[MediaRow]): Iterator[DecodedMedia] =
     rows.map { r =>
       // null payloads (nullable source columns) decode as empty media

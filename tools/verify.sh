@@ -15,6 +15,12 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 rm -rf "$OUT"
+# local-cluster masters (SPARK_GRAFT_MASTER) spawn executor JVMs via the
+# in-process Worker, whose command builder needs both of these: a release
+# distro has no launcher/target build dir, so the scala version must come
+# from the env (load-spark-env.sh would set it under spark-submit)
+export SPARK_HOME="${SPARK_HOME:-/opt/spark}"
+export SPARK_SCALA_VERSION="${SPARK_SCALA_VERSION:-2.13}"
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} java $OPENS -Xmx12g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" "$MAIN" "$SF" "$OUT" 2>&1 | grep -v '^2[0-9/]*' || true
