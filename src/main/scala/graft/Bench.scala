@@ -24,11 +24,21 @@ object Bench {
     * it. */
   private val BurstSpreadPct = 40.0
 
-  /** Extra interleaved catalog passes the self-heal may add when no pass
-    * is sentinel-quiet (default; env-overridable). Bounded so a
-    * persistently loaded host degrades to the old self-labeling behavior
-    * instead of spinning. */
-  private val MaxExtraPasses = 2
+  /** Hard backstop on self-heal passes (env-overridable). Since
+    * schema 3 the BINDING self-heal limit is the wall-clock cap
+    * (default: the initial passes' own elapsed, so healing can at
+    * most ~double a run); this count only guards against a
+    * pathologically fast catalog cycling dozens of passes inside that
+    * window. */
+  private val MaxExtraPasses = 12
+
+  /** Intra-pass sentinel cadence: a probe pair runs every this many
+    * catalog queries, so every query's timing is bracketed by probes
+    * a bounded distance away — the quiet_subset salvage (per-query
+    * minima over calm-bracketed samples) rests on this. ~6 interior
+    * probe points on the full catalog; the sentinels are sub-second,
+    * so the overhead is a few seconds per ~100 s pass. */
+  private val ProbeEvery = 16
 
   /** The one catalog entry excluded from the TIMED surface by default:
     * the exact all-pairs verification tool is Θ(answer-set) by design
@@ -139,13 +149,19 @@ object Bench {
     val maxExtra = sys.env.get("SPARK_GRAFT_BENCH_MAX_EXTRA")
       .flatMap(_.toIntOption).filter(_ >= 0).getOrElse(MaxExtraPasses)
 
-    // Per-PASS bookkeeping (not flat per-query lists): pass p's map holds
-    // every selected query's seconds with failures as -1, and sentinel
-    // sample p / p+1 bracket it — the alignment BenchNoise's quiet-pass
-    // algebra needs.
+    // Per-PASS bookkeeping (not flat per-query lists): pass p's map
+    // holds every selected query's seconds with failures as -1.
+    // Sentinel samples are GLOBAL (schema 3): probes run at pass
+    // boundaries AND every ProbeEvery queries inside a pass, so each
+    // query records its own (before, after) bracketing probe indices
+    // and each pass records its probe-index range.
     val passTimes = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
+    val queryBrackets =
+      scala.collection.mutable.ArrayBuffer.empty[Map[String, (Int, Int)]]
+    val passProbeRanges = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     val sentinelTimes = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
+    var probeCount = 0
 
     def timeOne(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -164,14 +180,33 @@ object Bench {
 
     // A failed sentinel probe records -1 (treated as noisy by
     // BenchNoise) rather than silently shortening the sample vector —
-    // index alignment with passes is what the bracketing logic rests on.
-    def probeSentinels(): Unit = sentinels.foreach { case (n, f) =>
-      sentinelTimes(n) = sentinelTimes(n) :+ timeOne(n, f)
+    // index alignment across sentinels is what the bracketing rests on.
+    def probeSentinels(): Unit = {
+      sentinels.foreach { case (n, f) =>
+        sentinelTimes(n) = sentinelTimes(n) :+ timeOne(n, f)
+      }
+      probeCount += 1
     }
 
     def runPass(): Unit = {
-      passTimes += selected.map { case (name, fn) => name -> timeOne(name, fn) }.toMap
-      probeSentinels()
+      val startProbe = probeCount - 1 // the probe taken just before this pass
+      val times = scala.collection.mutable.Map.empty[String, Double]
+      val brackets = scala.collection.mutable.Map.empty[String, (Int, Int)]
+      var sinceProbe = 0
+      selected.foreach { case (name, fn) =>
+        if (sinceProbe >= ProbeEvery) { probeSentinels(); sinceProbe = 0 }
+        val before = probeCount - 1
+        times(name) = timeOne(name, fn)
+        // the probe at index `probeCount` is the next one taken —
+        // either the next intra-pass probe or this pass's trailing
+        // boundary probe below
+        brackets(name) = (before, probeCount)
+        sinceProbe += 1
+      }
+      probeSentinels() // trailing boundary probe
+      passTimes += times.toMap
+      queryBrackets += brackets.toMap
+      passProbeRanges += ((startProbe, probeCount - 1))
     }
 
     // Untimed sentinel warmup AT THE TARGET SF: the generic warmup above
@@ -188,29 +223,52 @@ object Bench {
     // confined strictly inside a single pass can escape both probes
     // (see BenchNoise scaladoc) — the interleaved min covers that case.
     probeSentinels()
+    val initialStart = System.nanoTime()
     (1 to nReps).foreach(_ => runPass())
+    val initialElapsedS = (System.nanoTime() - initialStart) / 1e9
 
-    // Self-heal: while fewer than TWO passes are sentinel-quiet, add
-    // bounded extra passes. One quiet pass means the headline ships on
-    // that single pass's numbers (the r14 driver artifact did exactly
-    // that, at 63% spread, and cost a judge cycle to adjudicate); two
-    // quiet passes make the min a corroborated reading. Each extra
-    // pass costs one catalog pass; a burst shorter than that window
-    // ends inside it.
+    // Self-heal: while fewer than TWO passes are sentinel-quiet, keep
+    // adding passes up to a WALL-CLOCK cap (r15 ask #2a: a fixed
+    // 2-extra-pass budget exhausted itself against the r15 driver
+    // burst with nothing to show). Default cap = the initial passes'
+    // own elapsed (healing at most ~doubles the run; floor 120 s so
+    // tiny subset runs still get a real retry window); the pass-count
+    // backstop only guards against a pathologically fast catalog.
+    // One quiet pass is still thin evidence — the r14 driver artifact
+    // shipped on a single quiet pass at 63% spread and cost a judge
+    // cycle; two quiet passes make the min a corroborated reading.
+    val healCapS = sys.env.get("SPARK_GRAFT_BENCH_HEAL_CAP_S")
+      .flatMap(_.toDoubleOption).filter(_ >= 0)
+      .getOrElse(math.max(120.0, initialElapsedS))
     var extraPasses = 0
-    def quietNow(): Set[Int] =
-      BenchNoise.quietPasses(sentinelTimes.toMap, passTimes.size, BurstSpreadPct)
-    while (BenchNoise.needsExtraPass(quietNow(), extraPasses, maxExtra)) {
+    def quietNow(): Set[Int] = BenchNoise.quietPassesRange(
+      BenchNoise.calmSamples(sentinelTimes.toMap, BurstSpreadPct),
+      passProbeRanges.toIndexedSeq)
+    val healStart = System.nanoTime()
+    def healElapsedS(): Double = (System.nanoTime() - healStart) / 1e9
+    while (BenchNoise.needsExtraPass(quietNow(), extraPasses, maxExtra)
+        && healElapsedS() < healCapS) {
       System.err.println(
         s"[bench] only ${quietNow().size} sentinel-quiet pass(es) after " +
           s"${passTimes.size} passes " +
           s"(spread ${jsonNum(BenchNoise.spreadPct(sentinelTimes.toMap))}%) — " +
-          s"self-heal pass ${extraPasses + 1}/$maxExtra")
+          s"self-heal pass ${extraPasses + 1} " +
+          f"(${healElapsedS()}%.0f/${healCapS}%.0f s of heal budget)")
       runPass()
       extraPasses += 1
     }
 
+    val calm = BenchNoise.calmSamples(sentinelTimes.toMap, BurstSpreadPct)
     val quiet = quietNow()
+    // The salvage tier (r15 ask #2b): per-query minima over samples
+    // bracketed by calm probes — non-empty exactly when SOME timings
+    // sat in quiet intervals even though no whole pass was quiet.
+    // Computed always, EMITTED/GATED only when quiet passes are absent
+    // (with quiet passes the headline supersedes it).
+    val quietSubset =
+      if (quiet.nonEmpty) Map.empty[String, Double]
+      else BenchNoise.quietSubsetMins(
+        passTimes.toIndexedSeq, queryBrackets.toIndexedSeq, calm)
     val allPasses = passTimes.indices.toSet
     val names = selected.keys
     val rawTimes = BenchNoise.minTimes(passTimes.toIndexedSeq, names, allPasses)
@@ -244,17 +302,33 @@ object Bench {
     val quietJson = quiet.toSeq.sorted.mkString("[", ",", "]")
     // `headline_contaminated` is the authoritative verdict (no quiet
     // pass exists => the headline min saw the burst). `burst` is kept
-    // as its alias for older tooling, but its semantics changed in
-    // schema 2 (pre-schema-2 artifacts computed burst from raw spread,
-    // so the flags are not comparable across the schema bump — hence
-    // the explicit `schema` marker).
+    // as its alias for older tooling. Schema 3 (r16): sentinel samples
+    // are GLOBAL vectors (pass boundaries + intra-pass probes every
+    // ProbeEvery queries, so samples-per-pass varies); `pass_probes`
+    // records each pass's [start, end] probe-index range; pass-quiet
+    // is STRICT (every probe in the range calm, not just endpoints);
+    // and a zero-quiet-pass run carries a `quiet_subset` block — the
+    // per-query minima over calm-bracketed samples that the budget
+    // gate checks when the headline itself is contaminated.
+    val passProbesJson = passProbeRanges
+      .map { case (s, e) => s"[$s,$e]" }.mkString("[", ",", "]")
+    val quietSubsetJson =
+      if (quiet.nonEmpty) ""
+      else {
+        val entries = quietSubset.toSeq.sortBy(_._1)
+          .map { case (q, s) => s"\"$q\":${jsonNum(s)}" }.mkString("{", ",", "}")
+        s""","quiet_subset":{"queries":$entries,""" +
+          s""""covered":${quietSubset.size},"of":${selected.size}}"""
+      }
     val noiseJson =
-      s"""{"schema":2,"floor":"median","sentinels":$sentinelJson,""" +
+      s"""{"schema":3,"floor":"median","sentinels":$sentinelJson,""" +
         s""""spread_pct":${jsonNum(spreadPct)},""" +
         s""""burst_threshold_pct":$BurstSpreadPct,"burst":$burst,""" +
         s""""headline_contaminated":$burst,""" +
         s""""quiet_passes":$quietJson,"n_passes":${passTimes.size},""" +
-        s""""extra_passes":$extraPasses}"""
+        s""""pass_probes":$passProbesJson,"probe_every":$ProbeEvery,""" +
+        s""""extra_passes":$extraPasses,""" +
+        s""""heal_cap_s":${jsonNum(healCapS)}$quietSubsetJson}"""
 
     // Per-query regression gate: evaluate the headline against the
     // committed quiet-epoch ceilings (bench_budgets.json), sentinel-
@@ -282,34 +356,19 @@ object Bench {
         val budgets = BenchBudgets.parse(new String(
           java.nio.file.Files.readAllBytes(budgetsPath),
           java.nio.charset.StandardCharsets.UTF_8))
-        val key = BenchBudgets.sfKey(sfDir)
-        budgets.epochs.get(key) match {
-          case None =>
-            BenchBudgets.blockJson(None, Some(s"no pinned epoch for sf key '$key'"))
-          case Some(_) if quiet.isEmpty =>
-            // no sentinel-quiet pass -> headlineTimes fell back to the
-            // burst-contaminated raw mins; gating those would record
-            // structurally-false violations on exactly the runs the
-            // artifact already labels headline_contaminated
-            BenchBudgets.blockJson(None, Some(
-              "headline contaminated (no sentinel-quiet pass) — " +
-                "burst-inflated mins are not gateable"))
-          case Some(epoch) if epoch.cpus.exists(_ != cpus) =>
-            // a different local[N] shifts the heavy tier by the core
-            // ratio while the sub-second sentinels barely move —
-            // neither knob can normalize it, so refuse loudly instead
-            // of reporting structurally-false violations
-            BenchBudgets.blockJson(None, Some(
-              s"epoch pinned at cpus=${epoch.cpus.get}, this run used " +
-                s"cpus=$cpus — incomparable harness config"))
-          case Some(epoch) =>
-            val (factor, violations, unbudgeted) = BenchBudgets.evaluate(
-              epoch, budgets.toleranceX, budgets.absSlackS, headlineTimes,
-              sentinelMins)
-            violations.foreach(v => System.err.println(
-              s"[bench] BUDGET VIOLATION: ${v.query} ${v.sec}s > " +
-                s"ceiling ${v.budgetS}s (ambient factor $factor)"))
-            BenchBudgets.blockJson(Some((key, factor, violations, unbudgeted)))
+        // decision tree is pure and spec-pinned in BenchBudgets.gate:
+        // quiet passes gate the headline; a contaminated run's
+        // quiet_subset gates whatever calm-bracketed evidence exists;
+        // cpus-mismatched or evidence-free runs skip loudly
+        BenchBudgets.gate(budgets, BenchBudgets.sfKey(sfDir), cpus,
+          headlineTimes, quiet.nonEmpty, quietSubset, sentinelMins) match {
+          case Left(reason) => BenchBudgets.blockJson(None, Some(reason))
+          case Right(result) =>
+            result.violations.foreach(v => System.err.println(
+              s"[bench] BUDGET VIOLATION (${result.mode}): ${v.query} " +
+                s"${v.sec}s > ceiling ${v.budgetS}s " +
+                s"(ambient factor ${result.factor})"))
+            BenchBudgets.blockJson(Some(result))
         }
       }
     } catch { case scala.util.control.NonFatal(e) =>
@@ -358,9 +417,10 @@ object Bench {
     // JSON key order is semantically irrelevant, so a full capture parses
     // any of the three identically.
     val compactNoise =
-      s"""{"schema":2,"spread_pct":${jsonNum(spreadPct)},"burst":$burst,""" +
+      s"""{"schema":3,"spread_pct":${jsonNum(spreadPct)},"burst":$burst,""" +
         s""""headline_contaminated":$burst,""" +
-        s""""quiet_passes":$quietJson,"extra_passes":$extraPasses}"""
+        s""""quiet_passes":$quietJson,"extra_passes":$extraPasses,""" +
+        s""""quiet_subset_covered":${quietSubset.size}}"""
     val compactLine =
       s"""{"metric":"total","value":${jsonNum(total)},"unit":"sec","sf":"$sfDir",""" +
         s""""raw_value":${jsonNum(rawTotal)},"report":"$reportPath",""" +

@@ -145,12 +145,60 @@ object BenchBudgets {
   private def num(d: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
 
+  /** One checked gate outcome. `mode` records WHICH evidence was
+    * gated: `"quiet_passes"` (the normal headline — mins over whole
+    * sentinel-quiet passes) or `"quiet_subset"` (a contaminated run's
+    * salvage: per-query minima over quiet-bracketed samples only —
+    * see BenchNoise.quietSubsetMins). `uncovered` lists queries the
+    * subset had no quiet sample for — visible silence, only ever
+    * non-empty in subset mode. */
+  final case class GateResult(sfKey: String, mode: String, factor: Double,
+      violations: Seq[Violation], unbudgeted: Seq[String],
+      uncovered: Seq[String] = Seq.empty)
+
+  /** The full gate decision, pure — spec-pinned so every skip/check
+    * path (including the cpus-mismatch refusal the r15 demo artifacts
+    * motivated) renders identically forever. Returns Left(skipReason)
+    * or Right(result).
+    *
+    * Evidence precedence: whole quiet passes gate the headline; with
+    * NONE (the contaminated-run case), the quiet subset gates
+    * whatever queries have quiet-bracketed samples; with neither, the
+    * gate skips loudly. */
+  def gate(budgets: Budgets, sfKey: String, cpus: String,
+      headline: Map[String, Double], quietPassesExist: Boolean,
+      quietSubset: Map[String, Double], sentinelMins: Map[String, Double])
+      : Either[String, GateResult] =
+    budgets.epochs.get(sfKey) match {
+      case None => Left(s"no pinned epoch for sf key '$sfKey'")
+      case Some(epoch) if epoch.cpus.exists(_ != cpus) =>
+        // a different local[N] shifts the heavy tier by the core
+        // ratio while the sub-second sentinels barely move — neither
+        // knob can normalize it, so refuse loudly instead of
+        // reporting structurally-false violations
+        Left(s"epoch pinned at cpus=${epoch.cpus.get}, this run used " +
+          s"cpus=$cpus — incomparable harness config")
+      case Some(epoch) if quietPassesExist =>
+        val (factor, violations, unbudgeted) = evaluate(
+          epoch, budgets.toleranceX, budgets.absSlackS, headline, sentinelMins)
+        Right(GateResult(sfKey, "quiet_passes", factor, violations, unbudgeted))
+      case Some(epoch) if quietSubset.nonEmpty =>
+        val (factor, violations, unbudgeted) = evaluate(
+          epoch, budgets.toleranceX, budgets.absSlackS, quietSubset, sentinelMins)
+        val uncovered = headline.keys.filterNot(quietSubset.contains).toSeq.sorted
+        Right(GateResult(sfKey, "quiet_subset", factor, violations, unbudgeted,
+          uncovered))
+      case Some(_) =>
+        Left("headline contaminated (no sentinel-quiet pass) and no " +
+          "quiet-bracketed samples — nothing gateable")
+    }
+
   /** The `budget` block for the bench artifact — pure, spec-pinned.
     * `None` (no budget file / unknown SF tier / incomparable harness
     * config) renders as an explicit skip marker WITH its reason, so
     * "no gate ran" is distinguishable from "gate ran clean" — and
     * attributable — in the JSON alone. */
-  def blockJson(result: Option[(String, Double, Seq[Violation], Seq[String])],
+  def blockJson(result: Option[GateResult],
       skipReason: Option[String] = None): String = result match {
     case None =>
       // reasons can carry arbitrary error text — keep the JSON valid.
@@ -160,13 +208,16 @@ object BenchBudgets {
         s""", "reason": "${s.replaceAll("[\\p{Cntrl}\"\\\\]", " ")}"""")
         .getOrElse("")
       s"""{"checked": false$r}"""
-    case Some((sfKey, factor, violations, unbudgeted)) =>
+    case Some(GateResult(sfKey, mode, factor, violations, unbudgeted, uncovered)) =>
       val vs = violations.map(v =>
         s"""{"query":"${v.query}","sec":${num(v.sec)},""" +
           s""""budget_s":${num(v.budgetS)}}""").mkString("[", ",", "]")
       val un = unbudgeted.map("\"" + _ + "\"").mkString("[", ",", "]")
-      s"""{"checked": true, "sf_key": "$sfKey", """ +
+      val uc =
+        if (uncovered.isEmpty) ""
+        else uncovered.map("\"" + _ + "\"").mkString(""", "uncovered": [""", ",", "]")
+      s"""{"checked": true, "sf_key": "$sfKey", "mode": "$mode", """ +
         s""""ambient_factor": ${num(factor)}, """ +
-        s""""violations": $vs, "unbudgeted": $un}"""
+        s""""violations": $vs, "unbudgeted": $un$uc}"""
   }
 }

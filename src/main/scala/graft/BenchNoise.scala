@@ -78,6 +78,54 @@ object BenchNoise {
     if (spreads.isEmpty) -1.0 else spreads.max
   }
 
+  /** Sample indices calm (non-noisy) for EVERY sentinel — the shared
+    * ingredient of the strict pass verdict and the quiet-subset
+    * salvage below. */
+  def calmSamples(sentinelSamples: Map[String, Vector[Double]],
+      thresholdPct: Double): Set[Int] = {
+    val n = sentinelSamples.values.map(_.size).minOption.getOrElse(0)
+    val noisy = sentinelSamples.values.map(noisyIdx(_, thresholdPct)).toSeq
+    (0 until n).filter(i => noisy.forall(!_(i))).toSet
+  }
+
+  /** STRICT pass-quiet over probe ranges (schema 3): pass p is quiet
+    * iff EVERY probe index in [ranges(p)._1, ranges(p)._2] is calm —
+    * with intra-pass probes this closes most of the schema-2 blind
+    * spot (a burst confined strictly inside one pass could leave both
+    * boundary probes calm; now it must also dodge every mid-pass
+    * probe). Degenerates to the schema-2 endpoint rule when a pass
+    * has no interior probes. */
+  def quietPassesRange(calm: Set[Int], ranges: IndexedSeq[(Int, Int)]): Set[Int] =
+    ranges.indices.filter { p =>
+      val (s, e) = ranges(p)
+      (s to e).forall(calm)
+    }.toSet
+
+  /** Per-query minima over samples whose BOTH bracketing probes are
+    * calm — the `quiet_subset`: quiet evidence salvaged from a run
+    * where no whole pass is quiet (the r15 driver bench shipped
+    * exactly that shape: zero quiet passes after self-heal, so the
+    * budget gate had NOTHING to check even though most individual
+    * query timings sat between calm probes). Entries appear only for
+    * queries with ≥ 1 successfully-timed quiet-bracketed sample;
+    * failures (-1) never qualify. brackets(p)(q) = (probe index taken
+    * just before q ran in pass p, probe index taken just after). */
+  def quietSubsetMins(passTimes: IndexedSeq[Map[String, Double]],
+      brackets: IndexedSeq[Map[String, (Int, Int)]],
+      calm: Set[Int]): Map[String, Double] = {
+    val acc = scala.collection.mutable.Map.empty[String, Double]
+    passTimes.indices.foreach { p =>
+      passTimes(p).foreach { case (q, sec) =>
+        if (sec >= 0) brackets.lift(p).flatMap(_.get(q)).foreach {
+          case (before, after) =>
+            if (calm(before) && calm(after))
+              acc(q) = math.min(acc.getOrElse(q, Double.MaxValue), sec)
+        }
+      }
+    }
+    acc.toMap
+  }
+
   /** Self-healing decision: run another interleaved catalog pass when
     * fewer than `minQuiet` passes so far are quiet and the extra-pass
     * budget isn't spent. minQuiet = 2 is the shipped default: a

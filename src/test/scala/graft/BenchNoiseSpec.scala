@@ -131,4 +131,50 @@ class BenchNoiseSpec extends AnyFunSuite {
     assert(BenchNoise.minTimes(passes, Seq("q"), Set(1))("q") === 3.0)
     assert(BenchNoise.minTimes(passes, Seq("q"), Set(0, 1))("q") === 1.0)
   }
+
+  test("calmSamples intersects every sentinel's calm set") {
+    val s = Map(
+      "a" -> Vector(0.30, 0.31, 0.90, 0.30),
+      "b" -> Vector(0.50, 0.10, 0.11, 0.10))
+    // a flags sample 2, b flags sample 0 -> calm = {1, 3}
+    assert(BenchNoise.calmSamples(s, Th) === Set(1, 3))
+  }
+
+  test("quietPassesRange is strict: a mid-pass probe burst unquiets the pass") {
+    // pass 0 spans probes 0..2 (one interior probe), pass 1 spans 2..3.
+    // The interior probe (index 1) bursts: schema 2's endpoint rule
+    // would have called pass 0 quiet; the strict range rule must not.
+    val s = Map("a" -> Vector(0.30, 0.95, 0.31, 0.30))
+    val calm = BenchNoise.calmSamples(s, Th)
+    val ranges = IndexedSeq((0, 2), (2, 3))
+    assert(BenchNoise.quietPassesRange(calm, ranges) === Set(1))
+    // degenerate case (no interior probes) == the endpoint rule
+    val s2 = Map("a" -> Vector(0.30, 0.31, 0.90, 0.30))
+    assert(BenchNoise.quietPassesRange(
+      BenchNoise.calmSamples(s2, Th), IndexedSeq((0, 1), (1, 2), (2, 3))) === Set(0))
+  }
+
+  test("quietSubsetMins salvages calm-bracketed samples from a pass-contaminated run") {
+    // One pass, probes 0|q1|1|q2|2 — probe 2 bursts. q1 (bracketed by
+    // calm 0,1) is salvageable; q2 (bracketed by 1, noisy 2) is not.
+    // That is exactly the r15 driver shape: zero quiet passes, but
+    // most queries individually sat between calm probes.
+    val s = Map("a" -> Vector(0.30, 0.31, 1.2))
+    val calm = BenchNoise.calmSamples(s, Th)
+    val passTimes = IndexedSeq(Map("q1" -> 5.0, "q2" -> 7.0))
+    val brackets = IndexedSeq(Map("q1" -> ((0, 1)), "q2" -> ((1, 2))))
+    assert(BenchNoise.quietSubsetMins(passTimes, brackets, calm) ===
+      Map("q1" -> 5.0))
+    // failures (-1) never qualify even when calm-bracketed
+    val failed = IndexedSeq(Map("q1" -> -1.0))
+    assert(BenchNoise.quietSubsetMins(failed, brackets, calm) === Map.empty)
+    // the min is taken across passes' quiet samples only
+    val s3 = Map("a" -> Vector(0.30, 0.31, 1.2, 0.30, 0.31))
+    val calm3 = BenchNoise.calmSamples(s3, Th)
+    val twoPasses = IndexedSeq(Map("q1" -> 2.0), Map("q1" -> 9.0))
+    val twoBrackets = IndexedSeq(Map("q1" -> ((1, 2))), Map("q1" -> ((3, 4))))
+    // pass-0 sample is faster but noisy-bracketed; only pass 1 counts
+    assert(BenchNoise.quietSubsetMins(twoPasses, twoBrackets, calm3) ===
+      Map("q1" -> 9.0))
+  }
 }
