@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""Merge an sf1 and an sf10 bench artifact into the per-round scaling
+datapoint (bench_reports/sf10_r{N}.json).
+
+The sf10 tier is 10x sf1 by construction (ScaleData.writeScaled applied
+twice: 100x the driver's sf0.1), so the per-query sf10/sf1 wall ratio is
+the direct evidence for the 100x design claims: ~<=10x means the query
+scales at-or-better-than linearly in rows on fixed cores; anything above
+10x must carry an adjudication (a named super-linear term or a measured
+explanation), which this tool enforces by failing the build of the
+artifact rather than writing an unadjudicated flag.
+
+Usage:
+  python3 tools/sf10_scaling.py <sf1_art> <sf10_art> <out> \
+      [adjudications.json] [oracle_subset.json]
+
+adjudications.json: {"query_name": "why this exceeds 10x", ...}
+Entries for queries that do NOT exceed the flag threshold are rejected
+(a stale excuse must not ride along after a fix lands).
+
+oracle_subset.json: a CORRECTNESS-format artifact from a
+tools/validate.py run against the sf10 dir (the DuckDB-tractable query
+subset); embedded verbatim so the scaling numbers and the correctness
+evidence for the same tier live in one file. Any failing row aborts.
+"""
+import json
+import sys
+
+FLAG_RATIO = 10.0
+
+
+def main() -> None:
+    sf1_path, sf10_path, out_path = sys.argv[1], sys.argv[2], sys.argv[3]
+    adj_path = sys.argv[4] if len(sys.argv) > 4 else None
+    oracle_path = sys.argv[5] if len(sys.argv) > 5 else None
+    sf1 = json.load(open(sf1_path))
+    sf10 = json.load(open(sf10_path))
+    adj = json.load(open(adj_path)) if adj_path else {}
+    oracle = json.load(open(oracle_path)) if oracle_path else None
+    if oracle is not None:
+        def failing(v):
+            if v.get("err") == "no_oracle":
+                return False
+            if v.get("err") is not None:
+                return True
+            return not (v.get("rows_match") and v.get("schema_match")
+                        and v.get("hash_match"))
+        bad = [k for k, v in oracle.items()
+               if not k.startswith("_") and failing(v)]
+        if bad:
+            sys.exit(f"sf10 oracle subset has failing rows: {bad}")
+
+    q1, q10 = sf1["queries"], sf10["queries"]
+    common = sorted(set(q1) & set(q10))
+    if not common:
+        sys.exit("no common queries between the two artifacts")
+    only10 = sorted(set(q10) - set(q1))
+
+    rows = {}
+    flagged = []
+    for name in common:
+        a, b = q1[name], q10[name]
+        ratio = round(b / a, 3) if a > 0 else None
+        entry = {"sf1_s": a, "sf10_s": b, "ratio": ratio}
+        if ratio is not None and ratio > FLAG_RATIO:
+            flagged.append(name)
+            if name not in adj:
+                sys.exit(f"{name} scales {ratio}x (> {FLAG_RATIO}x) but has "
+                         f"no adjudication — explain it or fix it")
+            entry["adjudication"] = adj[name]
+        rows[name] = entry
+    stale = sorted(set(adj) - set(flagged))
+    if stale:
+        sys.exit(f"adjudications for un-flagged queries (stale?): {stale}")
+
+    out = {
+        "note": ("sf1->sf10 scaling datapoint: 10x rows on fixed cores "
+                 f"(cpus={sf10.get('cpus')}); ratio > {FLAG_RATIO}x requires "
+                 "an adjudication (enforced by tools/sf10_scaling.py)"),
+        "sf1_artifact": sf1_path,
+        "sf10_artifact": sf10_path,
+        "sf10_dir": sf10.get("sf"),
+        "cpus": sf10.get("cpus"),
+        "reps": {"sf1": sf1.get("reps"), "sf10": sf10.get("reps")},
+        "generated_at": sf10.get("generated_at"),
+        "subset_total_sf1_s": round(sum(q1[n] for n in common), 3),
+        "subset_total_sf10_s": round(sum(q10[n] for n in common), 3),
+        "median_ratio": sorted(
+            r["ratio"] for r in rows.values() if r["ratio"] is not None
+        )[len(rows) // 2],
+        "flagged_over_10x": flagged,
+        "sf10_only_queries": only10,
+        "queries": rows,
+        "sf10_noise": sf10.get("noise"),
+        "sf10_budget": sf10.get("budget"),
+    }
+    if oracle is not None:
+        out["oracle_subset"] = oracle
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    print(f"wrote {out_path}: {len(rows)} queries, "
+          f"median ratio {out['median_ratio']}, flagged: {flagged}")
+
+
+if __name__ == "__main__":
+    main()
