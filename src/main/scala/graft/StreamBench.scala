@@ -48,11 +48,22 @@ object StreamBench {
       s""""wall_s": ${num(wallS)}, "out_rows": $outRows}"""
   }
 
-  /** The full artifact object — pure. */
-  def reportJson(sfDir: String, totalWallS: Double, records: Seq[String]): String =
+  /** The full artifact object — pure. Schema 3 adds the harness config
+    * (cpus = local[N] AND shuffle partitions, splits = micro-batch
+    * count): batch latencies shift ~2-3x between local[8] and
+    * local[32] on the SAME data — a micro-batch's shuffle pays
+    * per-task scheduling overhead proportional to partition count, so
+    * over-parallelizing small batches is a real cost, not noise
+    * (measured r16: 35.5 s at cpus=8 vs 70.4 s at cpus=32, identical
+    * state trajectories). An artifact without its config invited
+    * exactly the false cross-round comparison the bench budgets
+    * refuse for batch runs. */
+  def reportJson(sfDir: String, totalWallS: Double, records: Seq[String],
+      cpus: String, splits: Int): String =
     records.mkString(
       s"""{"metric": "stream_total", "value": ${num(totalWallS)}, """ +
-        s""""unit": "sec", "sf": "$sfDir", "schema": 2, """ +
+        s""""unit": "sec", "sf": "$sfDir", "schema": 3, """ +
+        s""""cpus": "$cpus", "splits": $splits, """ +
         """"ops": {""",
       ", ", "}}")
 
@@ -218,7 +229,7 @@ object StreamBench {
         spark, sfDir, probeIn, _, maxFilesPerTrigger = Some(1)))).flatten
     val totalWall = (System.nanoTime() - t0) / 1e9
 
-    val report = reportJson(sfDir, totalWall, records)
+    val report = reportJson(sfDir, totalWall, records, cpus, splits)
     val reportPath = java.nio.file.Paths
       .get(sys.env.getOrElse("SPARK_GRAFT_STREAM_REPORT_PATH",
         "target/stream_report.json"))

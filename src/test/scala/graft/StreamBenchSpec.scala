@@ -31,13 +31,16 @@ class StreamBenchSpec extends AnyFunSuite {
     val recs = Seq(
       StreamBench.recordJson("a", Seq(1L), Seq(2L), 0.1, 3L),
       StreamBench.recordJson("b", Seq.empty, Seq.empty, 0.2, 0L))
-    val report = StreamBench.reportJson("target/benchdata/sf1", 12.5, recs)
+    val report =
+      StreamBench.reportJson("target/benchdata/sf1", 12.5, recs, "8", 8)
     // structural pin: headline scalar first, every record under "ops"
     assert(report.startsWith(
       """{"metric": "stream_total", "value": 12.500, "unit": "sec", """))
     assert(report.contains(""""sf": "target/benchdata/sf1""""))
-    // the schema marker records the -1→null sentinel retirement
-    assert(report.contains(""""schema": 2"""))
+    // schema 3: the -1→null sentinel retirement (2) plus the harness
+    // config — batch latencies are only comparable at equal cpus
+    assert(report.contains(""""schema": 3"""))
+    assert(report.contains(""""cpus": "8", "splits": 8"""))
     assert(!report.contains("state_rows_sentinel"))
     assert(report.contains(""""ops": {"a": """))
     assert(report.contains(""", "b": {"batch_ms": [], """))
