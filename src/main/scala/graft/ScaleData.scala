@@ -58,17 +58,61 @@ object BenchData {
     // sf10 (opt-in, r15 ask #3): ANOTHER 10× on top of sf1 — 100× the
     // driver's sf0.1 — derived from the sf1 tier with a second,
     // larger key offset so referential integrity and per-key density
-    // still match. Replica 0 keeps sf1's text verbatim and later
-    // replicas append a second-level token, so the near-dup GROUP
-    // SIZE stays ~10 (a 10× bigger corpus of the same clone shape,
-    // not 100-clone monster groups): the dedup tier's scaling is then
-    // measured against corpus GROWTH, with per-group work constant.
+    // still match. Replica 0 keeps sf1's rows verbatim; later replicas
+    // are SCRAMBLED (documents: seeded word permutation + ~30% token
+    // replacement; embeddings: seeded vector replacement), so the
+    // near-dup GROUP SIZE stays ~10 (a 10× bigger corpus of the same
+    // clone shape, not 100-clone monster groups): the dedup tier's
+    // scaling is then measured against corpus GROWTH, with per-group
+    // work constant. (The first cut appended a single " big<rep>"
+    // token instead — that leaves cross-replica shingle jaccard ≈0.99
+    // and IDENTICAL unigram simhashes, i.e. exactly the 100-clone
+    // monster groups this scaladoc promises to avoid; the r16 sf10
+    // bench measured the resulting 17–25× pair-count blowup on the
+    // minhash/simhash/clusters tier before the scramble fixed it.)
     if (sys.env.contains("SPARK_GRAFT_SF10") || sys.env.contains("SPARK_GRAFT_SF10_ONLY"))
       writeScaled(spark, s"$outRoot/sf1", s"$outRoot/sf10",
         keyOff = 10000000000L, // > any sf1 key (base + 9×1e8)
-        repToken = " big", partsX = 4)
+        repToken = " big", partsX = 4, scramble = true)
     spark.stop()
   }
+
+  /** Replica-scramble for sf10 document text (see [[writeScaled]]):
+    * ~30% of token POSITIONS replaced by a seeded 6-hex word, then the
+    * whole token array re-ordered by a seeded position-keyed sort.
+    * Decision and order key on (position, __rep) ONLY — deliberately
+    * word-blind: the ~10 members of an sf1 clone family are identical
+    * except one trailing token, so position-keyed decisions land every
+    * shared token in the same output slot and the differing token in
+    * ONE shared slot (a word-keyed sort was measured fragmenting
+    * families to 3-shingle jaccard ≈ 0.73 — below the 0.8 dedup
+    * threshold — because the two suffix variants drew two different
+    * splice points). Replacement CONTENT still hashes the word, so
+    * differing tokens stay differing after replacement. Two replicas
+    * of one doc get independent permutations (shared 3-shingles ≈ 0)
+    * and ~30%-disjoint unigram multisets (simhash distance restored).
+    * Expects `text` (single-space corpus) and `__rep` in scope. */
+  private[graft] val ScrambledTextSql: String =
+    """concat_ws(' ',
+      |  transform(
+      |    array_sort(transform(
+      |      transform(split(text, ' '), (w, i) ->
+      |        CASE WHEN pmod(xxhash64(i, __rep, 7L), 10) < 3
+      |             THEN substr(md5(concat(w, '#', i, '#', __rep)), 1, 6)
+      |             ELSE w END),
+      |      (w, i) -> named_struct('k', xxhash64(i, __rep), 'v', w))),
+      |    s -> s.v))""".stripMargin
+
+  /** Replica-scramble for sf10 embeddings (see [[writeScaled]]): a
+    * fresh uniform[-1,1] vector per (input vector, replica), keyed on
+    * the vector's own content hash `__vh` so the sf1 tier's 10
+    * identical copies of a base vector map to ONE shared replacement
+    * per replica (exact-dup groups stay ~10). Expects `embedding`,
+    * `__vh`, `__rep` in scope. */
+  private[graft] val ScrambledVecSql: String =
+    """transform(sequence(0, size(embedding) - 1), d ->
+      |  cast((pmod(xxhash64(__vh, __rep, d), 2000001) - 1000000) / 1000000.0
+      |       AS float))""".stripMargin
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
@@ -117,13 +161,40 @@ object BenchData {
   /** One 10× scale-up from `base` to `out`: every fact and its
     * dimensions replicated `Reps` times with a consistent `keyOff`
     * per replica (referential integrity and per-key densities match
-    * the base), replicated documents suffixed with `repToken` +
-    * replica so each base doc gains a fresh near-dup clone group,
-    * region/nation fixed (dims that don't scale with SF in TPC-H
-    * either). Applied once for sf1 (from sf0.1) and, with a larger
-    * offset, again for sf10 (from sf1). */
+    * the base), region/nation fixed (dims that don't scale with SF in
+    * TPC-H either). Applied once for sf1 (from sf0.1) and, with a
+    * larger offset, again for sf10 (from sf1).
+    *
+    * Similarity-bearing columns and the two modes:
+    *  - `scramble = false` (the sf1 tier): replicated documents get a
+    *    ` rep<replica>` suffix token, so each base doc BECOMES a
+    *    10-clone near-dup group — deliberately: a 10× web corpus is
+    *    near-dup-rich, and the dedup tier should be measured against
+    *    that shape, not 10× unique text. Embeddings replicate
+    *    verbatim (10 identical copies per base vector = the planted
+    *    exact-dup groups the cosine tier measures).
+    *  - `scramble = true` (the sf10 tier, whose input is ALREADY the
+    *    clone-rich sf1): replica 0 keeps the input rows verbatim and
+    *    replicas 1..9 must NOT stay near-dups of it, or group size
+    *    multiplies to ~100 and every pair-scaling op measures group
+    *    GROWTH instead of corpus growth. Documents get a seeded
+    *    position-keyed word permutation (breaks every shingle-based
+    *    similarity: two independent permutations of the same words
+    *    share ~0 3-shingles) plus ~30% seeded token replacement
+    *    (breaks order-INVARIANT unigram simhash, which a permutation
+    *    alone preserves bit-for-bit); both are keyed on
+    *    (position, replica) only, so the members of one sf1 clone
+    *    family — which differ by a single trailing token — scramble
+    *    identically at every shared position and stay a ~10-clone
+    *    group within each replica. Embeddings get a seeded replacement vector (uniform
+    *    [-1,1] per dim, keyed on the input vector's own hash +
+    *    replica): within a replica the 10 sf1 copies of a base vector
+    *    still share one value (exact-dup group preserved), across
+    *    replicas pair cosine drops to the corpus's natural N(0, 1/dim)
+    *    bulk. */
   private def writeScaled(spark: SparkSession, base: String, out: String,
-      keyOff: Long, repToken: String, partsX: Int): Unit = {
+      keyOff: Long, repToken: String, partsX: Int,
+      scramble: Boolean = false): Unit = {
     write(load(spark, base, "region"), out, "region", 1)
     write(load(spark, base, "nation"), out, "nation", 1)
     write(replicate(load(spark, base, "customer"), Seq("c_custkey"), keyOff)
@@ -139,15 +210,27 @@ object BenchData {
       .drop("__rep"), out, "lineitem", 32 * partsX)
     write(replicate(load(spark, base, "events"), Seq("event_id", "user_id"),
       keyOff).drop("__rep"), out, "events", 8 * partsX)
+    // rep 0 keeps the original text; later replicas either append a
+    // distinct token (sf1: MAKES the 10-clone near-dup families) or
+    // scramble (sf10: keeps the inherited families at ~10 instead of
+    // compounding to ~100 — see the scaladoc)
+    val repText =
+      if (scramble) expr(ScrambledTextSql)
+      else concat(col("text"), lit(repToken), col("__rep"))
     write(replicate(load(spark, base, "documents"), Seq("doc_id"), keyOff)
-      // rep 0 keeps the original text; later replicas append a distinct token →
-      // near-dup clone groups of ~constant size at every tier (see scaladoc)
       .withColumn("text",
-        when(col("__rep") === 0, col("text"))
-          .otherwise(concat(col("text"), lit(repToken), col("__rep"))))
+        when(col("__rep") === 0, col("text")).otherwise(repText))
       .withColumn("n_chars", length(col("text")))
       .drop("__rep"), out, "documents", 8 * partsX)
-    write(replicate(load(spark, base, "embeddings"), Seq("vec_id"), keyOff)
-      .drop("__rep"), out, "embeddings", 4 * partsX)
+    val emb = replicate(load(spark, base, "embeddings"), Seq("vec_id"), keyOff)
+    val embOut =
+      if (scramble)
+        emb.withColumn("__vh",
+            expr("xxhash64(concat_ws(',', transform(embedding, x -> cast(x AS string))))"))
+          .withColumn("embedding",
+            when(col("__rep") === 0, col("embedding")).otherwise(expr(ScrambledVecSql)))
+          .drop("__vh")
+      else emb
+    write(embOut.drop("__rep"), out, "embeddings", 4 * partsX)
   }
 }

@@ -269,6 +269,8 @@ object GraftFunctions {
       (c: Seq[Expression]) => MinHashSig64(c.head)),
     ("vec_sig128", classOf[HyperplaneSig128],
       (c: Seq[Expression]) => HyperplaneSig128(c.head)),
+    ("vec_sig", classOf[HyperplaneSigN],
+      (c: Seq[Expression]) => HyperplaneSigN(c(0), c(1))),
     ("tok_stats", classOf[TokStats],
       (c: Seq[Expression]) => TokStats(c(0), c(1))),
     ("tok_counts", classOf[TokCounts],

@@ -110,6 +110,11 @@ case class NormFloat(child: Expression)
 object HyperplaneSig {
   val NBits = 128
   private val Seed = 0x67A5F1DE2026L
+  // Hard cap on requested signature width: the plane matrix is
+  // nBits×dim doubles per (dim, nBits) cache entry, and anything past
+  // a few thousand bits signals a unit mix-up at the call site, not a
+  // real banding scheme.
+  val MaxBits = 4096
 
   private def mix(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L
@@ -122,42 +127,50 @@ object HyperplaneSig {
   private def unit(z: Long): Double = ((mix(z) >>> 11) + 1).toDouble / (1L << 53).toDouble
 
   // Keyed map, not a single slot: two datasets with different embedding
-  // dims in one JVM would thrash a last-value cache and rebuild the
-  // 128×dim Gaussian matrix per row. Dims in practice number a handful,
-  // so the map stays tiny.
-  private val cache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+  // dims (or two banding schemes with different signature widths) in
+  // one JVM would thrash a last-value cache and rebuild the nBits×dim
+  // Gaussian matrix per row. (dim, nBits) combos in practice number a
+  // handful, so the map stays tiny. The plane STREAM is a fixed
+  // function of (plane j, coord i) alone — widening a signature
+  // extends it with new planes while the first 128 stay bit-identical
+  // to the original vec_sig128.
+  private val cache = new java.util.concurrent.ConcurrentHashMap[Long, Array[Array[Double]]]()
 
-  def planes(dim: Int): Array[Array[Double]] =
-    cache.computeIfAbsent(dim, d =>
-      Array.tabulate(NBits) { j =>
-        Array.tabulate(d) { i =>
+  def planes(dim: Int, nBits: Int): Array[Array[Double]] =
+    cache.computeIfAbsent((dim.toLong << 32) | nBits.toLong, _ =>
+      Array.tabulate(nBits) { j =>
+        Array.tabulate(dim) { i =>
           val base = Seed + j.toLong * 2097169L + i.toLong * 2L
           math.sqrt(-2.0 * math.log(unit(base))) * math.cos(2.0 * math.Pi * unit(base + 1))
         }
       })
 
-  /** Packed signature: bits 0–63 in element 0, 64–127 in element 1. */
-  def compute(arr: ArrayData): ArrayData = {
+  /** Packed signature: plane j's sign lands in bit (j % 64) of word
+    * (j / 64) — for nBits = 128 that is bits 0–63 in element 0,
+    * 64–127 in element 1, byte-compatible with the original
+    * vec_sig128. */
+  def compute(arr: ArrayData, nBits: Int): ArrayData = {
+    require(nBits > 0 && nBits <= MaxBits && nBits % 64 == 0,
+      s"vec_sig width must be a positive multiple of 64 <= $MaxBits, got $nBits")
     val dim = arr.numElements()
-    val pl = planes(dim)
+    val pl = planes(dim, nBits)
     val v = new Array[Double](dim)
     var i = 0
     while (i < dim) { v(i) = arr.getFloat(i).toDouble; i += 1 }
-    var lo = 0L
-    var hi = 0L
+    val words = new Array[Long](nBits / 64)
     var j = 0
-    while (j < NBits) {
+    while (j < nBits) {
       val w = pl(j)
       var s = 0.0
       var k = 0
       while (k < dim) { s += v(k) * w(k); k += 1 }
-      if (s > 0.0) {
-        if (j < 64) lo |= 1L << j else hi |= 1L << (j - 64)
-      }
+      if (s > 0.0) words(j / 64) |= 1L << (j % 64)
       j += 1
     }
-    new GenericArrayData(Array(lo, hi))
+    new GenericArrayData(words)
   }
+
+  def compute(arr: ArrayData): ArrayData = compute(arr, NBits)
 }
 
 /** `vec_sig128(array<float>) -> array<bigint>` (two packed longs). */
@@ -175,4 +188,32 @@ case class HyperplaneSig128(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSig128 =
     copy(child = newChild)
+}
+
+/** `vec_sig(array<float>, nbits) -> array<bigint>` (nbits/64 packed
+  * longs) — the width-parameterized form of [[HyperplaneSig128]],
+  * drawing planes from the SAME fixed stream (a 128-bit request is
+  * byte-identical to vec_sig128). Exists so LSH callers can widen
+  * bands with corpus size — the in-bucket pairing term of banded LSH
+  * is b·n²/2^(r+1), so r must grow with log n or candidate
+  * enumeration goes quadratic (see [[graft.operators.Dedup
+  * .embeddingLsh]]'s geometry pick); nbits is a query constant in
+  * every sane plan and is validated per evaluation either way. */
+case class HyperplaneSigN(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "vec_sig"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HyperplaneSig.compute(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[Number].intValue())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.HyperplaneSig.compute($a, (int)$b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): HyperplaneSigN =
+    copy(left = newLeft, right = newRight)
 }

@@ -1038,10 +1038,11 @@ object Dedup {
   // ---------------------------------------------------------------------
   // dedup_embedding_lsh — SUB-QUADRATIC near-dup embedding dedup at a
   // real near-dup threshold (0.9), the scale path the exact 0.45 scan
-  // above cannot be: 128 random-hyperplane sign bits per vector
-  // (native vec_sig128 kernel), banded 16 × 8 bits, candidates from a
-  // plain equi-join on (band_idx, band_val), exact cosine verification
-  // of candidates only.
+  // above cannot be: random-hyperplane sign bits per vector (native
+  // vec_sig kernel; 16 × 8-bit bands from 128 bits on small corpora,
+  // 32 × 16-bit from 512 bits past 50k vectors — [[lshBandGeometry]]),
+  // candidates from a plain equi-join on (band_idx, band_val), exact
+  // cosine verification of candidates only.
   //
   // Banding math (Gaussian planes → per-plane agreement for a pair at
   // cosine c is exactly p(c) = 1 − acos(c)/π; miss(c) = (1 − p(c)⁸)¹⁶):
@@ -1054,12 +1055,17 @@ object Dedup {
   // That is the LSH contract at any scale: size r (rows/band) for the
   // SIMILARITY you must not miss, b (bands) for the margin, and verify
   // candidates exactly so false candidates cost only work. A random
-  // pair (c ≈ 0) collides somewhere with prob 1 − (1 − 2⁻⁸)¹⁶ ≈ 6%;
-  // 8-bit bands have 256 buckets, so in-bucket pairing goes quadratic
-  // past ~10⁷ docs — the same ceiling-vs-radius trade documented for
-  // [[simhashPairs]]; a web-scale near-EXACT dedup (c ≥ 0.99,
-  // p = 0.955) would run r = 24-bit bands (16M buckets, b = 32 →
-  // miss 2.5e-6) off a longer signature, same plan shape.
+  // pair (c ≈ 0) lands in the same 8-bit band bucket with prob 2⁻⁸,
+  // so in-bucket pairing costs b·n²/2^(r+1) = n²/32 candidate rows —
+  // quadratic in n at ANY n, merely cheap while n is small. The r16
+  // sf10 bench hit that term at n ≈ 2·10⁵ (candidate spill filled the
+  // disk), so the geometry now WIDENS with corpus size
+  // ([[lshBandGeometry]]): 16-bit bands off a 512-bit signature past
+  // 50k vectors, and a web-scale near-EXACT dedup (c ≥ 0.99,
+  // p = 0.955) would continue the same ladder to r = 24-bit bands
+  // (16M buckets, b = 32 → miss 2.5e-6) off a longer signature, same
+  // plan shape — the ceiling-vs-radius trade documented for
+  // [[simhashPairs]], resolved by climbing the ladder as n grows.
   // ---------------------------------------------------------------------
   private[graft] val lshPlantStride = 20L
   // 2^40: far above any realistic id space (the sf1 scale-up bench
@@ -1097,20 +1103,50 @@ object Dedup {
     base.unionByName(planted)
   }
 
-  def embeddingLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** Corpus-size band geometry (see the header comment's banding
+    * math): 8-bit bands are optimal small-corpus granularity but their
+    * random-collision term b·n²/2^(r+1) goes quadratic — the r16 sf10
+    * bench measured it literally filling the disk with shuffle spill
+    * at n ≈ 2·10⁵ (1e9+ in-bucket candidate rows through a distinct).
+    * Past [[lshWideCorpusN]] vectors the banding widens to 16-bit
+    * bands off a 512-bit signature: random collisions drop 2⁸× (≈1e7
+    * candidates at n = 2·10⁵) while the planted/identical pairs this
+    * corpus must catch (cosine ≥ 0.97, per-plane agreement p ≥ 0.92)
+    * stay caught — miss = (1 − p¹⁶)³² ≤ 3e-5, and ≤ 6e-11 at the
+    * planted 0.992. Both geometries verify candidates exactly, so the
+    * pick trades work, never results (spec-asserted on a small corpus
+    * by forcing each geometry). */
+  private[graft] def lshBandGeometry(n: Long): (Int, Int) =
+    if (n <= lshWideCorpusN) (8, 16) else (16, 32)
+
+  private[graft] val lshWideCorpusN = 50000L
+
+  def embeddingLsh(spark: SparkSession, dir: String): DataFrame =
+    embeddingLshWith(spark, dir, forceGeometry = None)
+
+  private[graft] def embeddingLshWith(spark: SparkSession, dir: String,
+      forceGeometry: Option[(Int, Int)]): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    val corpus = lshCorpus(spark, dir)
+    // one cheap count job to pick the geometry — parquet row-group
+    // metadata makes this a scan of footers, not data
+    val (bandBits, nBands) = forceGeometry.getOrElse(
+      lshBandGeometry(corpus.count()))
+    val sigBits = bandBits * nBands
+    val perWord = 64 / bandBits
+    val mask = (1L << bandBits) - 1
     // persisted: feeds band explosion + both verification joins; the
-    // 128-dot signature pass is the expensive part (callers release
-    // via clearCache)
-    val c = lshCorpus(spark, dir)
+    // sigBits-dot signature pass is the expensive part (callers
+    // release via clearCache)
+    val c = corpus
       .withColumn("norm", expr("vec_norm(embedding)"))
-      .withColumn("sig", expr("vec_sig128(embedding)"))
+      .withColumn("sig", expr(s"vec_sig(embedding, $sigBits)"))
       .persist()
     val bands = c.select(col("vec_id"),
         explode(expr(
-          """transform(sequence(0, 15), b -> named_struct(
-            |  'band_idx', b,
-            |  'band_val', shiftright(element_at(sig, CAST(b div 8 AS INT) + 1), (b % 8) * 8) & 255))"""
+          s"""transform(sequence(0, ${nBands - 1}), b -> named_struct(
+             |  'band_idx', b,
+             |  'band_val', shiftright(element_at(sig, CAST(b div $perWord AS INT) + 1), (b % $perWord) * $bandBits) & $mask))"""
             .stripMargin)).as("band"))
       .select(col("vec_id"), col("band.band_idx"), col("band.band_val"))
     val cand = bands.as("a").join(bands.as("b"),

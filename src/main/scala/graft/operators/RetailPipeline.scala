@@ -152,9 +152,14 @@ object RetailPipeline {
     // (SURVEY §1.3: "pure column-pruning fodder") — so the cache holds
     // just the eleven columns the aggregates read, not the full
     // ~50-column join product.
+    // No join-strategy hint here: an earlier shuffle_hash hint OOM'd at
+    // the 100× tier (SparkOutOfMemoryError building the per-partition
+    // hash map — inventory is daily-grain but the join key is date-LESS,
+    // so the build side grows linearly with data while the partition
+    // count stays fixed). Sort-merge spills; a pinned hash build cannot.
+    // AQE still downgrades to a hash join when the build side is small.
     val merged = persistMerged(sales
-      .join(inventory.withColumnRenamed("CAL_DT", "INVENTORY_CAL_DT")
-        .hint("shuffle_hash"),
+      .join(inventory.withColumnRenamed("CAL_DT", "INVENTORY_CAL_DT"),
         Seq("PROD_KEY", "STORE_KEY"))
       .join(calendar, col("TRANS_DT") === calendar("CAL_DT"))
       .join(broadcast(store), Seq("STORE_KEY"))
@@ -390,10 +395,14 @@ object RetailPipeline {
         max(col("INVENTORY_ON_ORDER_QTY")).as("on_order"),
         max(col("OUT_OF_STOCK_FLG")).as("oos_flg"))
     // Both aggregates hash-partition on the same three keys, so this
-    // join is co-partitioned — no additional shuffle. shuffle_hash:
-    // the sides are daily-grain (small per partition) and sort-merge's
-    // two sorts buy nothing the hash map doesn't.
-    val daily = dailySales.join(dailyInv.hint("shuffle_hash"),
+    // join is co-partitioned — no additional shuffle. No join-strategy
+    // hint: a shuffle_hash hint here (rationale: daily-grain sides are
+    // small per partition, sort-merge's sorts buy nothing) held to sf1
+    // but OOM'd at the 100× tier — "small per partition" is rows ÷
+    // shuffle partitions, and a hint pins the non-spilling build even
+    // when that quotient grows 100×. Sort-merge spills gracefully and
+    // AQE still converts to a hash join when a side is actually small.
+    val daily = dailySales.join(dailyInv,
       Seq("prod_key", "store_key", "cal_dt"))
 
     // Week assignment: broadcast-join the (tiny) calendar dim if given,

@@ -23,6 +23,26 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
       check(gen.pureApply(Gen.Parameters.default, Seed(0xC0FFEE + i)))
     }
 
+  test("vec_sig draws from the same plane stream as vec_sig128") {
+    val df = spark.sql(
+      """SELECT vec_sig128(v) AS s128, vec_sig(v, 128) AS s, vec_sig(v, 512) AS w
+        |FROM VALUES (array(CAST(0.3 AS FLOAT), CAST(-1.2 AS FLOAT),
+        |                   CAST(2.5 AS FLOAT), CAST(0.01 AS FLOAT))) AS t(v)"""
+        .stripMargin).head()
+    val s128 = df.getSeq[Long](0)
+    val s = df.getSeq[Long](1)
+    val w = df.getSeq[Long](2)
+    assert(s === s128, "vec_sig(v, 128) must be byte-identical to vec_sig128(v)")
+    assert(w.length === 8)
+    assert(w.take(2) === s128.toSeq,
+      "widening the signature must extend the plane stream, not reseed it")
+    // invalid widths fail loudly, not with a truncated signature
+    val err = intercept[Exception] {
+      spark.sql("SELECT vec_sig(array(CAST(1.0 AS FLOAT)), 100)").collect()
+    }
+    assert(err.getMessage.contains("multiple of 64"))
+  }
+
   test("SQL-registered kernels type-check at ANALYSIS: implicit casts and named errors") {
     // the threshold is declared BIGINT (the expressions are documented
     // as registered for general SQL use); INT literals upcast
