@@ -1,7 +1,13 @@
 #!/usr/bin/env python3
 """Regenerate bench_budgets.json from quiet-epoch bench artifacts.
 
-Usage: tools/gen_budgets.py <sf0.1_artifact> <sf1_artifact>
+Usage: tools/gen_budgets.py <artifact> [<artifact> ...]
+
+Each artifact pins the epoch for the sf-dir key its run used (sf0.1,
+sf1, sf10, ...); pass one artifact per tier. A subset-run artifact
+pins a subset epoch — fine for a tier that is only ever benched as a
+subset (sf10's 18 scaling-sensitive queries), wrong for the full
+tiers, so pass full-catalog artifacts for sf0.1/sf1.
 
 Each artifact must be a graft.Bench full report (target/bench_report
 .json shape) from a run with quiet passes (noise.burst == false) — the
@@ -43,12 +49,15 @@ def epoch(path):
 
 
 def main():
-    if len(sys.argv) != 3:
+    if len(sys.argv) < 2:
         sys.exit(__doc__)
     epochs = {}
     for path in sys.argv[1:]:
         sf_dir, e = epoch(path)
         key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        if key in epochs:
+            sys.exit(f"two artifacts pin the same sf key '{key}': "
+                     f"{epochs[key]['artifact']} and {path}")
         epochs[key] = e
     out = {
         "schema": 1,
