@@ -47,6 +47,12 @@ def eq(a, b):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # Cap DuckDB's spill: an oracle whose intermediate explodes (the
+    # sf10 retail date-less fanout is ~2B rows) must fail ALONE with a
+    # temp-limit error, not exhaust the shared disk and take down every
+    # concurrent Spark write on the host (observed 2026-08-15: a full
+    # disk silently ate one query's parquet dump in a parallel sf1 run).
+    con.execute("SET max_temp_directory_size='40GiB'")
     for t in TABLES:
         # driver testdata ships plain files; graft.BenchData corpora are
         # Spark output directories — glob the parts in that case
