@@ -60,7 +60,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // same master override as Verify (local-cluster = multi-JVM
     // executors); timings under it are NOT comparable to local[N]
-    // epochs — the budget gate's cpus pin catches a mismatch anyway
+    // epochs. The cpus pin alone cannot catch this (a local-cluster
+    // run can carry the same cpus string as the epoch), so the budget
+    // gate below refuses non-local[cpus] masters explicitly and the
+    // artifact records the master for downstream comparability checks.
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val spark = MasterConfig(SparkSession.builder()
       .master(master), master)
@@ -338,19 +341,26 @@ object Bench {
     // ad-hoc dirs) renders {"checked": false} — visible skip, not
     // silence. Evaluated on the HEADLINE (quiet-pass mins): the raw
     // mins can carry burst contamination the budgets don't model.
-    val budgetsPath = sys.env.get("SPARK_GRAFT_BUDGETS_PATH")
-      .map(java.nio.file.Paths.get(_).toAbsolutePath)
-      .getOrElse(BenchBudgets.defaultBudgetsPath())
     val sentinelMins = sentinelTimes.toMap.flatMap { case (n, samples) =>
       val pos = samples.filter(_ > 0)
       if (pos.isEmpty) None else Some(n -> pos.min)
     }
-    // any failure here (malformed committed file, IO) must not sink
-    // the run: the timing work is already done, and a lost 15-minute
-    // artifact is a worse outcome than a loudly-skipped gate — the
-    // reason field carries the error for the round record
+    // any failure here (malformed committed file, IO, an invalid
+    // SPARK_GRAFT_BUDGETS_PATH, a code-source the default-path walk
+    // can't resolve) must not sink the run: the timing work is already
+    // done, and a lost 15-minute artifact is a worse outcome than a
+    // loudly-skipped gate — the reason field carries the error for the
+    // round record. Path resolution sits INSIDE the try for that
+    // reason.
     val budgetBlock = try {
-      if (!java.nio.file.Files.exists(budgetsPath))
+      val budgetsPath = sys.env.get("SPARK_GRAFT_BUDGETS_PATH")
+        .map(java.nio.file.Paths.get(_).toAbsolutePath)
+        .getOrElse(BenchBudgets.defaultBudgetsPath())
+      if (master != s"local[$cpus]")
+        BenchBudgets.blockJson(None, Some(s"master '$master' is not " +
+          s"local[$cpus] — multi-JVM timings are not comparable to " +
+          "pinned local epochs"))
+      else if (!java.nio.file.Files.exists(budgetsPath))
         BenchBudgets.blockJson(None, Some("no bench_budgets.json at " + budgetsPath))
       else {
         val budgets = BenchBudgets.parse(new String(
@@ -392,7 +402,7 @@ object Bench {
     val excludedJson = excluded.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val report =
       s"""{"metric":"total","value":${jsonNum(total)},"raw_value":${jsonNum(rawTotal)},""" +
-        s""""unit":"sec","sf":"$sfDir","cpus":"$cpus",""" +
+        s""""unit":"sec","sf":"$sfDir","cpus":"$cpus","master":"$master",""" +
         s""""reps":$nReps,"generated_at":"${java.time.Instant.now()}",""" +
         s""""ivfpq_prebuild_s":${jsonNum(ivfpqPrebuildS)},"excluded":$excludedJson,""" +
         s""""noise":$noiseJson,"budget":$budgetBlock,""" +

@@ -54,9 +54,13 @@ object BenchNoise {
     }
   }
 
-  /** Passes whose bracketing samples (p and p+1) are non-noisy for
-    * EVERY sentinel. A quiet pass's timings saw no burst on either
-    * side of the whole pass. */
+  /** SCHEMA-2 LEGACY endpoint rule — passes whose two BRACKETING
+    * samples (p and p+1) are non-noisy for every sentinel. Production
+    * runs are schema 3 and use [[quietPassesRange]] over
+    * [[calmSamples]] instead (strict over every probe in the pass's
+    * range, including intra-pass probes); this stays only as the
+    * spec-pinned degenerate case that rule must reduce to when a pass
+    * has no interior probes. Not called from [[Bench]]. */
   def quietPasses(sentinelSamples: Map[String, Vector[Double]], nPasses: Int,
       thresholdPct: Double): Set[Int] = {
     val noisy = sentinelSamples.values.map(noisyIdx(_, thresholdPct)).toSeq
@@ -68,8 +72,9 @@ object BenchNoise {
   /** Worst per-sentinel spread (max/min − 1, %) across the run; -1 when
     * no sentinel has two positive samples. A raw observable for
     * cross-round comparison; the run-level `burst` verdict is
-    * `quietPasses(...).isEmpty` — the headline is contaminated exactly
-    * when no pass was bracketed by calm sentinels. */
+    * `quietPassesRange(calmSamples(...), ranges).isEmpty` — the
+    * headline is contaminated exactly when no pass had every probe in
+    * its range calm. */
   def spreadPct(sentinelSamples: Map[String, Vector[Double]]): Double = {
     val spreads = sentinelSamples.values.flatMap { s =>
       val pos = s.filter(_ > 0)

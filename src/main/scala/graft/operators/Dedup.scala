@@ -1040,14 +1040,14 @@ object Dedup {
   // real near-dup threshold (0.9), the scale path the exact 0.45 scan
   // above cannot be: random-hyperplane sign bits per vector (native
   // vec_sig kernel; 16 × 8-bit bands from 128 bits on small corpora,
-  // 32 × 16-bit from 512 bits past 50k vectors — [[lshBandGeometry]]),
+  // 64 × 16-bit from 1024 bits past 50k vectors — [[lshBandGeometry]]),
   // candidates from a plain equi-join on (band_idx, band_val), exact
   // cosine verification of candidates only.
   //
   // Banding math (Gaussian planes → per-plane agreement for a pair at
   // cosine c is exactly p(c) = 1 − acos(c)/π; miss(c) = (1 − p(c)⁸)¹⁶):
-  //   c = 0.99 → miss 1.5e-9;  c = 0.97 → miss 7e-6;
-  //   c = 0.90 (the threshold) → miss 6.2%.
+  //   c = 0.99 → miss 6.7e-9;  c = 0.97 → miss 7e-6;
+  //   c = 0.90 (the threshold) → miss 0.42%.
   // The dedup corpus is the embeddings table plus planted near-dups
   // (below), whose qualifying pairs all sit at cosine ≥ 0.97 — the
   // exact all-pairs DuckDB oracle confirms BOTH that the banding missed
@@ -1060,7 +1060,7 @@ object Dedup {
   // quadratic in n at ANY n, merely cheap while n is small. The r16
   // sf10 bench hit that term at n ≈ 2·10⁵ (candidate spill filled the
   // disk), so the geometry now WIDENS with corpus size
-  // ([[lshBandGeometry]]): 16-bit bands off a 512-bit signature past
+  // ([[lshBandGeometry]]): 16-bit bands off a 1024-bit signature past
   // 50k vectors, and a web-scale near-EXACT dedup (c ≥ 0.99,
   // p = 0.955) would continue the same ladder to r = 24-bit bands
   // (16M buckets, b = 32 → miss 2.5e-6) off a longer signature, same
@@ -1109,15 +1109,22 @@ object Dedup {
     * bench measured it literally filling the disk with shuffle spill
     * at n ≈ 2·10⁵ (1e9+ in-bucket candidate rows through a distinct).
     * Past [[lshWideCorpusN]] vectors the banding widens to 16-bit
-    * bands off a 512-bit signature: random collisions drop 2⁸× (≈1e7
-    * candidates at n = 2·10⁵) while the planted/identical pairs this
-    * corpus must catch (cosine ≥ 0.97, per-plane agreement p ≥ 0.92)
-    * stay caught — miss = (1 − p¹⁶)³² ≤ 3e-5, and ≤ 6e-11 at the
-    * planted 0.992. Both geometries verify candidates exactly, so the
-    * pick trades work, never results (spec-asserted on a small corpus
-    * by forcing each geometry). */
+    * bands off a 1024-bit signature: random collisions drop 2⁷×
+    * (b·n²/2¹⁷ ≈ 2e7 candidates at n = 2·10⁵) while the band count is
+    * sized so the MISS RATE AT THE QUERY'S OWN 0.9 THRESHOLD matches
+    * the narrow geometry it replaces — miss(c) = (1 − p(c)¹⁶)⁶⁴ with
+    * p(c) = 1 − acos(c)/π gives 0.37% at c = 0.90 (narrow: 0.42%),
+    * 1.5e-9 at 0.97, ~5e-21 at the planted 0.992. (The first wide cut
+    * used b = 32, whose 6.1% miss at 0.90 would have silently widened
+    * the boundary-miss window 14× on any corpus with natural pairs
+    * near the threshold; equal-boundary-risk is what makes the
+    * geometry an internal knob rather than a semantics change.) Both
+    * geometries verify candidates exactly, so on corpora whose
+    * qualifying pairs sit at ≥ 0.97 — which the exact all-pairs oracle
+    * certifies for this one — the pick trades work, never results
+    * (spec-asserted on a small corpus by forcing each geometry). */
   private[graft] def lshBandGeometry(n: Long): (Int, Int) =
-    if (n <= lshWideCorpusN) (8, 16) else (16, 32)
+    if (n <= lshWideCorpusN) (8, 16) else (16, 64)
 
   private[graft] val lshWideCorpusN = 50000L
 
@@ -1128,10 +1135,14 @@ object Dedup {
       forceGeometry: Option[(Int, Int)]): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val corpus = lshCorpus(spark, dir)
-    // one cheap count job to pick the geometry — parquet row-group
-    // metadata makes this a scan of footers, not data
+    // geometry pick needs only the corpus SIZE — count the bare base
+    // table (a metadata-only job off parquet row-group footers) and add
+    // the derived planted fraction, instead of counting the union+
+    // filter+guard plan, which would evaluate the raise_error
+    // projection over every row as a real data scan
+    val nBase = Tables.load(spark, dir, "embeddings").count()
     val (bandBits, nBands) = forceGeometry.getOrElse(
-      lshBandGeometry(corpus.count()))
+      lshBandGeometry(nBase + nBase / lshPlantStride))
     val sigBits = bandBits * nBands
     val perWord = 64 / bandBits
     val mask = (1L << bandBits) - 1

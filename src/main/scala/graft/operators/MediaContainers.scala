@@ -153,16 +153,24 @@ object MediaContainers {
     boxes(b, 0, b.length).foreach {
       case ("moov", ms, me) =>
         boxes(b, ms, me).foreach {
-          case ("mvhd", ps, _) =>
+          // a box's SIZE field can be self-consistent while its payload
+          // is too short for the fields this parser reads — every fixed
+          // offset is bounds-checked against the payload end so a
+          // foreign/corrupt leaf degrades to the sentinel instead of
+          // throwing out of the stage
+          case ("mvhd", ps, pe) if pe - ps >= 1 =>
             val version = b(ps) & 0xff
             val (ts, dur) =
-              if (version == 1) (readU32(b, ps + 20), readU64(b, ps + 24))
-              else (readU32(b, ps + 12), readU32(b, ps + 16))
+              if (version == 1 && pe - ps >= 32)
+                (readU32(b, ps + 20), readU64(b, ps + 24))
+              else if (version == 0 && pe - ps >= 20)
+                (readU32(b, ps + 12), readU32(b, ps + 16))
+              else (0L, 0L)
             if (ts > 0) durationMs = dur * 1000L / ts
           case ("trak", ts0, te) =>
             nTracks += 1
             boxes(b, ts0, te).foreach {
-              case ("tkhd", ps, pe) =>
+              case ("tkhd", ps, pe) if pe - ps >= 8 =>
                 // width/height are the LAST 8 payload bytes in both
                 // tkhd versions (16.16 fixed point)
                 val w = (readU32(b, pe - 8) >> 16).toInt
@@ -261,7 +269,10 @@ object MediaContainers {
   // recurses into the master elements it knows, skips everything else.
   // ------------------------------------------------------------------
   /** Read a vint at `off`: (value, nOctets); `keepMarker` for IDs.
-    * Returns None on truncation or the reserved all-ones length. */
+    * Returns None on truncation. A size vint of all value-bits-ones is
+    * the spec's reserved "unknown size" (live/streaming muxers write
+    * Segment this way) — reported as value -1 so [[elements]] can treat
+    * the element as extending to the end of its enclosing scope. */
   private def readVint(b: Array[Byte], off: Int, end: Int,
       keepMarker: Boolean): Option[(Long, Int)] = {
     if (off >= end) return None
@@ -272,7 +283,8 @@ object MediaContainers {
     var v = if (keepMarker) first.toLong else (first & ((1 << (8 - n)) - 1)).toLong
     var i = 1
     while (i < n) { v = (v << 8) | (b(off + i) & 0xffL); i += 1 }
-    Some((v, n))
+    if (!keepMarker && v == (1L << (7 * n)) - 1) Some((-1L, n))
+    else Some((v, n))
   }
 
   private def elements(b: Array[Byte], start: Int, end: Int): Iterator[(Long, Int, Int)] =
@@ -283,7 +295,11 @@ object MediaContainers {
         (id, idLen) <- readVint(b, off, end, keepMarker = true)
         (size, szLen) <- readVint(b, off + idLen, end, keepMarker = false)
         ps = off + idLen + szLen
-        pe = ps + size if pe <= end && size >= 0
+        // unknown size (-1): the element runs to the end of the
+        // enclosing scope (the only legal reading for an unknown-size
+        // master; anything after it belongs to that element anyway)
+        pe = if (size == -1L) end.toLong else ps + size
+        if pe <= end && pe >= ps
       } yield { off = pe.toInt; (id, ps, pe.toInt) }
       def hasNext: Boolean = nextEl.isDefined
       def next(): (Long, Int, Int) = {
@@ -353,10 +369,20 @@ object MediaContainers {
   private[graft] def containerBytes(id: Long): Array[Byte] =
     if (id % 2 == 0) mp4Bytes(id) else mkvBytes(id)
 
-  private[graft] def parseContainer(id: Long, b: Array[Byte]): ContainerMeta =
-    if (b == null || b.length < 4) ContainerMeta(id, if (id % 2 == 0) "mp4" else "mkv", -1, 0, 0, 0)
-    else if (id % 2 == 0) parseMp4(id, b)
-    else parseMkv(id, b)
+  private[graft] def parseContainer(id: Long, b: Array[Byte]): ContainerMeta = {
+    val kind = if (id % 2 == 0) "mp4" else "mkv"
+    if (b == null || b.length < 4) ContainerMeta(id, kind, -1, 0, 0, 0)
+    else try {
+      if (id % 2 == 0) parseMp4(id, b) else parseMkv(id, b)
+    } catch {
+      // the parse paths bounds-check every read, but the module's
+      // contract (one corrupt record degrades to a filterable marker,
+      // never kills the stage) must hold even against a byte shape the
+      // checks don't anticipate — hostile input is the normal case for
+      // container metadata at corpus scale
+      case scala.util.control.NonFatal(_) => ContainerMeta(id, kind, -1, 0, 0, 0)
+    }
+  }
 
   def containerTable(spark: SparkSession, dir: String): Dataset[Multimodal.MediaRow] = {
     import spark.implicits._

@@ -266,19 +266,21 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("LSH band geometry trades work, never results") {
-    // the wide (16-bit × 32-band) geometry the corpus-size pick engages
+    // the wide (16-bit × 64-band) geometry the corpus-size pick engages
     // past 50k vectors must return the SAME pair set as the small-corpus
-    // (8-bit × 16-band) default — both verify candidates exactly, so
-    // geometry may only change candidate-enumeration cost
+    // (8-bit × 16-band) default — both verify candidates exactly, and
+    // the band count is sized for narrow-parity miss probability at the
+    // 0.9 threshold (0.37% vs 0.42%), so geometry may only change
+    // candidate-enumeration cost
     val narrow = Dedup.embeddingLshWith(spark, SF, Some((8, 16)))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     spark.catalog.clearCache()
-    val wide = Dedup.embeddingLshWith(spark, SF, Some((16, 32)))
+    val wide = Dedup.embeddingLshWith(spark, SF, Some((16, 64)))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     spark.catalog.clearCache()
     assert(narrow === wide)
     assert(Dedup.lshBandGeometry(50000L) === ((8, 16)))
-    assert(Dedup.lshBandGeometry(50001L) === ((16, 32)))
+    assert(Dedup.lshBandGeometry(50001L) === ((16, 64)))
   }
 
   /** Textbook two-row DP — independent of both engines' levenshtein. */

@@ -108,6 +108,51 @@ class MediaContainersSpec extends AnyFunSuite with SparkSuite {
     assert(parseContainer(2L, containerBytes(2L).take(30)).duration_ms == -1L)
     val mkvCut = containerBytes(3L)
     assert(parseContainer(3L, mkvCut.take(5)).duration_ms == -1L)
+    // valid-SIZED but too-short leaf payloads: the box walk succeeds,
+    // so only the per-field bounds checks stand between these bytes
+    // and an ArrayIndexOutOfBounds killing the stage
+    def u32(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def bx(cc: String, p: Array[Byte]): Array[Byte] =
+      u32(8L + p.length) ++ cc.getBytes("US-ASCII") ++ p
+    // mvhd v0 with a 4-byte payload (needs 20); as the LAST box so a
+    // missing bounds check reads past the array end
+    val shortMvhd = bx("moov", bx("mvhd", Array[Byte](0, 0, 0, 0)))
+    assert(parseContainer(2L, shortMvhd).duration_ms == -1L)
+    // empty mvhd payload: even the version byte is out of bounds
+    val emptyMvhd = bx("moov", bx("mvhd", Array.empty[Byte]))
+    assert(parseContainer(2L, emptyMvhd).duration_ms == -1L)
+    // mvhd v1 sized for v0: version byte says 32 bytes needed, has 20
+    val v1short = bx("moov", bx("mvhd", Array[Byte](1) ++ Array.fill[Byte](19)(0)))
+    assert(parseContainer(2L, v1short).duration_ms == -1L)
+    // tkhd with a 4-byte payload (width/height read needs >= 8)
+    val shortTkhd = bx("moov", bx("trak", bx("tkhd", Array[Byte](1, 2, 3, 4))))
+    assert(parseContainer(2L, shortTkhd).duration_ms == -1L)
+  }
+
+  test("MKV parser handles an unknown-size Segment (live/streaming muxer layout)") {
+    // rewrite our own writer's Segment size vint to the reserved
+    // all-ones "unknown size" — the element must be read as extending
+    // to the end of the buffer, not skipped
+    val own = mkvBytes(7L)
+    val headerLen = {
+      // header = el(IdEbml, ...): 4-byte id, then a size vint
+      val szFirst = own(4) & 0xff
+      val szLen = Integer.numberOfLeadingZeros(szFirst) - 23
+      val size = (1 until szLen).foldLeft((szFirst & ((1 << (8 - szLen)) - 1)).toLong)(
+        (a, i) => (a << 8) | (own(4 + i) & 0xffL))
+      4 + szLen + size.toInt
+    }
+    // segment id is 4 bytes; its size vint starts right after
+    val sizeOff = headerLen + 4
+    val szLen = Integer.numberOfLeadingZeros(own(sizeOff) & 0xff) - 23
+    val unknown = own.clone()
+    // all-ones vint of the same length: marker byte 0xFF >> (len-1)
+    unknown(sizeOff) = ((0xff >> (szLen - 1)) | (1 << (8 - szLen))).toByte
+    (1 until szLen).foreach(i => unknown(sizeOff + i) = 0xff.toByte)
+    val m = parseMkv(7L, unknown)
+    assert(m == ContainerMeta(7L, "mkv", ruleDurationMs(7), ruleTracks(7),
+      ruleWidth(7), ruleHeight(7)))
   }
 
   test("the catalog query emits one parsed row per document at sf0.001") {

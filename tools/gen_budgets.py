@@ -30,6 +30,10 @@ def epoch(path):
     noise = art["noise"]
     if noise.get("burst", True):
         sys.exit(f"refusing to pin budgets from a burst-flagged run: {path}")
+    master = art.get("master")
+    if master is not None and master != f"local[{art['cpus']}]":
+        sys.exit(f"refusing to pin budgets from a non-local[{art['cpus']}] "
+                 f"run (master={master}): {path}")
     # same evidence bar as the bench's own self-heal (minQuiet=2): a
     # single quiet pass means these ceilings would derive from one
     # pass's numbers

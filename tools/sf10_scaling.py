@@ -55,6 +55,13 @@ def main() -> None:
     if not common:
         sys.exit("no common queries between the two artifacts")
     only10 = sorted(set(q10) - set(q1))
+    # graft.Bench records a query that failed every rep as -1 seconds;
+    # a scaling artifact must never be built over one (a crash at 100x
+    # would otherwise yield a negative ratio that sails under the flag
+    # threshold, and a crash at sf1 would silently shift the median)
+    broken = sorted(n for n in common if q1[n] < 0 or q10[n] < 0)
+    if broken:
+        sys.exit(f"failure-sentinel timings (-1) in the artifacts: {broken}")
 
     rows = {}
     flagged = []
@@ -85,9 +92,10 @@ def main() -> None:
         "generated_at": sf10.get("generated_at"),
         "subset_total_sf1_s": round(sum(q1[n] for n in common), 3),
         "subset_total_sf10_s": round(sum(q10[n] for n in common), 3),
-        "median_ratio": sorted(
-            r["ratio"] for r in rows.values() if r["ratio"] is not None
-        )[len(rows) // 2],
+        # index into the RATIO list, not rows: a == 0 entries have no
+        # ratio and would otherwise skew (or overrun) the median index
+        "median_ratio": (lambda rs: rs[len(rs) // 2])(sorted(
+            r["ratio"] for r in rows.values() if r["ratio"] is not None)),
         "flagged_over_10x": flagged,
         "sf10_only_queries": only10,
         "queries": rows,
