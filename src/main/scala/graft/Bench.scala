@@ -244,8 +244,18 @@ object Bench {
       .flatMap(_.toDoubleOption).filter(_ >= 0)
       .getOrElse(math.max(120.0, initialElapsedS))
     var extraPasses = 0
+    // Probe samples come from two distinct micro-environments —
+    // pass-boundary probes vs intra-pass probes interleaved with heavy
+    // catalog queries (~50% systematically apart at sf1 on a flat
+    // host) — so calmness is judged per class (BenchNoise
+    // .noisyIdxClassed), or a quiet host could never gate an sf1 run.
+    def probeClasses(): Seq[Set[Int]] = {
+      val boundary = passProbeRanges.flatMap { case (s, e) => Seq(s, e) }.toSet
+      Seq(boundary, (0 until probeCount).toSet -- boundary)
+    }
     def quietNow(): Set[Int] = BenchNoise.quietPassesRange(
-      BenchNoise.calmSamples(sentinelTimes.toMap, BurstSpreadPct),
+      BenchNoise.calmSamplesClassed(sentinelTimes.toMap, probeClasses(),
+        BurstSpreadPct),
       passProbeRanges.toIndexedSeq)
     val healStart = System.nanoTime()
     def healElapsedS(): Double = (System.nanoTime() - healStart) / 1e9
@@ -261,7 +271,8 @@ object Bench {
       extraPasses += 1
     }
 
-    val calm = BenchNoise.calmSamples(sentinelTimes.toMap, BurstSpreadPct)
+    val calm = BenchNoise.calmSamplesClassed(sentinelTimes.toMap,
+      probeClasses(), BurstSpreadPct)
     val quiet = quietNow()
     // The salvage tier (r15 ask #2b): per-query minima over samples
     // bracketed by calm probes — non-empty exactly when SOME timings

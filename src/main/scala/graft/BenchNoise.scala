@@ -93,6 +93,57 @@ object BenchNoise {
     (0 until n).filter(i => noisy.forall(!_(i))).toSet
   }
 
+  /** Class-stratified noisy-sample detection. Schema-3 probe samples
+    * are NOT one population: pass-BOUNDARY probes run against a
+    * different micro-environment than INTRA-PASS probes, which execute
+    * interleaved with heavy catalog queries — the r16 sf1 runs
+    * measured a systematic ~50% boundary-vs-intra gap on a FLAT
+    * ambient host, which [[noisyIdx]]'s single-population floor read
+    * as 100%+ spread and flagged every intra-pass sample, making a
+    * quiet host structurally unable to produce a gateable sf1 run.
+    * Each sample is therefore judged against its OWN class's floor.
+    *
+    * Within a class the floor is the positive lower median, EXCEPT
+    * when the class min is corroborated (≥ 2 positive samples within
+    * `thresholdPct` of it) AND the median diverges from it beyond the
+    * threshold — the sustained-contention shape (an onset ramp's calm
+    * early samples corroborate the min, so the conservative low floor
+    * still flags the contended tail). Requiring corroboration means a
+    * SINGLE anomalously fast sample — the post-warmup first probe is
+    * systematically the warmest of the whole run — can no longer
+    * condemn every other sample. */
+  def noisyIdxClassed(samples: Vector[Double], classes: Seq[Set[Int]],
+      thresholdPct: Double): Set[Int] =
+    classes.flatMap { cls =>
+      val idx = samples.indices.filter(cls)
+      val pos = idx.map(samples).filter(_ > 0).sorted
+      if (pos.isEmpty) idx
+      else {
+        val minPos = pos.head
+        val median = pos((pos.size - 1) / 2)
+        val corroborated =
+          pos.count(s => s / minPos - 1.0 <= thresholdPct / 100.0) >= 2
+        val base =
+          if (corroborated && median / minPos - 1.0 > thresholdPct / 100.0)
+            minPos
+          else median
+        idx.filter(i =>
+          samples(i) <= 0 || samples(i) / base - 1.0 > thresholdPct / 100.0)
+      }
+    }.toSet
+
+  /** [[calmSamples]] under class stratification: calm = non-noisy per
+    * [[noisyIdxClassed]] for EVERY sentinel. `classes` partitions (or
+    * covers) the probe indices — Bench passes {boundary, intra-pass}
+    * derived from the pass probe ranges. */
+  def calmSamplesClassed(sentinelSamples: Map[String, Vector[Double]],
+      classes: Seq[Set[Int]], thresholdPct: Double): Set[Int] = {
+    val n = sentinelSamples.values.map(_.size).minOption.getOrElse(0)
+    val noisy =
+      sentinelSamples.values.map(noisyIdxClassed(_, classes, thresholdPct)).toSeq
+    (0 until n).filter(i => noisy.forall(!_(i))).toSet
+  }
+
   /** STRICT pass-quiet over probe ranges (schema 3): pass p is quiet
     * iff EVERY probe index in [ranges(p)._1, ranges(p)._2] is calm —
     * with intra-pass probes this closes most of the schema-2 blind

@@ -177,4 +177,45 @@ class BenchNoiseSpec extends AnyFunSuite {
     assert(BenchNoise.quietSubsetMins(twoPasses, twoBrackets, calm3) ===
       Map("q1" -> 9.0))
   }
+
+  test("classed analysis: a systematic boundary-vs-intra gap on a flat host is calm") {
+    // the r16 sf1 shape that made a quiet host ungateable: boundary
+    // probes (0,3,6) ~0.24, intra-pass probes ~0.36 — each class flat,
+    // but single-population noisyIdx floors to the fast class's min
+    // and flags every intra sample
+    val s = Map("mm" -> Vector(0.24, 0.36, 0.35, 0.23, 0.37, 0.34, 0.25))
+    val boundary = Set(0, 3, 6)
+    val classes = Seq(boundary, s("mm").indices.toSet -- boundary)
+    assert(BenchNoise.noisyIdx(s("mm"), Th).nonEmpty) // the defect
+    assert(BenchNoise.noisyIdxClassed(s("mm"), classes, Th) === Set.empty[Int])
+    assert(BenchNoise.calmSamplesClassed(s, classes, Th) ===
+      s("mm").indices.toSet)
+  }
+
+  test("classed analysis: an UNCORROBORATED fast first sample cannot condemn the run") {
+    // the post-warmup first probe is systematically the warmest of the
+    // run; with a single-sample min the floor stays at the median and
+    // only genuinely slow samples flag
+    val v = Vector(0.35, 0.57, 0.54, 0.66, 0.56, 0.53, 0.61)
+    val one = Seq(v.indices.toSet)
+    assert(BenchNoise.noisyIdx(v, Th) === v.indices.drop(1).toSet) // the defect
+    assert(BenchNoise.noisyIdxClassed(v, one, Th) === Set.empty[Int])
+    // a real slow outlier still flags against the median floor
+    val burst = Vector(0.35, 0.57, 0.54, 1.40, 0.56, 0.53, 0.61)
+    assert(BenchNoise.noisyIdxClassed(burst, one, Th) === Set(3))
+  }
+
+  test("classed analysis keeps the sustained-contention paranoia when the min is corroborated") {
+    // onset ramp: two calm early samples corroborate the min, the
+    // median is dragged up by the contended majority — the low floor
+    // must still flag the tail (the shape the min rule exists for)
+    val ramp = Vector(0.30, 0.31, 0.55, 0.58, 0.60, 0.59)
+    val one = Seq(ramp.indices.toSet)
+    assert(BenchNoise.noisyIdxClassed(ramp, one, Th) === Set(2, 3, 4, 5))
+    // and a burst spanning an intra-pass probe flags within its class
+    val s = Map("mm" -> Vector(0.24, 0.36, 0.80, 0.23, 0.37, 0.34, 0.25))
+    val boundary = Set(0, 3, 6)
+    val classes = Seq(boundary, s("mm").indices.toSet -- boundary)
+    assert(BenchNoise.noisyIdxClassed(s("mm"), classes, Th) === Set(2))
+  }
 }
