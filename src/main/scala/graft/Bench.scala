@@ -42,9 +42,10 @@ object Bench {
 
   /** The one catalog entry excluded from the TIMED surface by default:
     * the exact all-pairs verification tool is Θ(answer-set) by design
-    * (~40 s / 15% of the sf1 catalog) and its deterministic 1-in-8
-    * pair-stratum twin `dedup_embedding_cosine_sampled` measures the
-    * identical blocked-join code path at an eighth of the dot products.
+    * (~40 s / 15% of the sf1 catalog) and its deterministic pair-stratum
+    * twin `dedup_embedding_cosine_sampled` measures the identical
+    * blocked-join code path at a corpus-size-aware ~25M-pair budget
+    * (m = 8 at sf1, 800 at sf10 — Dedup.pairSampleModFor).
     * The oracle/Verify surface is unaffected — this is bench-only, it
     * is logged in the artifact, and SPARK_GRAFT_BENCH_EXACT_PAIRS=1
     * restores the unbounded entry. Exclusion only applies when the
@@ -280,9 +281,16 @@ object Bench {
     // Computed always, EMITTED/GATED only when quiet passes are absent
     // (with quiet passes the headline supersedes it).
     val quietSubset =
-      if (quiet.nonEmpty) Map.empty[String, Double]
+      if (quiet.nonEmpty) Map.empty[String, (Double, Int)]
       else BenchNoise.quietSubsetMins(
         passTimes.toIndexedSeq, queryBrackets.toIndexedSeq, calm)
+    // only corroborated (≥ 2 quiet-bracketed samples) values GATE —
+    // headline mode demands two whole quiet passes, and a subset value
+    // from one sample must not carry the same weight; singletons fall
+    // through to the gate's `uncovered` list, visible not silent
+    val quietGateable = quietSubset.collect {
+      case (q, (sec, n)) if n >= 2 => q -> sec
+    }
     val allPasses = passTimes.indices.toSet
     val names = selected.keys
     val rawTimes = BenchNoise.minTimes(passTimes.toIndexedSeq, names, allPasses)
@@ -330,8 +338,15 @@ object Bench {
       if (quiet.nonEmpty) ""
       else {
         val entries = quietSubset.toSeq.sortBy(_._1)
-          .map { case (q, s) => s"\"$q\":${jsonNum(s)}" }.mkString("{", ",", "}")
-        s""","quiet_subset":{"queries":$entries,""" +
+          .map { case (q, (s, _)) => s"\"$q\":${jsonNum(s)}" }
+          .mkString("{", ",", "}")
+        // per-query quiet sample counts: a value from 1 sample is
+        // visible (and ungated) rather than indistinguishable from a
+        // corroborated one
+        val samples = quietSubset.toSeq.sortBy(_._1)
+          .map { case (q, (_, n)) => s"\"$q\":$n" }.mkString("{", ",", "}")
+        s""","quiet_subset":{"queries":$entries,"samples":$samples,""" +
+          s""""gateable":${quietGateable.size},""" +
           s""""covered":${quietSubset.size},"of":${selected.size}}"""
       }
     val noiseJson =
@@ -382,7 +397,7 @@ object Bench {
         // quiet_subset gates whatever calm-bracketed evidence exists;
         // cpus-mismatched or evidence-free runs skip loudly
         BenchBudgets.gate(budgets, BenchBudgets.sfKey(sfDir), cpus,
-          headlineTimes, quiet.nonEmpty, quietSubset, sentinelMins) match {
+          headlineTimes, quiet.nonEmpty, quietGateable, sentinelMins) match {
           case Left(reason) => BenchBudgets.blockJson(None, Some(reason))
           case Right(result) =>
             result.violations.foreach(v => System.err.println(

@@ -149,9 +149,11 @@ object BenchBudgets {
     * gated: `"quiet_passes"` (the normal headline — mins over whole
     * sentinel-quiet passes) or `"quiet_subset"` (a contaminated run's
     * salvage: per-query minima over quiet-bracketed samples only —
-    * see BenchNoise.quietSubsetMins). `uncovered` lists queries the
-    * subset had no quiet sample for — visible silence, only ever
-    * non-empty in subset mode. */
+    * see BenchNoise.quietSubsetMins; the caller passes only
+    * CORROBORATED entries, ≥ 2 quiet samples, mirroring headline
+    * mode's two-quiet-pass requirement). `uncovered` lists queries
+    * the subset had no — or only a single, ungateable — quiet sample
+    * for: visible silence, only ever non-empty in subset mode. */
   final case class GateResult(sfKey: String, mode: String, factor: Double,
       violations: Seq[Violation], unbudgeted: Seq[String],
       uncovered: Seq[String] = Seq.empty)

@@ -168,14 +168,22 @@ object BenchNoise {
     * just before q ran in pass p, probe index taken just after). */
   def quietSubsetMins(passTimes: IndexedSeq[Map[String, Double]],
       brackets: IndexedSeq[Map[String, (Int, Int)]],
-      calm: Set[Int]): Map[String, Double] = {
-    val acc = scala.collection.mutable.Map.empty[String, Double]
+      calm: Set[Int]): Map[String, (Double, Int)] = {
+    // (min, n): the per-query QUIET SAMPLE COUNT rides along so the
+    // gate can demand corroboration — headline mode requires two whole
+    // quiet passes, so a subset-mode value derived from ONE
+    // calm-bracketed sample must not silently carry the same weight
+    // (one noisy-but-unbracketed sample could record a false budget
+    // violation on a contaminated run)
+    val acc = scala.collection.mutable.Map.empty[String, (Double, Int)]
     passTimes.indices.foreach { p =>
       passTimes(p).foreach { case (q, sec) =>
         if (sec >= 0) brackets.lift(p).flatMap(_.get(q)).foreach {
           case (before, after) =>
-            if (calm(before) && calm(after))
-              acc(q) = math.min(acc.getOrElse(q, Double.MaxValue), sec)
+            if (calm(before) && calm(after)) {
+              val (m, n) = acc.getOrElse(q, (Double.MaxValue, 0))
+              acc(q) = (math.min(m, sec), n + 1)
+            }
         }
       }
     }

@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native Catalyst expressions for the embedding-similarity hot path.
   *
@@ -200,10 +200,17 @@ case class HyperplaneSig128(child: Expression)
   * .embeddingLsh]]'s geometry pick); nbits is a query constant in
   * every sane plan and is validated per evaluation either way. */
 case class HyperplaneSigN(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "vec_sig"
+  // registered for general SQL use: a non-integer width (e.g.
+  // vec_sig(v, '128') where the string isn't castable, or an array)
+  // must fail at ANALYSIS with a named error, not as a janino compile
+  // error / ClassCastException from the (int) cast at execution —
+  // the same analysis-time typing contract the text kernels carry
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), IntegerType)
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     HyperplaneSig.compute(a.asInstanceOf[ArrayData],

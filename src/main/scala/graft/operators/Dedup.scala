@@ -940,23 +940,49 @@ object Dedup {
     embeddingCosineAllPairs(spark, dir, threshold = 0.45)
 
   /** Verification-budget twin for the TIMED surface: the same blocked
-    * equi-join, restricted to the deterministic 1-in-[[pairSampleMod]]
-    * pair stratum (vec_i + vec_j ≡ 0 mod m). The stratum predicate is
-    * part of the join condition, so the skipped pairs never reach the
-    * dot-product kernel — the n²/2 compute drops by the sample factor,
-    * not just the output. Honest by construction: the constant
-    * `sample_mod` column self-describes the stratum, the result is the
-    * EXACT answer on that stratum (same threshold, same rounding, full
-    * DuckDB oracle), and the unbounded [[embeddingCosine]] stays the
+    * equi-join, restricted to the deterministic 1-in-m pair stratum
+    * (vec_i + vec_j ≡ 0 mod m). The stratum predicate is part of the
+    * join condition, so the skipped pairs never reach the dot-product
+    * kernel — the n²/2 compute drops by the sample factor, not just
+    * the output. Honest by construction: the constant `sample_mod`
+    * column self-describes the stratum, the result is the EXACT answer
+    * on that stratum (same threshold, same rounding, full DuckDB
+    * oracle), and the unbounded [[embeddingCosine]] stays the
     * verification tool Verify runs. Bench runs this twin by default
-    * (Bench.scala logs the exclusion). */
-  def embeddingCosineSampled(spark: SparkSession, dir: String): DataFrame =
-    embeddingCosineAllPairs(spark, dir, threshold = 0.45, pairMod = pairSampleMod)
+    * (Bench.scala logs the exclusion).
+    *
+    * The stratum is CORPUS-SIZE-AWARE: m = [[pairSampleModFor]](n)
+    * holds the verified-pair budget at ~[[pairBudgetPairs]] across
+    * scales instead of letting a fixed mod ride the n² curve (the r16
+    * sf10 tier spent 491 s — 62% of its wall — on this twin at a fixed
+    * m = 8; a fixed mod also made the twin the worst apparent
+    * cross-SF "scaler" at ~8.5×, purely a denominator artifact). At
+    * n ≤ ~7k vectors the budget exceeds all n(n−1)/2 pairs and the
+    * twin degenerates to the full exact scan (m = 1); at the sf1 tier
+    * (20k) the formula lands on the same m = 8 the twin always used;
+    * at sf10 (200k) it is m = 800 — constant work, not constant mod.
+    * The oracle computes the identical m from its own COUNT(*), so the
+    * comparison stays exact at every scale, and the n it derives from
+    * is a metadata-only parquet count (no data scan). */
+  def embeddingCosineSampled(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.load(spark, dir, "embeddings").count()
+    embeddingCosineAllPairs(spark, dir, threshold = 0.45,
+      pairMod = pairSampleModFor(n), emitMod = true)
+  }
 
-  private[graft] val pairSampleMod = 8
+  /** Target verified-pair budget for the sampled twin: ~25M pairs is
+    * the sf1 workload the twin has always carried (20k vectors at
+    * m = 8), kept constant as the corpus grows. */
+  private[graft] val pairBudgetPairs = 25L * 1000 * 1000
+
+  /** m = max(1, ⌊n² / 2B⌋) — integer math only, so DuckDB's
+    * COUNT(*)-based `//` computes the identical value. */
+  private[graft] def pairSampleModFor(n: Long): Int =
+    math.max(1L, (n * n) / (2L * pairBudgetPairs)).toInt
 
   private[graft] def embeddingCosineAllPairs(spark: SparkSession, dir: String,
-      threshold: Double, nBlocks: Int = -1, pairMod: Int = 1): DataFrame = {
+      threshold: Double, nBlocks: Int = -1, pairMod: Int = 1,
+      emitMod: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val g = if (nBlocks > 0) nBlocks else defaultPairBlocks(spark)
     // vec_dot/vec_norm are native codegen'd expressions
@@ -998,8 +1024,11 @@ object Dedup {
       .filter(col("cosine") >= threshold)
     val base = pairs
       .select(col("a.vec_id").as("vec_i"), col("b.vec_id").as("vec_j"), col("cosine"))
-    (if (pairMod <= 1) base
-     else base.withColumn("sample_mod", lit(pairMod)))
+    // sample_mod is emitted whenever the SAMPLED surface is requested —
+    // including m = 1 (budget covers all pairs at small n) — so the
+    // twin's schema is scale-invariant and always self-describing.
+    (if (emitMod) base.withColumn("sample_mod", lit(pairMod))
+     else base)
       .orderBy("vec_i", "vec_j")
   }
 
@@ -1018,17 +1047,22 @@ object Dedup {
        |ORDER BY 1, 2""".stripMargin
 
   /** Same exact cosine algebra as [[embeddingCosineSql]], restricted to
-    * the deterministic pair stratum the sampled twin computes. */
+    * the deterministic pair stratum the sampled twin computes. The
+    * stratum mod is derived from the oracle's own COUNT(*) with the
+    * same integer formula as [[pairSampleModFor]] (`//` is DuckDB's
+    * floor division), so engine and oracle agree at every scale. */
   val embeddingCosineSampledSql: String =
-    s"""WITH e AS (SELECT vec_id, embedding, $normSql AS norm FROM embeddings)
+    s"""WITH e AS (SELECT vec_id, embedding, $normSql AS norm FROM embeddings),
+       |mm AS (SELECT GREATEST(1,
+       |  (COUNT(*) * COUNT(*)) // ${2L * pairBudgetPairs}) AS m FROM embeddings)
        |SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
        |  CAST(ROUND(CAST(CAST(
        |    list_reduce(list_transform(range(1, len(a.embedding) + 1),
        |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x, y) -> x + y)
        |    / (a.norm * b.norm) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS cosine,
-       |  CAST($pairSampleMod AS INT) AS sample_mod
+       |  CAST((SELECT m FROM mm) AS INT) AS sample_mod
        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-       |  AND (a.vec_id + b.vec_id) % $pairSampleMod = 0
+       |  AND (a.vec_id + b.vec_id) % (SELECT m FROM mm) = 0
        |WHERE CAST(ROUND(CAST(CAST(
        |    list_reduce(list_transform(range(1, len(a.embedding) + 1),
        |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x, y) -> x + y)

@@ -307,8 +307,14 @@ object MediaContainers {
       }
     }
 
+  /** EBML uints are at most 8 octets; a longer payload (foreign or
+    * corrupt writer) would silently fold into an arbitrary overflowed
+    * Long here, so callers must bounds-check with [[uintFits]] and
+    * route oversized elements to the sentinel path instead. */
   private def readUint(b: Array[Byte], ps: Int, pe: Int): Long =
     (ps until pe).foldLeft(0L)((a, i) => (a << 8) | (b(i) & 0xffL))
+
+  private def uintFits(ps: Int, pe: Int): Boolean = pe - ps <= 8
 
   private def readFloat(b: Array[Byte], ps: Int, pe: Int): Double = pe - ps match {
     case 4 => java.lang.Float.intBitsToFloat(readUint(b, ps, pe).toInt).toDouble
@@ -323,13 +329,20 @@ object MediaContainers {
     var width = 0
     var height = 0
     var sawHeader = false
+    // an oversized (> 8-octet) uint leaf is unparseable, not "roughly
+    // this value" — folding it through readUint would yield a plausible
+    // but wrong TimestampScale/PixelWidth; route the whole record to
+    // the sentinel instead (hostile-input contract)
+    var badUint = false
     elements(b, 0, b.length).foreach {
       case (IdEbml, _, _) => sawHeader = true
       case (IdSegment, ss, se) =>
         elements(b, ss, se).foreach {
           case (IdInfo, is, ie) =>
             elements(b, is, ie).foreach {
-              case (IdTimestampScale, ps, pe) => tsScale = readUint(b, ps, pe)
+              case (IdTimestampScale, ps, pe) =>
+                if (uintFits(ps, pe)) tsScale = readUint(b, ps, pe)
+                else badUint = true
               case (IdDuration, ps, pe)       => durationTicks = readFloat(b, ps, pe)
               case _ => ()
             }
@@ -340,8 +353,12 @@ object MediaContainers {
                 elements(b, es, ee).foreach {
                   case (IdVideo, vs, ve) =>
                     elements(b, vs, ve).foreach {
-                      case (IdPixelWidth, ps, pe)  => width = readUint(b, ps, pe).toInt
-                      case (IdPixelHeight, ps, pe) => height = readUint(b, ps, pe).toInt
+                      case (IdPixelWidth, ps, pe) =>
+                        if (uintFits(ps, pe)) width = readUint(b, ps, pe).toInt
+                        else badUint = true
+                      case (IdPixelHeight, ps, pe) =>
+                        if (uintFits(ps, pe)) height = readUint(b, ps, pe).toInt
+                        else badUint = true
                       case _ => ()
                     }
                   case _ => ()
@@ -352,7 +369,7 @@ object MediaContainers {
         }
       case _ => ()
     }
-    if (!sawHeader || durationTicks < 0 || nTracks == 0 || tsScale <= 0)
+    if (!sawHeader || badUint || durationTicks < 0 || nTracks == 0 || tsScale <= 0)
       ContainerMeta(id, "mkv", -1, 0, 0, 0)
     else {
       // ticks × ns/tick → ms (scale 1e6 makes ticks = ms exactly)

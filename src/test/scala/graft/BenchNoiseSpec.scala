@@ -164,18 +164,25 @@ class BenchNoiseSpec extends AnyFunSuite {
     val passTimes = IndexedSeq(Map("q1" -> 5.0, "q2" -> 7.0))
     val brackets = IndexedSeq(Map("q1" -> ((0, 1)), "q2" -> ((1, 2))))
     assert(BenchNoise.quietSubsetMins(passTimes, brackets, calm) ===
-      Map("q1" -> 5.0))
+      Map("q1" -> ((5.0, 1))))
     // failures (-1) never qualify even when calm-bracketed
     val failed = IndexedSeq(Map("q1" -> -1.0))
     assert(BenchNoise.quietSubsetMins(failed, brackets, calm) === Map.empty)
-    // the min is taken across passes' quiet samples only
+    // the min is taken across passes' quiet samples only — and the
+    // sample count records how much corroboration backs it (1 here:
+    // the gate refuses to fail a query on a single quiet sample)
     val s3 = Map("a" -> Vector(0.30, 0.31, 1.2, 0.30, 0.31))
     val calm3 = BenchNoise.calmSamples(s3, Th)
     val twoPasses = IndexedSeq(Map("q1" -> 2.0), Map("q1" -> 9.0))
     val twoBrackets = IndexedSeq(Map("q1" -> ((1, 2))), Map("q1" -> ((3, 4))))
     // pass-0 sample is faster but noisy-bracketed; only pass 1 counts
     assert(BenchNoise.quietSubsetMins(twoPasses, twoBrackets, calm3) ===
-      Map("q1" -> 9.0))
+      Map("q1" -> ((9.0, 1))))
+    // both samples quiet-bracketed → min of the two, count 2 (gateable)
+    val sAll = Map("a" -> Vector(0.30, 0.31, 0.30, 0.30, 0.31))
+    val calmAll = BenchNoise.calmSamples(sAll, Th)
+    assert(BenchNoise.quietSubsetMins(twoPasses, twoBrackets, calmAll) ===
+      Map("q1" -> ((2.0, 2))))
   }
 
   test("classed analysis: a systematic boundary-vs-intra gap on a flat host is calm") {

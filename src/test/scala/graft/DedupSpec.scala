@@ -495,10 +495,13 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("sampled pair twin is the exact answer on its stratum, stratum applied pre-kernel") {
-    val m = Dedup.pairSampleMod
+    val n = Tables.load(spark, SF, "embeddings").count()
+    val m = Dedup.pairSampleModFor(n)
     val sampled = Dedup.embeddingCosineSampled(spark, SF)
     assert(sampled.columns.toSeq === Seq("vec_i", "vec_j", "cosine", "sample_mod"),
       "sampled twin must self-describe its stratum")
+    assert(sampled.select("sample_mod").distinct().collect().map(_.getInt(0)).toSeq
+      === Seq(m), "sample_mod column must carry the corpus-derived mod")
     // exact-on-stratum: identical to the unbounded tool filtered to the
     // same (vec_i + vec_j) % m == 0 stratum
     val expect = Dedup.embeddingCosine(spark, SF)
@@ -507,11 +510,34 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(got.sameElements(expect), "sampled twin must be exact on its stratum")
     // the stratum predicate must sit in the join, not a post-kernel
     // filter: candidate pairs reaching the projection stage drop ~1/m
+    // (forced m = 8 here — the adaptive mod is 1 on this tiny corpus)
+    val forcedM = 8
     val allPairs = Dedup.embeddingCosineAllPairs(spark, SF, threshold = -1.0).count()
-    val stratumPairs =
-      Dedup.embeddingCosineAllPairs(spark, SF, threshold = -1.0, pairMod = m).count()
-    assert(stratumPairs < allPairs / (m / 2),
+    val stratumPairs = Dedup.embeddingCosineAllPairs(
+      spark, SF, threshold = -1.0, pairMod = forcedM).count()
+    assert(stratumPairs < allPairs / (forcedM / 2),
       s"stratum kept $stratumPairs of $allPairs pairs — predicate not reducing the pair scan")
+  }
+
+  test("sampled stratum mod holds the pair budget ~constant across corpus sizes") {
+    val b = Dedup.pairBudgetPairs
+    // anchors: degenerate-to-exact below the budget, sf1 parity (the
+    // m = 8 the twin always ran at 20k vectors), and sf10
+    assert(Dedup.pairSampleModFor(500) === 1)
+    assert(Dedup.pairSampleModFor(2000) === 1)
+    assert(Dedup.pairSampleModFor(20000) === 8)
+    assert(Dedup.pairSampleModFor(200000) === 800)
+    // the budget property itself: wherever m > 1, the stratum's
+    // expected pair count n²/(2m) stays within a factor of 2 of the
+    // budget — i.e. constant WORK across scales, not constant mod
+    for (n <- Seq(20000L, 63246L, 200000L, 2000000L, 20000000L)) {
+      val m = Dedup.pairSampleModFor(n).toLong
+      if (m > 1) {
+        val stratumPairs = n * n / (2L * m)
+        assert(stratumPairs <= 2L * b && stratumPairs >= b / 2,
+          s"n=$n m=$m stratum=$stratumPairs vs budget $b")
+      }
+    }
   }
 
   test("sampled twin's stratum is an equi-join KEY, not a residual predicate") {
@@ -532,8 +558,12 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       }
       if (keys.isEmpty) 0 else keys.max
     }
+    // forced m = 8: the adaptive mod degenerates to 1 (no stratum, no
+    // extra key) on this tiny corpus, so pin the plan property on the
+    // explicit-mod path the adaptive twin takes whenever m > 1
     val unbounded = maxJoinKeys(Dedup.embeddingCosine(spark, SF))
-    val sampled = maxJoinKeys(Dedup.embeddingCosineSampled(spark, SF))
+    val sampled = maxJoinKeys(Dedup.embeddingCosineAllPairs(
+      spark, SF, threshold = 0.45, pairMod = 8))
     assert(unbounded >= 1, "unbounded pair scan must plan a hash-keyed join")
     assert(sampled > unbounded,
       s"stratum must add an equi-join key (unbounded $unbounded, sampled $sampled) " +

@@ -41,6 +41,14 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
       spark.sql("SELECT vec_sig(array(CAST(1.0 AS FLOAT)), 100)").collect()
     }
     assert(err.getMessage.contains("multiple of 64"))
+    // a non-integer width is rejected at ANALYSIS with a named error
+    // (same typing contract as the text kernels), never deferred to a
+    // janino (int)-cast failure at execution
+    val typeErr = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT vec_sig(array(CAST(1.0 AS FLOAT)), array(128))").collect()
+    }
+    assert(typeErr.getMessage.toLowerCase.contains("vec_sig"))
   }
 
   test("SQL-registered kernels type-check at ANALYSIS: implicit casts and named errors") {

@@ -96,6 +96,20 @@ class MediaContainersSpec extends AnyFunSuite with SparkSuite {
     val segment = el(0x18538067L, voidEl ++ tracks ++ voidEl ++ info)
     val m = parseMkv(7L, header ++ segment)
     assert(m == ContainerMeta(7L, "mkv", 1007L, 2, 174, 127))
+
+    // oversized uint leaves (> 8 octets — illegal EBML, seen only from
+    // corrupt/hostile writers) must hit the sentinel, not fold through
+    // readUint into a plausible-but-wrong overflowed value
+    val wideTs = el(0x2AD7B1L, Array.fill(9)(1.toByte)) // 9-byte TimestampScale
+    val badInfo = el(0x1549A966L, wideTs ++ el(0x4489L, dbl(1007.0)))
+    val badSeg1 = el(0x18538067L, tracks ++ badInfo)
+    assert(parseMkv(7L, header ++ badSeg1) == ContainerMeta(7L, "mkv", -1L, 0, 0, 0),
+      "9-byte TimestampScale must degrade to the sentinel row")
+    val wideVideo = el(0xE0L, el(0xB0L, Array.fill(9)(1.toByte)) ++ el(0xBAL, uint(127)))
+    val badTrack = el(0xAEL, el(0x83L, uint(1)) ++ wideVideo ++ el(0xD7L, uint(1)))
+    val badSeg2 = el(0x18538067L, el(0x1654AE6BL, badTrack) ++ info)
+    assert(parseMkv(7L, header ++ badSeg2) == ContainerMeta(7L, "mkv", -1L, 0, 0, 0),
+      "9-byte PixelWidth must degrade to the sentinel row")
   }
 
   test("corrupt or truncated payloads degrade to the sentinel row, never throw") {

@@ -65,15 +65,25 @@ def main() -> None:
 
     rows = {}
     flagged = []
+    # a query whose sf1 time rounds to 0.000 has no ratio — but it must
+    # not thereby ESCAPE adjudication: trivially-fast-at-sf1 plus
+    # expensive-at-sf10 is exactly the shape the flag exists for
+    ZERO_DENOM_ABS_S = 1.0
     for name in common:
         a, b = q1[name], q10[name]
         ratio = round(b / a, 3) if a > 0 else None
         entry = {"sf1_s": a, "sf10_s": b, "ratio": ratio}
-        if ratio is not None and ratio > FLAG_RATIO:
+        blown_zero = ratio is None and b > ZERO_DENOM_ABS_S
+        if blown_zero:
+            entry["zero_denominator_blowup"] = True
+        if (ratio is not None and ratio > FLAG_RATIO) or blown_zero:
             flagged.append(name)
             if name not in adj:
-                sys.exit(f"{name} scales {ratio}x (> {FLAG_RATIO}x) but has "
-                         f"no adjudication — explain it or fix it")
+                why = (f"scales {ratio}x (> {FLAG_RATIO}x)" if ratio is not None
+                       else f"sf1 time rounds to 0 yet sf10 takes {b}s "
+                            f"(> {ZERO_DENOM_ABS_S}s)")
+                sys.exit(f"{name} {why} but has no adjudication — "
+                         "explain it or fix it")
             entry["adjudication"] = adj[name]
         rows[name] = entry
     stale = sorted(set(adj) - set(flagged))
