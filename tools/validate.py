@@ -52,7 +52,19 @@ def main(sf_dir, out_dir):
     # temp-limit error, not exhaust the shared disk and take down every
     # concurrent Spark write on the host (observed 2026-08-15: a full
     # disk silently ate one query's parquet dump in a parallel sf1 run).
-    con.execute("SET max_temp_directory_size='40GiB'")
+    # override when several validate processes share the disk (the
+    # sharded sf10 run caps each shard lower so concurrent spills can't
+    # jointly exhaust it)
+    con.execute("SET max_temp_directory_size="
+                f"'{os.environ.get('GRAFT_DUCKDB_TEMP_CAP', '40GiB')}'")
+    if os.environ.get("GRAFT_DUCKDB_THREADS"):
+        con.execute(f"SET threads TO {int(os.environ['GRAFT_DUCKDB_THREADS'])}")
+    if os.environ.get("GRAFT_DUCKDB_MEM_LIMIT"):
+        # DuckDB defaults to 80% of host RAM PER PROCESS; concurrent
+        # shards must split the budget or the heavy dedup oracles OOM
+        # the box together
+        con.execute("SET memory_limit="
+                    f"'{os.environ['GRAFT_DUCKDB_MEM_LIMIT']}'")
     for t in TABLES:
         # driver testdata ships plain files; graft.BenchData corpora are
         # Spark output directories — glob the parts in that case
