@@ -60,7 +60,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // subset runs dump only the selected queries' oracles: the DuckDB
+    // stage iterates oracle_sql.json, so un-dumped entries would each
+    // land a junk file-not-found ERR row in a pinned subset artifact
+    // (observed on the r17 cluster-at-sf1 run)
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
 

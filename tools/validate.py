@@ -65,6 +65,14 @@ def main(sf_dir, out_dir):
         # the box together
         con.execute("SET memory_limit="
                     f"'{os.environ['GRAFT_DUCKDB_MEM_LIMIT']}'")
+    if os.environ.get("GRAFT_DUCKDB_TEMP_DIR"):
+        # concurrent shards MUST NOT share a spill dir: every process
+        # names its files .tmp/duckdb_temp_storage-N.tmp, so two
+        # spilling shards in one cwd corrupt each other's reads
+        # (observed 2026-08-15 on the sf10 run)
+        os.makedirs(os.environ["GRAFT_DUCKDB_TEMP_DIR"], exist_ok=True)
+        con.execute("SET temp_directory="
+                    f"'{os.environ['GRAFT_DUCKDB_TEMP_DIR']}'")
     for t in TABLES:
         # driver testdata ships plain files; graft.BenchData corpora are
         # Spark output directories — glob the parts in that case

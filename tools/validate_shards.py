@@ -22,7 +22,15 @@ loses everything on a crash. This wrapper:
 
 Usage:
   python3 tools/validate_shards.py <sfDir> <verifyOutDir> <artifact> \
-      [--shards N] [--exclude name="note" ...]
+      [--shards N] [--exclude name="note" ...] [--only a,b,...]
+
+--only restricts the run to the named oracles (no records are written
+for the rest — unlike --exclude, which writes an inline exclusion
+note). It exists so one big-corpus run can be split into a wide
+cheap-oracle phase and a narrow heavy-spiller phase with different
+per-shard DuckDB temp/memory caps, merged afterwards; the rows-only
+no_oracle sweep only runs on un-restricted invocations (the wide
+phase) so the phases don't double-report it.
 """
 import json
 import os
@@ -37,6 +45,7 @@ def main():
     args = [a for a in sys.argv[1:]]
     excludes = {}
     shards_n = 3
+    only = None
     pos = []
     i = 0
     while i < len(args):
@@ -48,12 +57,20 @@ def main():
             name, _, note = args[i + 1].partition("=")
             excludes[name] = note
             i += 2
+        elif a == "--only":
+            only = set(args[i + 1].split(","))
+            i += 2
         else:
             pos.append(a)
             i += 1
     sf_dir, out_dir, artifact = pos
 
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only is not None:
+        missing = only - set(oracles)
+        if missing:
+            sys.exit(f"--only names not in oracle_sql.json: {sorted(missing)}")
+        oracles = {k: v for k, v in oracles.items() if k in only}
     active = {k: v for k, v in sorted(oracles.items()) if k not in excludes}
     shards = [dict(list(active.items())[i::shards_n]) for i in range(shards_n)]
 
@@ -70,10 +87,14 @@ def main():
         with open(os.path.join(sdir, "oracle_sql.json"), "w") as f:
             json.dump(shard, f)
         log = open(f"{work}/s{si}.log", "w")
+        env = dict(os.environ)
+        # private spill dir per shard — DuckDB's temp filenames are not
+        # process-unique, so a shared cwd .tmp corrupts concurrent spills
+        env["GRAFT_DUCKDB_TEMP_DIR"] = f"{work}/s{si}.spill"
         procs.append((si, subprocess.Popen(
             [sys.executable, os.path.join(HERE, "validate.py"),
              sf_dir, sdir, f"{work}/s{si}.json"],
-            stdout=log, stderr=subprocess.STDOUT), log))
+            stdout=log, stderr=subprocess.STDOUT, env=env), log))
         print(f"shard {si}: {len(shard)} oracles -> {work}/s{si}.log")
 
     merged = {}
@@ -91,7 +112,8 @@ def main():
             # each shard authoritatively reports its own oracles; the
             # no_oracle directory sweep (reported identically by every
             # shard) is taken from shard 0 only
-            if name in shard_names or (si == 0 and name not in active
+            if name in shard_names or (si == 0 and only is None
+                                       and name not in active
                                        and name not in excludes):
                 merged[name] = r
     for name, note in excludes.items():
