@@ -73,17 +73,54 @@ object Dedup {
        |sh AS (SELECT doc_id, unnest(sh) AS s FROM sh_t),
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)""".stripMargin
 
+  /** Prefix-filtered exact-jaccard candidate CTEs (AllPairs-style
+    * prefix filtering, Bayardo et al., "Scaling Up All Pairs
+    * Similarity Search", WWW'07): under any global total order of
+    * shingles — here (df ASC, s ASC) — a pair with jaccard ≥ t must
+    * share an element inside BOTH docs' first n − ⌈t·n⌉ + 1 shingles,
+    * because jaccard ≥ t forces overlap o ≥ t·n on each side, and if a
+    * doc's smallest common shingle sat past that prefix fewer than
+    * ⌈t·n⌉ of its shingles could be common at all. So the candidate
+    * self-join runs over the short rare-shingle prefixes (the naive
+    * sh⋈sh expansion is Σ df² — 2.1B rows at the 100× tier, where the
+    * hottest shingle reaches df 680), and each candidate is then
+    * verified EXACTLY on its full shingle sets via list_intersect —
+    * identical results to the unfiltered form at every scale, proven
+    * by hash-match at the gate SFs. ⌈t·n⌉ is emitted as exact integer
+    * arithmetic ((num·n + den−1) // den): floating ceil(0.8·5) is 5
+    * under binary rounding, which would silently shorten the prefix
+    * below the sound length. */
+  private def prefixCandSqlCte(num: Int, den: Int): String =
+    s"""df_t AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+       |ranked AS (
+       |  SELECT doc_id, s,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY df, s) AS rk,
+       |    count(*) OVER (PARTITION BY doc_id) AS n
+       |  FROM sh JOIN df_t USING (s)),
+       |pref AS (SELECT doc_id, s FROM ranked
+       |         WHERE rk <= n - (($num * n + ${den - 1}) // $den) + 1),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+       |  FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT doc_i, doc_j, len(list_intersect(ai.sh, bj.sh)) AS n_inter
+       |  FROM cand JOIN sh_t ai ON ai.doc_id = cand.doc_i
+       |            JOIN sh_t bj ON bj.doc_id = cand.doc_j)""".stripMargin
+
   /** Exact-jaccard pair SQL — the minhash-LSH oracle (banding has no
     * DF cap, and a 0.8-jaccard pair escapes 32×2 banding with
     * p ≈ 6e-15, so exact pairs ARE its semantics). The inverted-index
     * query's oracle is [[jaccardPairsCappedSql]], which models that
-    * operator's hot-shingle candidate cap. */
-  private def jaccardPairsSql(threshold: Double): String =
+    * operator's hot-shingle candidate cap. Candidates come from the
+    * completeness-preserving prefix filter ([[prefixCandSqlCte]]) so
+    * the oracle stays DuckDB-tractable on clone-rich 100× corpora. */
+  private def jaccardPairsSql(threshold: Double): String = {
+    val den = 10
+    val num = math.round(threshold * den).toInt
+    require(num.toDouble / den == threshold,
+      s"prefix filter needs a tenth-rational threshold, got $threshold")
     s"""WITH $docShinglesSqlCte,
-       |inter AS (
-       |  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS n_inter
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
+       |${prefixCandSqlCte(num, den)}
        |SELECT doc_i, doc_j,
        |  n_inter / (sa.n + sb.n - n_inter) AS jaccard
        |FROM inter
@@ -91,6 +128,7 @@ object Dedup {
        |JOIN sizes sb ON doc_j = sb.doc_id
        |WHERE n_inter / (sa.n + sb.n - n_inter) >= $threshold
        |ORDER BY 1, 2""".stripMargin
+  }
 
   /** Capped-jaccard oracle: the SAME hot-shingle candidate cap as the
     * inverted-index operator (a pair is a candidate only if it shares
@@ -111,10 +149,9 @@ object Dedup {
        |  SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
        |  FROM cold a JOIN cold b ON a.s = b.s AND a.doc_id < b.doc_id),
        |inter AS (
-       |  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS n_inter
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  JOIN cand ON cand.doc_i = a.doc_id AND cand.doc_j = b.doc_id
-       |  GROUP BY 1, 2)
+       |  SELECT doc_i, doc_j, len(list_intersect(ai.sh, bj.sh)) AS n_inter
+       |  FROM cand JOIN sh_t ai ON ai.doc_id = cand.doc_i
+       |            JOIN sh_t bj ON bj.doc_id = cand.doc_j)
        |SELECT doc_i, doc_j,
        |  n_inter / (sa.n + sb.n - n_inter) AS jaccard
        |FROM inter
@@ -314,10 +351,9 @@ object Dedup {
        |  SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
        |  FROM cold a JOIN cold b ON a.s = b.s AND a.doc_id < b.doc_id),
        |inter AS (
-       |  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS n_inter
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  JOIN cand ON cand.doc_i = a.doc_id AND cand.doc_j = b.doc_id
-       |  GROUP BY 1, 2),
+       |  SELECT doc_i, doc_j, len(list_intersect(ai.sh, bj.sh)) AS n_inter
+       |  FROM cand JOIN sh_t ai ON ai.doc_id = cand.doc_i
+       |            JOIN sh_t bj ON bj.doc_id = cand.doc_j),
        |both_dirs AS (
        |  SELECT doc_i AS doc_a, doc_j AS doc_b, n_inter / sa.n AS containment
        |  FROM inter JOIN sizes sa ON doc_i = sa.doc_id
@@ -1541,10 +1577,7 @@ object Dedup {
     * pairs via recursive CTE; cluster id = min reachable doc. */
   val clustersSql: String =
     s"""WITH RECURSIVE ${docShinglesSqlCte},
-       |inter AS (
-       |  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS n_inter
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
+       |${prefixCandSqlCte(8, 10)},
        |pairs AS (
        |  SELECT doc_i, doc_j FROM inter
        |  JOIN sizes sa ON doc_i = sa.doc_id
