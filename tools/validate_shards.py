@@ -74,7 +74,10 @@ def main():
     active = {k: v for k, v in sorted(oracles.items()) if k not in excludes}
     shards = [dict(list(active.items())[i::shards_n]) for i in range(shards_n)]
 
-    work = f"{out_dir}.shards"
+    # work dir keyed to the ARTIFACT, not the dump dir: two concurrent
+    # invocations over the same dump (e.g. a wide cheap phase and a
+    # narrow heavy phase) must not rmtree each other's live shards
+    work = os.path.splitext(os.path.abspath(artifact))[0] + ".shards"
     shutil.rmtree(work, ignore_errors=True)
     procs = []
     for si, shard in enumerate(shards):
