@@ -1086,7 +1086,14 @@ object Dedup {
     * the deterministic pair stratum the sampled twin computes. The
     * stratum mod is derived from the oracle's own COUNT(*) with the
     * same integer formula as [[pairSampleModFor]] (`//` is DuckDB's
-    * floor division), so engine and oracle agree at every scale. */
+    * floor division), so engine and oracle agree at every scale. The
+    * stratum predicate is KEY-ENCODED exactly like the engine plan
+    * (r12): (i + j) % m = 0 is joined as the equality
+    * j % m = (m − i % m) % m, so DuckDB hash-joins the m residue
+    * classes (n²/m pair evals) instead of enumerating all n²/2
+    * inequality pairs and filtering — at the 100× tier (m = 800,
+    * 210k vectors) that is the difference between ~55M and ~22B
+    * pair-condition evaluations. */
   val embeddingCosineSampledSql: String =
     s"""WITH e AS (SELECT vec_id, embedding, $normSql AS norm FROM embeddings),
        |mm AS (SELECT GREATEST(1,
@@ -1097,8 +1104,11 @@ object Dedup {
        |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x, y) -> x + y)
        |    / (a.norm * b.norm) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS cosine,
        |  CAST((SELECT m FROM mm) AS INT) AS sample_mod
-       |FROM e a JOIN e b ON a.vec_id < b.vec_id
-       |  AND (a.vec_id + b.vec_id) % (SELECT m FROM mm) = 0
+       |FROM e a JOIN e b
+       |  ON b.vec_id % (SELECT m FROM mm)
+       |     = ((SELECT m FROM mm) - a.vec_id % (SELECT m FROM mm))
+       |       % (SELECT m FROM mm)
+       |  AND a.vec_id < b.vec_id
        |WHERE CAST(ROUND(CAST(CAST(
        |    list_reduce(list_transform(range(1, len(a.embedding) + 1),
        |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x, y) -> x + y)
