@@ -40,7 +40,7 @@ object Events {
     """SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket_hr, event_type,
       |  COUNT(*) AS n_events,
       |  COUNT(DISTINCT user_id) AS n_users,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value,
       |  MIN(value) AS min_value,
       |  MAX(value) AS max_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
@@ -67,7 +67,7 @@ object Events {
       |    event_type, value
       |  FROM e)
       |SELECT win_start, event_type, COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
       |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------------

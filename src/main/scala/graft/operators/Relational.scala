@@ -57,6 +57,14 @@ object Relational {
 
   private val revenueSql =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))"
+  // Oracle-side decimal→double conversions go through VARCHAR:
+  // DuckDB's direct CAST(DECIMAL(38,6) AS DOUBLE) double-rounds
+  // (int128 → double, then ÷10⁶), which at 100×-tier magnitudes
+  // (sums ≥ ~1e11, where one double ULP exceeds the 10⁻⁶ decimal
+  // grain) can land 1 ULP away from Spark's correctly-rounded
+  // BigDecimal.toDouble — q13's sf10 oracle caught a live instance.
+  // VARCHAR→DOUBLE is a correctly-rounded strtod on the exact decimal
+  // digits, so both engines convert the identical exact sum once.
 
   // ---------------------------------------------------------------------
   // q01 — pricing summary: hash agg with exact decimal sums + ratio-of-sums
@@ -81,9 +89,9 @@ object Relational {
   val q01Sql: String =
     s"""SELECT l_returnflag, l_linestatus,
        |  SUM(l_quantity) AS sum_qty,
-       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-       |  CAST(SUM($revenueSql) AS DOUBLE) AS sum_disc_price,
-       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+       |  CAST(CAST(SUM($revenueSql) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+       |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price,
        |  COUNT(*) AS count_order
        |FROM lineitem
        |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
@@ -139,7 +147,7 @@ object Relational {
 
   val q03Sql: String =
     s"""SELECT r_name, n_name,
-       |  CAST(SUM($revenueSql) AS DOUBLE) AS revenue,
+       |  CAST(CAST(SUM($revenueSql) AS VARCHAR) AS DOUBLE) AS revenue,
        |  COUNT(DISTINCT o_orderkey) AS n_orders,
        |  COUNT(*) AS n_rows
        |FROM lineitem
@@ -305,7 +313,7 @@ object Relational {
        |  FROM lineitem),
        |b1 AS (
        |  SELECT yr_wk_num, prod_key,
-       |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales_amt,
+       |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_sales_amt,
        |    SUM(l_quantity) AS total_sales_qty
        |  FROM base GROUP BY 1, 2),
        |b2 AS (
@@ -362,7 +370,7 @@ object Relational {
 
   val q10Sql: String =
     s"""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_dt,
-       |  CAST(SUM($revenueSql) AS DOUBLE) AS revenue
+       |  CAST(CAST(SUM($revenueSql) AS VARCHAR) AS DOUBLE) AS revenue
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |GROUP BY 1, 2
        |ORDER BY revenue DESC, o_orderkey LIMIT 100""".stripMargin
@@ -385,7 +393,7 @@ object Relational {
 
   val q11Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price,
       |  COUNT(*) AS n_rows,
       |  CAST(GROUPING(l_returnflag) AS TINYINT) AS g_flag,
       |  CAST(GROUPING(l_linestatus) AS TINYINT) AS g_status
@@ -465,7 +473,7 @@ object Relational {
 
   val q13Sql: String =
     s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-       |  CAST(SUM($revenueSql) AS DOUBLE) AS revenue,
+       |  CAST(CAST(SUM($revenueSql) AS VARCHAR) AS DOUBLE) AS revenue,
        |  COUNT(*) AS n_rows
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |GROUP BY 1 ORDER BY 1""".stripMargin
@@ -574,7 +582,7 @@ object Relational {
 
   val q16Sql: String =
     s"""SELECT o_orderpriority,
-       |  CAST(SUM($revenueSql) AS DOUBLE) AS revenue,
+       |  CAST(CAST(SUM($revenueSql) AS VARCHAR) AS DOUBLE) AS revenue,
        |  COUNT(*) AS n_rows
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |GROUP BY 1 ORDER BY 1""".stripMargin
@@ -641,7 +649,7 @@ object Relational {
   val q18Sql: String =
     """SELECT o_orderpriority,
       |  CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price,
       |  COUNT(*) AS n_orders,
       |  CAST(GROUPING(o_orderpriority) AS TINYINT) AS g_pri,
       |  CAST(GROUPING(year(CAST(o_orderdate AS DATE))) AS TINYINT) AS g_year
@@ -677,7 +685,7 @@ object Relational {
   val q20Sql: String =
     """SELECT o_orderpriority,
       |  CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price,
       |  COUNT(*) AS n_orders,
       |  CAST(GROUPING(o_orderpriority) AS TINYINT) AS g_pri,
       |  CAST(GROUPING(year(CAST(o_orderdate AS DATE))) AS TINYINT) AS g_year
