@@ -1093,21 +1093,26 @@ object Dedup {
     * classes (n²/m pair evals) instead of enumerating all n²/2
     * inequality pairs and filtering — at the 100× tier (m = 800,
     * 210k vectors) that is the difference between ~55M and ~22B
-    * pair-condition evaluations. */
+    * pair-condition evaluations. The residues are MATERIALIZED as
+    * columns (ea/eb, m cross-joined from the one-row aggregate) — a
+    * scalar subquery inside the join condition blocks DuckDB's hash
+    * join entirely (EXPLAIN showed PIECEWISE_MERGE_JOIN, right back
+    * at the n²/2 enumeration). */
   val embeddingCosineSampledSql: String =
     s"""WITH e AS (SELECT vec_id, embedding, $normSql AS norm FROM embeddings),
        |mm AS (SELECT GREATEST(1,
-       |  (COUNT(*) * COUNT(*)) // ${2L * pairBudgetPairs}) AS m FROM embeddings)
+       |  (COUNT(*) * COUNT(*)) // ${2L * pairBudgetPairs}) AS m FROM embeddings),
+       |ea AS (SELECT e.*, mm.m,
+       |  (mm.m - e.vec_id % mm.m) % mm.m AS res FROM e, mm),
+       |eb AS (SELECT e.*, e.vec_id % mm.m AS res FROM e, mm)
        |SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
        |  CAST(ROUND(CAST(CAST(
        |    list_reduce(list_transform(range(1, len(a.embedding) + 1),
        |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x, y) -> x + y)
        |    / (a.norm * b.norm) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS cosine,
-       |  CAST((SELECT m FROM mm) AS INT) AS sample_mod
-       |FROM e a JOIN e b
-       |  ON b.vec_id % (SELECT m FROM mm)
-       |     = ((SELECT m FROM mm) - a.vec_id % (SELECT m FROM mm))
-       |       % (SELECT m FROM mm)
+       |  CAST(a.m AS INT) AS sample_mod
+       |FROM ea a JOIN eb b
+       |  ON a.res = b.res
        |  AND a.vec_id < b.vec_id
        |WHERE CAST(ROUND(CAST(CAST(
        |    list_reduce(list_transform(range(1, len(a.embedding) + 1),
