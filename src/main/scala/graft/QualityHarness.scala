@@ -154,7 +154,14 @@ object QualityHarness {
     // the sparse/exact low-cardinality path broke while the gate
     // stayed green. Small-scale bounds sit near measured-zero plus
     // working margin; @sf1 bounds keep ~2x over the sf1 readings.
-    val atSf1 = suffix.nonEmpty
+    // Keyed on the exact "@sf1" suffix, not suffix.nonEmpty: a future
+    // suffixed tier (e.g. "@sf10") must fail loudly here and get its
+    // own measured bounds rather than silently inheriting the sf1
+    // allowances (0.03 HLL / 1.5 quantile drift).
+    val atSf1 = suffix == "@sf1"
+    require(suffix.isEmpty || atSf1,
+      s"sketchGates has no calibrated bounds for tier suffix '$suffix' — " +
+        "measure the tier and add explicit bounds before gating it")
     // measured 0.000 at sf0.1 / 0.013 at sf1
     val hll = Gate(s"events_hll_distinct$suffix", "max_group_rel_error",
       hllErr, if (atSf1) 0.03 else 0.005, higherIsBetter = false)

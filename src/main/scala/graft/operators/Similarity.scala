@@ -39,42 +39,85 @@ object Similarity {
 
   // ---------------------------------------------------------------------
   // sim_cosine_topk — exact brute-force top-10 for query vectors
-  // (vec_id % 50 == 0) against the full corpus.
+  // (vec_id % query_mod == 0) against the full corpus, where query_mod
+  // is 50 at gate scales and grows with the corpus to hold the scored
+  // (query × corpus) budget constant.
   // ---------------------------------------------------------------------
-  def cosineTopK(spark: SparkSession, dir: String): DataFrame =
-    cosineTopKOver(Tables.loadBalanced(spark, dir, "embeddings"))
+  /** Scored-dot budget for the exact yardstick's CATALOG surface:
+    * ~25M (query × corpus) dot products — the sf1 workload the entry
+    * has always carried (≈400 queries × ≈21k vectors ≈ 8M) with
+    * headroom, held constant as the corpus grows instead of riding the
+    * n²/50 curve (at sf10 the un-budgeted entry was the full-catalog
+    * tier's only >10× scaler: 100.2 s, 52.3×, 11% of the wall). Same
+    * pattern as [[Dedup.pairBudgetPairs]]: the stratum is deterministic
+    * and metadata-derived, the result is the EXACT top-10 for every
+    * query IN the stratum, and the full exact scan stays the QUALITY
+    * recall anchor (QualityHarness calls [[cosineTopKOver]] with
+    * queryStride = 1). */
+  private[graft] val queryBudgetDots = 25L * 1000 * 1000
+
+  /** stride s = max(1, n² / (50·B)) — integer math only, so DuckDB's
+    * COUNT(*)-based `//` computes the identical value. Queries become
+    * the vec_id % (50·s) == 0 rows: a 1-in-s subsample of the historic
+    * vec_id % 50 == 0 query set, so s = 1 (all gate scales up to sf1)
+    * reproduces the historic result exactly. */
+  private[graft] def queryStrideFor(n: Long): Int =
+    math.max(1L, (n * n) / (50L * queryBudgetDots)).toInt
+
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    // metadata-only parquet count (no data scan), as in
+    // Dedup.embeddingCosineSampled
+    val n = Tables.load(spark, dir, "embeddings").count()
+    cosineTopKOver(Tables.loadBalanced(spark, dir, "embeddings"),
+      queryStride = queryStrideFor(n), emitMod = true)
+  }
 
   /** Corpus-parameterized form (vec_id, embedding); queries are the
-    * vec_id % 50 == 0 rows. Shared by the catalog query and the
-    * planted-cluster recall fixture in SimilaritySpec. */
-  private[graft] def cosineTopKOver(corpus: DataFrame): DataFrame = {
+    * vec_id % (50·queryStride) == 0 rows. Shared by the catalog query
+    * (corpus-size-aware stride, self-describing `query_mod` column) and
+    * the planted-cluster recall fixture in SimilaritySpec /
+    * QualityHarness (stride 1 = the full historic query set). */
+  private[graft] def cosineTopKOver(corpus: DataFrame, queryStride: Int = 1,
+      emitMod: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val qMod = 50L * queryStride
     val e = corpus.withColumn("norm", expr("vec_norm(embedding)"))
-    val q = e.filter(col("vec_id") % 50 === 0)
+    val q = e.filter(col("vec_id") % qMod === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
     val scored = e.join(broadcast(q), col("query_id") =!= col("vec_id"))
       .withColumn("dot", expr("vec_dot(q_emb, embedding)"))
       .withColumn("score", round(col("dot") / (col("q_norm") * col("norm")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
+    val ranked = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 10)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("score"))
+    // query_mod is emitted whenever the budgeted CATALOG surface is
+    // requested — including stride 1 — so the entry's schema is
+    // scale-invariant and always self-describing.
+    (if (emitMod) ranked.withColumn("query_mod", lit(qMod)) else ranked)
       .orderBy("query_id", "rank")
   }
 
+  /** The oracle derives the identical stride from its own COUNT(*)
+    * (`//` is DuckDB floor division), so engine and oracle agree at
+    * every scale; the query filter is applied in a dedicated CTE so
+    * DuckDB scans (n/qmod)·n candidate pairs, not n². */
   val cosineTopKSql: String =
     s"""WITH e AS (SELECT vec_id, embedding, ${Dedup.normSql} AS norm FROM embeddings),
+       |mm AS (SELECT 50 * GREATEST(1,
+       |  (COUNT(*) * COUNT(*)) // ${50L * queryBudgetDots}) AS qmod FROM embeddings),
+       |q AS (SELECT e.*, mm.qmod FROM e, mm WHERE e.vec_id % mm.qmod = 0),
        |scored AS (
-       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.qmod,
        |    ${sparkRound6Sql(s"($dotSql) / (a.norm * b.norm)")} AS score
-       |  FROM e a JOIN e b ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id),
+       |  FROM q a JOIN e b ON a.vec_id <> b.vec_id),
        |ranked AS (
-       |  SELECT query_id, neighbor_id, score,
+       |  SELECT query_id, neighbor_id, score, qmod,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
        |      ORDER BY score DESC, neighbor_id) AS INT) AS rank
        |  FROM scored)
-       |SELECT query_id, neighbor_id, rank, score FROM ranked
+       |SELECT query_id, neighbor_id, rank, score, qmod AS query_mod FROM ranked
        |WHERE rank <= 10 ORDER BY 1, 3""".stripMargin
 
   // ---------------------------------------------------------------------

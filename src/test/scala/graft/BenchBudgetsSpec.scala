@@ -84,11 +84,11 @@ class BenchBudgetsSpec extends AnyFunSuite {
       assert(e.cpus.nonEmpty, s"$key epoch must pin its cpus config")
       assert(e.sentinels.nonEmpty && e.sentinels.values.forall(_ > 0),
         s"$key epoch needs positive sentinel floors")
-      // sf10 is only ever benched as the 18-query scaling subset, so its
-      // epoch pins that subset; the interactive tiers pin the full catalog
-      val floor = if (key == "sf10") 18 else 90
-      assert(e.queries.size >= floor && e.queries.values.forall(_ >= 0),
-        s"$key epoch must cover its bench shape (got ${e.queries.size})")
+      // every tier pins the FULL catalog since r18 (sf10 pinned only the
+      // 18-query scaling subset through r17, leaving 78 queries free to
+      // regress at the 100x tier without tripping a ceiling)
+      assert(e.queries.size >= 90 && e.queries.values.forall(_ >= 0),
+        s"$key epoch must cover the full catalog (got ${e.queries.size})")
     }
   }
 

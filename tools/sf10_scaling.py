@@ -12,7 +12,7 @@ artifact rather than writing an unadjudicated flag.
 
 Usage:
   python3 tools/sf10_scaling.py <sf1_art> <sf10_art> <out> \
-      [adjudications.json] [oracle_subset.json]
+      [adjudications.json] [oracle_subset.json] [prev_round_out.json]
 
 adjudications.json: {"query_name": "why this exceeds 10x", ...}
 Entries for queries that do NOT exceed the flag threshold are rejected
@@ -22,17 +22,28 @@ oracle_subset.json: a CORRECTNESS-format artifact from a
 tools/validate.py run against the sf10 dir (the DuckDB-tractable query
 subset); embedded verbatim so the scaling numbers and the correctness
 evidence for the same tier live in one file. Any failing row aborts.
+
+prev_round_out.json: the PRIOR round's output of this tool (e.g.
+bench_reports/sf10_r17.json). When given, a ratio_delta_vs_prev block
+is embedded so a round-over-round scaling REGRESSION (a ratio that got
+worse, not just an absolute budget breach) is machine-readable:
+per-query ratio deltas plus a `regressions` list of queries whose
+ratio worsened by more than REG_DELTA_X relatively AND REG_DELTA_ABS
+absolutely (both, so sub-second jitter on tiny ratios doesn't flag).
 """
 import json
 import sys
 
 FLAG_RATIO = 10.0
+REG_DELTA_X = 1.25    # ratio worsened by >25% relative ...
+REG_DELTA_ABS = 0.5   # ... and by >0.5x absolute
 
 
 def main() -> None:
     sf1_path, sf10_path, out_path = sys.argv[1], sys.argv[2], sys.argv[3]
     adj_path = sys.argv[4] if len(sys.argv) > 4 else None
     oracle_path = sys.argv[5] if len(sys.argv) > 5 else None
+    prev_path = sys.argv[6] if len(sys.argv) > 6 else None
     sf1 = json.load(open(sf1_path))
     sf10 = json.load(open(sf10_path))
     adj = json.load(open(adj_path)) if adj_path else {}
@@ -118,6 +129,28 @@ def main() -> None:
     }
     if oracle is not None:
         out["oracle_subset"] = oracle
+    if prev_path:
+        prev_rows = json.load(open(prev_path)).get("queries", {})
+        deltas = {}
+        regressions = []
+        for name, e in rows.items():
+            pr = prev_rows.get(name, {}).get("ratio")
+            if pr is not None and e["ratio"] is not None:
+                deltas[name] = round(e["ratio"] - pr, 3)
+                if (e["ratio"] > pr * REG_DELTA_X
+                        and e["ratio"] - pr > REG_DELTA_ABS):
+                    regressions.append(name)
+        out["ratio_delta_vs_prev"] = {
+            "prev_artifact": prev_path,
+            "overlap": len(deltas),
+            "regression_rule": (f"ratio > prev * {REG_DELTA_X} and "
+                                f"ratio - prev > {REG_DELTA_ABS}"),
+            "regressions": sorted(regressions),
+            "deltas": deltas,
+        }
+        if regressions:
+            print(f"[scaling] RATIO REGRESSIONS vs {prev_path}: "
+                  f"{sorted(regressions)}")
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
         f.write("\n")

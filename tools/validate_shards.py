@@ -66,11 +66,22 @@ def main():
     sf_dir, out_dir, artifact = pos
 
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # --exclude names are validated like --only: a typo'd exclude would
+    # otherwise BOTH let the real oracle run AND inject a bogus
+    # oracle_excluded record for a nonexistent query
+    bad_excludes = set(excludes) - set(oracles)
+    if bad_excludes:
+        sys.exit(f"--exclude names not in oracle_sql.json: {sorted(bad_excludes)}")
     if only is not None:
         missing = only - set(oracles)
         if missing:
             sys.exit(f"--only names not in oracle_sql.json: {sorted(missing)}")
         oracles = {k: v for k, v in oracles.items() if k in only}
+        # a phased run passes the same --exclude list to both phases;
+        # only the phase that would otherwise RUN the excluded oracle
+        # should write its exclusion record, else the manual phase merge
+        # has to dedup duplicate rows
+        excludes = {k: v for k, v in excludes.items() if k in only}
     active = {k: v for k, v in sorted(oracles.items()) if k not in excludes}
     shards = [dict(list(active.items())[i::shards_n]) for i in range(shards_n)]
 
@@ -108,6 +119,16 @@ def main():
         if rc != 0:
             print(f"shard {si} exited {rc} — see {work}/s{si}.log")
             fail = True
+            # a failed shard's oracles must not silently vanish from the
+            # artifact (a JSON-only consumer could not tell partial
+            # coverage from a smaller catalog): write explicit ERR
+            # placeholders for every oracle the shard owned
+            for name in shards[si]:
+                merged[name] = {
+                    "rows_match": None, "schema_match": None,
+                    "hash_match": None, "spark_rows": None,
+                    "oracle_rows": None,
+                    "err": f"shard_failed: exit {rc}, see s{si}.log"}
             continue
         recs = json.load(open(f"{work}/s{si}.json"))
         shard_names = set(shards[si])
