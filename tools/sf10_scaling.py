@@ -12,7 +12,8 @@ artifact rather than writing an unadjudicated flag.
 
 Usage:
   python3 tools/sf10_scaling.py <sf1_art> <sf10_art> <out> \
-      [adjudications.json] [oracle_subset.json] [prev_round_out.json]
+      [adjudications.json] [oracle_subset.json] [prev_round_out.json] \
+      [spill_audit.json]
 
 adjudications.json: {"query_name": "why this exceeds 10x", ...}
 Entries for queries that do NOT exceed the flag threshold are rejected
@@ -30,6 +31,12 @@ worse, not just an absolute budget breach) is machine-readable:
 per-query ratio deltas plus a `regressions` list of queries whose
 ratio worsened by more than REG_DELTA_X relatively AND REG_DELTA_ABS
 absolutely (both, so sub-second jitter on tiny ratios doesn't flag).
+
+spill_audit.json: per-query graft.SpillAudit measurements + inline
+notes for the sub-flag superlinear band (ratios between ~5x and the
+10x flag, where the adjudications.json path is rejected as stale).
+Embedded verbatim as `spill_audit`, with every audited name checked
+against the artifact's query set.
 """
 import json
 import sys
@@ -44,6 +51,7 @@ def main() -> None:
     adj_path = sys.argv[4] if len(sys.argv) > 4 else None
     oracle_path = sys.argv[5] if len(sys.argv) > 5 else None
     prev_path = sys.argv[6] if len(sys.argv) > 6 else None
+    audit_path = sys.argv[7] if len(sys.argv) > 7 else None
     sf1 = json.load(open(sf1_path))
     sf10 = json.load(open(sf10_path))
     adj = json.load(open(adj_path)) if adj_path else {}
@@ -151,6 +159,12 @@ def main() -> None:
         if regressions:
             print(f"[scaling] RATIO REGRESSIONS vs {prev_path}: "
                   f"{sorted(regressions)}")
+    if audit_path:
+        audit = json.load(open(audit_path))
+        unknown = sorted(set(audit.get("queries", {})) - set(rows))
+        if unknown:
+            sys.exit(f"spill_audit names not in the artifact: {unknown}")
+        out["spill_audit"] = audit
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
         f.write("\n")
