@@ -30,11 +30,11 @@ object SpillAudit {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // mirror graft.Bench's session so the audit measures the plans
-      // the bench times; override to re-measure the un-fixed shape
+      // mirror graft.Bench's session (NO AQE initial-partition override
+      // — measured and rejected, see bench_reports/spill_audit_r18.json);
+      // the env knob exists to re-measure experimental partition shapes
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS",
-          (8 * cpus.toInt).toString).toInt)
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", cpus).toInt)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
