@@ -50,8 +50,12 @@ object BenchData {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_SF10_ONLY skips the (slow, already-on-disk) base
-    // tiers when only the 100× tier needs (re)deriving
-    if (!sys.env.contains("SPARK_GRAFT_SF10_ONLY")) {
+    // tiers when only the 100× tier needs (re)deriving; a bare
+    // SPARK_GRAFT_SF100_SUBQUAD run likewise derives from the existing
+    // sf10 dir without touching anything beneath it
+    val subquadOnly = sys.env.contains("SPARK_GRAFT_SF100_SUBQUAD") &&
+      !sys.env.contains("SPARK_GRAFT_SF10")
+    if (!sys.env.contains("SPARK_GRAFT_SF10_ONLY") && !subquadOnly) {
       writeSkew(spark, baseDir, s"$outRoot/skew0.1")
       writeSf1(spark, baseDir, s"$outRoot/sf1")
     }
@@ -74,6 +78,17 @@ object BenchData {
       writeScaled(spark, s"$outRoot/sf1", s"$outRoot/sf10",
         keyOff = 10000000000L, // > any sf1 key (base + 9×1e8)
         repToken = " big", partsX = 4, scramble = true)
+    // sf100sub (opt-in, r18 verdict ask #5): a THIRD batch-scale decade
+    // for the sub-quadratic dedup/ANN family only — 10× the sf10
+    // documents (5M docs) and embeddings (2M vectors), same scramble
+    // discipline so near-dup group size stays ~10. The relational /
+    // events tables are deliberately absent: the decade probe exists to
+    // test the corpus-linear claims of the similarity tier, and a full
+    // 21 GB relational replica would buy no additional evidence.
+    if (sys.env.contains("SPARK_GRAFT_SF100_SUBQUAD"))
+      writeSimTables(spark, s"$outRoot/sf10", s"$outRoot/sf100sub",
+        keyOff = 1000000000000L, // > any sf10 key (base + 9×1e10)
+        repToken = " huge", partsX = 16, scramble = true)
     spark.stop()
   }
 
@@ -210,6 +225,15 @@ object BenchData {
       .drop("__rep"), out, "lineitem", 32 * partsX)
     write(replicate(load(spark, base, "events"), Seq("event_id", "user_id"),
       keyOff).drop("__rep"), out, "events", 8 * partsX)
+    writeSimTables(spark, base, out, keyOff, repToken, partsX, scramble)
+  }
+
+  /** The similarity-bearing tables (documents, embeddings) of one 10×
+    * scale-up — the full-tier path shares this with the sf100sub
+    * decade probe, which scales ONLY these two. */
+  private def writeSimTables(spark: SparkSession, base: String, out: String,
+      keyOff: Long, repToken: String, partsX: Int,
+      scramble: Boolean = false): Unit = {
     // rep 0 keeps the original text; later replicas either append a
     // distinct token (sf1: MAKES the 10-clone near-dup families) or
     // scramble (sf10: keeps the inherited families at ~10 instead of

@@ -69,9 +69,19 @@ object SpillAudit {
         .write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      // listener events drain asynchronously; give the queue a moment
-      // so the totals cover every task of the query just run
-      Thread.sleep(1500)
+      // listener events drain asynchronously, and a heavy query can
+      // back the bus up past any fixed wait (undercounting spill would
+      // bias the audit toward "inherent, no spill") — poll until the
+      // task counter holds still across consecutive checks instead
+      var prevTasks = -1L
+      var stable = 0
+      var waitedMs = 0
+      while (stable < 4 && waitedMs < 30000) {
+        Thread.sleep(250)
+        waitedMs += 250
+        val t = tasks.get
+        if (t == prevTasks) stable += 1 else { stable = 0; prevTasks = t }
+      }
       println(f"""{"query": "$name", "sec": $sec%.2f, """ +
         s""""spill_mem_mb": ${mb(memSpilled.get)}, """ +
         s""""spill_disk_mb": ${mb(diskSpilled.get)}, """ +

@@ -22,6 +22,31 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("query stride is pinned per shipped tier: 1 through sf1, 32 at sf10") {
+    // pure-function pins at the shipped corpus sizes plus the exact
+    // boundary, so the stride ladder itself is a spec'd fixture
+    assert(Similarity.queryStrideFor(200L) === 1)      // sf0.001
+    assert(Similarity.queryStrideFor(20000L) === 1)    // sf1
+    assert(Similarity.queryStrideFor(49999L) === 1)    // last stride-1 n
+    assert(Similarity.queryStrideFor(50000L) === 2)    // first stride-2 n
+    assert(Similarity.queryStrideFor(200000L) === 32)  // sf10
+    // and against the tiers actually on disk: a corpus regeneration
+    // that lands n across a stride boundary legitimately changes the
+    // catalog result SHAPE — it must fail HERE as a fixture change,
+    // not surface as a silent oracle re-derivation
+    val pins = Seq(
+      "/root/testdata/sf0.001" -> 1, "/root/testdata/sf0.01" -> 1,
+      "/root/testdata/sf0.1" -> 1, "target/benchdata/sf1" -> 1,
+      "target/benchdata/sf10" -> 32)
+    pins.foreach { case (dir, want) =>
+      if (new java.io.File(s"$dir/embeddings.parquet").exists()) {
+        val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+        assert(Similarity.queryStrideFor(n) === want,
+          s"tier $dir (n=$n) stride drifted")
+      }
+    }
+  }
+
   test("ANN returns true scores and beats random-sampling recall") {
     val exact = Similarity.cosineTopK(spark, SF).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap

@@ -37,6 +37,17 @@ def main() -> None:
     lo_master = lo.get("master") or f"local[{lo.get('cpus')}]"
     if lo_master.startswith("local-cluster"):
         sys.exit("comparator artifact must be a local[N] run")
+    # same corpus or the factors are meaningless: a mismatched pairing
+    # in the flattering direction (sf0.1 cluster vs sf1 local) yields
+    # sub-1.0 factors that sail under the flag — refuse, like the
+    # master-string checks above
+    if cl.get("sf") != lo.get("sf"):
+        sys.exit(f"corpus mismatch: cluster benched {cl.get('sf')!r} but "
+                 f"local benched {lo.get('sf')!r}")
+    if cl.get("reps") != lo.get("reps"):
+        print(f"WARNING: reps differ (cluster {cl.get('reps')} vs local "
+              f"{lo.get('reps')}) — factors compare best-of different "
+              "sample sizes", file=sys.stderr)
     common = sorted(set(cl["queries"]) & set(lo["queries"]))
     if not common:
         sys.exit("no common queries")
@@ -45,15 +56,25 @@ def main() -> None:
         sys.exit(f"failure-sentinel timings (-1): {broken}")
     rows = {}
     flagged = []
+    # a query whose local time rounds to 0.000 has no factor — but
+    # trivially-fast-locally yet slow-on-the-cluster is exactly the
+    # shape the flag exists for (same guard as sf10_scaling.py's
+    # zero_denominator_blowup)
+    ZERO_DENOM_ABS_S = 1.0
     for n in common:
         c, l = cl["queries"][n], lo["queries"][n]
         f = round(c / l, 3) if l > 0 else None
         rows[n] = {"cluster_s": c, "local_s": l, "factor": f}
-        if f is not None and f > FLAG_FACTOR:
+        blown_zero = f is None and c > ZERO_DENOM_ABS_S
+        if blown_zero:
+            rows[n]["zero_denominator_blowup"] = True
+        if (f is not None and f > FLAG_FACTOR) or blown_zero:
             flagged.append(n)
             if n not in notes:
-                sys.exit(f"{n} runs {f}x its local time but has no note — "
-                         "explain it or fix it")
+                why = (f"runs {f}x its local time" if f is not None else
+                       f"local time rounds to 0 yet the cluster takes {c}s "
+                       f"(> {ZERO_DENOM_ABS_S}s)")
+                sys.exit(f"{n} {why} but has no note — explain it or fix it")
             rows[n]["note"] = notes[n]
     stale = sorted(set(notes) - set(flagged))
     if stale:

@@ -13,7 +13,7 @@ artifact rather than writing an unadjudicated flag.
 Usage:
   python3 tools/sf10_scaling.py <sf1_art> <sf10_art> <out> \
       [adjudications.json] [oracle_subset.json] [prev_round_out.json] \
-      [spill_audit.json]
+      [spill_audit.json] [regression_verdicts.json]
 
 adjudications.json: {"query_name": "why this exceeds 10x", ...}
 Entries for queries that do NOT exceed the flag threshold are rejected
@@ -37,6 +37,17 @@ notes for the sub-flag superlinear band (ratios between ~5x and the
 10x flag, where the adjudications.json path is rejected as stale).
 Embedded verbatim as `spill_audit`, with every audited name checked
 against the artifact's query set.
+
+regression_verdicts.json: {"query_name": "verdict", ...} — the
+adjudication channel for the ratio_delta_vs_prev block (r18 verdict
+ask #1: the regression rule must feed the gate, not stay
+informational). Every name in the CURRENT round's `regressions` list
+AND every name in the PREVIOUS artifact's `regressions` list (the
+carried-over drift that this round must resolve) requires a verdict;
+a missing one aborts the build, a verdict for a name in neither list
+is rejected as stale. Current regressions are additionally surfaced
+as `regression_warnings` inside the embedded budget block, so the
+budget gate's one-stop record carries them at warning level.
 """
 import json
 import sys
@@ -52,6 +63,7 @@ def main() -> None:
     oracle_path = sys.argv[5] if len(sys.argv) > 5 else None
     prev_path = sys.argv[6] if len(sys.argv) > 6 else None
     audit_path = sys.argv[7] if len(sys.argv) > 7 else None
+    verdicts_path = sys.argv[8] if len(sys.argv) > 8 else None
     sf1 = json.load(open(sf1_path))
     sf10 = json.load(open(sf10_path))
     adj = json.load(open(adj_path)) if adj_path else {}
@@ -138,7 +150,11 @@ def main() -> None:
     if oracle is not None:
         out["oracle_subset"] = oracle
     if prev_path:
-        prev_rows = json.load(open(prev_path)).get("queries", {})
+        prev_art = json.load(open(prev_path))
+        prev_rows = prev_art.get("queries", {})
+        prev_regs = (prev_art.get("ratio_delta_vs_prev") or {}) \
+            .get("regressions", []) or []
+        verdicts = json.load(open(verdicts_path)) if verdicts_path else {}
         deltas = {}
         regressions = []
         for name, e in rows.items():
@@ -148,17 +164,45 @@ def main() -> None:
                 if (e["ratio"] > pr * REG_DELTA_X
                         and e["ratio"] - pr > REG_DELTA_ABS):
                     regressions.append(name)
+        # the gate: every regression — this round's AND the carried-over
+        # prev-round list this round must resolve — needs an inline
+        # verdict, or the artifact refuses to build
+        need = sorted(set(regressions) | (set(prev_regs) & set(rows)))
+        missing = [n for n in need if n not in verdicts]
+        if missing:
+            sys.exit(f"ratio regressions without a verdict: {missing} — "
+                     "re-run them under a quiet window and record the "
+                     "verdict in regression_verdicts.json")
+        stale_v = sorted(set(verdicts) - set(need))
+        if stale_v:
+            sys.exit(f"verdicts for non-regressed queries (stale?): {stale_v}")
         out["ratio_delta_vs_prev"] = {
             "prev_artifact": prev_path,
             "overlap": len(deltas),
             "regression_rule": (f"ratio > prev * {REG_DELTA_X} and "
                                 f"ratio - prev > {REG_DELTA_ABS}"),
             "regressions": sorted(regressions),
+            "prev_round_regressions": sorted(set(prev_regs) & set(rows)),
+            "verdicts": {n: {
+                "verdict": verdicts[n],
+                "prev_ratio": prev_rows.get(n, {}).get("ratio"),
+                "ratio": rows[n]["ratio"],
+                "prev_sf10_s": prev_rows.get(n, {}).get("sf10_s"),
+                "sf10_s": rows[n]["sf10_s"],
+            } for n in need},
             "deltas": deltas,
         }
+        # feed the budget gate at warning level: the embedded budget
+        # block is the one-stop regression record consumers read, so
+        # current-round ratio regressions ride along as warnings there
+        # (the hard stop above is the missing-verdict case, not the
+        # regression itself)
+        if out.get("sf10_budget"):
+            out["sf10_budget"] = dict(out["sf10_budget"])
+            out["sf10_budget"]["regression_warnings"] = sorted(regressions)
         if regressions:
             print(f"[scaling] RATIO REGRESSIONS vs {prev_path}: "
-                  f"{sorted(regressions)}")
+                  f"{sorted(regressions)} (verdicts recorded)")
     if audit_path:
         audit = json.load(open(audit_path))
         unknown = sorted(set(audit.get("queries", {})) - set(rows))

@@ -129,6 +129,14 @@ def main():
                     "hash_match": None, "spark_rows": None,
                     "oracle_rows": None,
                     "err": f"shard_failed: exit {rc}, see s{si}.log"}
+            # shard 0 also owns the rows-only no_oracle sweep on an
+            # un-restricted run; its records would otherwise vanish
+            # with no per-name placeholder to mark the gap
+            if si == 0 and only is None:
+                merged["_no_oracle_sweep"] = {
+                    "err": (f"shard_failed: shard 0 (exit {rc}) owned the "
+                            "rows-only no_oracle sweep — those records "
+                            "are missing from this artifact")}
             continue
         recs = json.load(open(f"{work}/s{si}.json"))
         shard_names = set(shards[si])
