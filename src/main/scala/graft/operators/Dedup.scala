@@ -1209,9 +1209,28 @@ object Dedup {
     * certifies for this one — the pick trades work, never results
     * (spec-asserted on a small corpus by forcing each geometry). */
   private[graft] def lshBandGeometry(n: Long): (Int, Int) =
-    if (n <= lshWideCorpusN) (8, 16) else (16, 64)
+    if (n <= lshWideCorpusN) (8, 16)
+    else if (n <= lshUltraCorpusN) (16, 64)
+    else (20, 120)
 
   private[graft] val lshWideCorpusN = 50000L
+
+  /** Third ladder rung (r19): the r19 sf100sub decade probe measured
+    * the (16, 64) geometry's random-collision term b·n²/2^17 at
+    * n = 2.2·10⁶ producing ~2.4·10⁹ in-bucket candidate rows — the
+    * distinct over them killed the query outright, exactly the
+    * disk-filling failure r16 hit one rung down at n ≈ 2·10⁵. Past
+    * 10⁶ vectors the banding widens again to 20-bit bands × 120,
+    * sized for narrow-parity boundary risk at the query's own 0.9
+    * threshold: miss(c) = (1 − p(c)²⁰)¹²⁰ gives 0.40% at c = 0.90
+    * (narrow: 0.42%, wide: 0.37%), 4e-12 at 0.97, ~6e-31 at the
+    * planted 0.992; random collisions drop 2⁴·(120/64)⁻¹ ≈ 8.5× to
+    * b·n²/2²¹ ≈ 2.8·10⁸ at n = 2.2·10⁶. 20 does not divide 64, so
+    * three bands pack per signature word (top 4 bits unused) and the
+    * signature is 40 words = 2560 bits — still inside vec_sig's 4096
+    * ceiling; the next rung (24-bit × 225 for ~10⁷⁺ vectors) needs a
+    * wider kernel, same plan shape. */
+  private[graft] val lshUltraCorpusN = 1000000L
 
   def embeddingLsh(spark: SparkSession, dir: String): DataFrame =
     embeddingLshWith(spark, dir, forceGeometry = None)
@@ -1228,8 +1247,12 @@ object Dedup {
     val nBase = Tables.load(spark, dir, "embeddings").count()
     val (bandBits, nBands) = forceGeometry.getOrElse(
       lshBandGeometry(nBase + nBase / lshPlantStride))
-    val sigBits = bandBits * nBands
+    // bands pack perWord-to-a-word; when bandBits does not divide 64
+    // (the 20-bit rung: 3 bands/word, top 4 bits unused) the signature
+    // width is the WORD count × 64, not bandBits·nBands — vec_sig
+    // requires a multiple of 64
     val perWord = 64 / bandBits
+    val sigBits = 64 * ((nBands + perWord - 1) / perWord)
     val mask = (1L << bandBits) - 1
     // persisted: feeds band explosion + both verification joins; the
     // sigBits-dot signature pass is the expensive part (callers

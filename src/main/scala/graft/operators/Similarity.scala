@@ -58,11 +58,48 @@ object Similarity {
 
   /** stride s = max(1, n² / (50·B)) — integer math only, so DuckDB's
     * COUNT(*)-based `//` computes the identical value. Queries become
-    * the vec_id % (50·s) == 0 rows: a 1-in-s subsample of the historic
-    * vec_id % 50 == 0 query set, so s = 1 (all gate scales up to sf1)
-    * reproduces the historic result exactly. */
+    * the vec_id % qmod(s) == 0 rows: a ~1-in-s subsample of the
+    * historic vec_id % 50 == 0 query set, so s = 1 (all gate scales up
+    * to sf1) reproduces the historic result exactly. */
   private[graft] def queryStrideFor(n: Long): Int =
     math.max(1L, (n * n) / (50L * queryBudgetDots)).toInt
+
+  /** The query modulus for a stride: 50 (the historic set) at s = 1;
+    * 50·s + 1 for any widened stride. The +1 makes the widened modulus
+    * COPRIME TO 10 — without it the r19 sf100sub probe caught the
+    * budget silently broken by RESONANCE: 50·s is divisible by high
+    * powers of 2·5 whenever s is (s grows as n²), and every
+    * ScaleData replica key-offset is a power of 10 (1e8/1e10/1e12), so
+    * the offsets vanish mod 50·s and every base id ≡ 0 lands a query
+    * in EVERY replica — at 2M vectors the "budgeted" set was 1,000
+    * queries (2B dots, 80× budget, 243 s) instead of ~12. 50·s + 1 is
+    * odd and ≡ 1 (mod 5), so gcd(qmod, 10^k) = 1 and replica offsets
+    * spread residues uniformly: measured 13 queries / 26M dots at the
+    * same corpus. Same integer arithmetic in the DuckDB oracle. */
+  private[graft] def queryModFor(stride: Int): Long =
+    if (stride <= 1) 50L else 50L * stride + 1L
+
+  /** Probed-pairs budget for the ANN entries' catalog query sets.
+    * The ANN probe stages do corpus-LINEAR work per query — LSH scans
+    * ~9/256 of the corpus per query (own bucket + 8 hamming-1 probes),
+    * IVF/IVF-PQ scan ~nprobe/K = 1/4 — so the historic vec_id % 50
+    * query set (|q| ∝ n) made TOTAL probe work quadratic in the
+    * corpus. The r19 sf100sub decade probe measured exactly that:
+    * sim_ann_lsh 458 s (90× for 10× rows), and the IVF family died
+    * outright ranking 40k queries × 500k scanned rows through one
+    * per-query window. Same cure as the exact yardstick: a
+    * metadata-derived query stride holding |q|·n at ~1B pairs — the
+    * sf10 workload (4k queries × 200k vectors = 800M) with headroom,
+    * so every shipped gate tier through sf10 keeps stride 1 and
+    * bit-identical results, and the third decade holds the probe
+    * budget flat (500 queries × 2M = 1B at sf100sub). The entries are
+    * approximate-by-design (no_oracle, recall-gated): QualityHarness
+    * and SimilaritySpec pass stride 1 explicitly, so the recall
+    * fixtures and served≡inline contrasts are unchanged. */
+  private[graft] val annQueryBudgetPairs = 1000L * 1000 * 1000
+
+  private[graft] def annQueryStrideFor(n: Long): Int =
+    math.max(1L, (n * n) / (50L * annQueryBudgetPairs)).toInt
 
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
     // metadata-only parquet count (no data scan), as in
@@ -80,7 +117,7 @@ object Similarity {
   private[graft] def cosineTopKOver(corpus: DataFrame, queryStride: Int = 1,
       emitMod: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val qMod = 50L * queryStride
+    val qMod = queryModFor(queryStride)
     val e = corpus.withColumn("norm", expr("vec_norm(embedding)"))
     val q = e.filter(col("vec_id") % qMod === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
@@ -105,8 +142,9 @@ object Similarity {
     * DuckDB scans (n/qmod)·n candidate pairs, not n². */
   val cosineTopKSql: String =
     s"""WITH e AS (SELECT vec_id, embedding, ${Dedup.normSql} AS norm FROM embeddings),
-       |mm AS (SELECT 50 * GREATEST(1,
-       |  (COUNT(*) * COUNT(*)) // ${50L * queryBudgetDots}) AS qmod FROM embeddings),
+       |mm AS (SELECT CASE WHEN s <= 1 THEN 50 ELSE 50 * s + 1 END AS qmod FROM (
+       |  SELECT GREATEST(1,
+       |    (COUNT(*) * COUNT(*)) // ${50L * queryBudgetDots}) AS s FROM embeddings)),
        |q AS (SELECT e.*, mm.qmod FROM e, mm WHERE e.vec_id % mm.qmod = 0),
        |scored AS (
        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.qmod,
@@ -145,17 +183,21 @@ object Similarity {
       when(expr(s"vec_dot(embedding, __planes[$j])") > 0d, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  def annLsh(spark: SparkSession, dir: String): DataFrame =
-    annLshOver(Tables.loadBalanced(spark, dir, "embeddings"))
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.load(spark, dir, "embeddings").count()
+    annLshOver(Tables.loadBalanced(spark, dir, "embeddings"),
+      queryStride = annQueryStrideFor(n))
+  }
 
-  private[graft] def annLshOver(input: DataFrame): DataFrame = {
+  private[graft] def annLshOver(input: DataFrame,
+      queryStride: Int = 1): DataFrame = {
     graft.functions.GraftFunctions.register(input.sparkSession)
     val e = input.withColumn("norm", expr("vec_norm(embedding)"))
       .withColumn("__planes", org.apache.spark.sql.functions.typedlit(planes))
       .withColumn("bucket", bucketCol)
       .drop("__planes")
     val corpus = e.select(col("vec_id"), col("embedding"), col("norm"), col("bucket"))
-    val probes = e.filter(col("vec_id") % 50 === 0)
+    val probes = e.filter(col("vec_id") % queryModFor(queryStride) === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"),
         explode(expr(
@@ -215,8 +257,11 @@ object Similarity {
       .drop("score", "rk", "centroid")
   }
 
-  def ivfTopK(spark: SparkSession, dir: String): DataFrame =
-    ivfTopKOver(Tables.loadBalanced(spark, dir, "embeddings"))
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.load(spark, dir, "embeddings").count()
+    ivfTopKOver(Tables.loadBalanced(spark, dir, "embeddings"),
+      queryStride = annQueryStrideFor(n))
+  }
 
   /** Train the coarse quantizer and build the inverted file:
     * (centroids — persisted, K rows; lists — one row per corpus vector
@@ -241,7 +286,8 @@ object Similarity {
     (centroids, assign(e, centroids))
   }
 
-  private[graft] def ivfTopKOver(corpus: DataFrame): DataFrame = {
+  private[graft] def ivfTopKOver(corpus: DataFrame,
+      queryStride: Int = 1): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val e = corpus.withColumn("norm", expr("vec_norm(embedding)"))
       .select("vec_id", "embedding", "norm")
@@ -251,7 +297,7 @@ object Similarity {
     // Probe the NProbe nearest centroids per query.
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("cscore").desc, col("cluster"))
-    val probes = e.filter(col("vec_id") % 50 === 0)
+    val probes = e.filter(col("vec_id") % queryModFor(queryStride) === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"))
       .join(broadcast(centroids))
@@ -383,13 +429,16 @@ object Similarity {
     * index training to every call. Training still runs wherever no
     * index exists (a fresh host, or the spec's corpus-parameterized
     * [[ivfPqTopKOver]], which never consults the marker). */
-  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame =
+  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val stride = annQueryStrideFor(Tables.load(spark, dir, "embeddings").count())
     servedIndexIfFresh(dir) match {
-      case Some(indexDir) => ivfPqServe(spark, dir, indexDir)
-      case None => ivfPqTopKOver(Tables.loadBalanced(spark, dir, "embeddings"))
+      case Some(indexDir) => ivfPqServe(spark, dir, indexDir, stride)
+      case None => ivfPqTopKOver(Tables.loadBalanced(spark, dir, "embeddings"), stride)
     }
+  }
 
-  private[graft] def ivfPqTopKOver(corpus: DataFrame): DataFrame = {
+  private[graft] def ivfPqTopKOver(corpus: DataFrame,
+      queryStride: Int = 1): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val e = corpus.withColumn("norm", expr("vec_norm(embedding)"))
       .select("vec_id", "embedding", "norm")
@@ -403,7 +452,7 @@ object Similarity {
     val postings = lists.select("vec_id", "cluster", "norm", "embedding")
       .join(pqCodes(e, codebook, ivfPqBlocks)
         .select("vec_id", ivfCodeCols: _*), Seq("vec_id"))
-    val q = e.filter(col("vec_id") % 50 === 0)
+    val q = e.filter(col("vec_id") % queryModFor(queryStride) === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"))
       .persist()
@@ -568,13 +617,13 @@ object Similarity {
 
   /** Serve top-k from a built index: corpus side = artifacts only. */
   private[graft] def ivfPqServe(spark: SparkSession, dir: String,
-      indexDir: String): DataFrame = {
+      indexDir: String, queryStride: Int = 1): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val centroids = spark.read.parquet(s"$indexDir/centroids")
     val codebook = spark.read.parquet(s"$indexDir/codebook")
     val postings = spark.read.parquet(s"$indexDir/postings")
     val q = Tables.loadBalanced(spark, dir, "embeddings")
-      .filter(col("vec_id") % 50 === 0)
+      .filter(col("vec_id") % queryModFor(queryStride) === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         expr("vec_norm(embedding)").as("q_norm"))
       .persist()
@@ -732,6 +781,9 @@ object Similarity {
   }
 
   def ivfPqServed(spark: SparkSession, dir: String): DataFrame = {
+    // same metadata-derived stride as the inline twin, so QUALITY's
+    // served≡inline contrast compares identical query sets
+    val stride = annQueryStrideFor(Tables.load(spark, dir, "embeddings").count())
     val (indexDir, marker, stamp) = servedIndexPath(dir)
     def fresh: Boolean = markerFresh(marker, stamp)
     // The build writes three directories and a marker — not atomic, so
@@ -771,7 +823,7 @@ object Similarity {
         }
       } finally { lock.foreach(_.release()); localLock.foreach(_.close()) }
     }
-    ivfPqServe(spark, dir, indexDir)
+    ivfPqServe(spark, dir, indexDir, stride)
   }
 
   /** Ascending-index dot-product fold over one 16-dim sub-block, both

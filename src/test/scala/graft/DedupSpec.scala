@@ -279,8 +279,16 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     spark.catalog.clearCache()
     assert(narrow === wide)
+    // the 20-bit ultra rung packs 3 bands per signature word (top 4
+    // bits unused) — same pair set, same exact verification
+    val ultra = Dedup.embeddingLshWith(spark, SF, Some((20, 120)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    spark.catalog.clearCache()
+    assert(narrow === ultra)
     assert(Dedup.lshBandGeometry(50000L) === ((8, 16)))
     assert(Dedup.lshBandGeometry(50001L) === ((16, 64)))
+    assert(Dedup.lshBandGeometry(1000000L) === ((16, 64)))
+    assert(Dedup.lshBandGeometry(1000001L) === ((20, 120)))
   }
 
   /** Textbook two-row DP — independent of both engines' levenshtein. */

@@ -47,6 +47,34 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("widened query moduli are coprime to the replica key-offsets") {
+    // stride 1 = the historic modulus, bit-identical gate tiers
+    assert(Similarity.queryModFor(1) === 50L)
+    // widened strides: 50·s + 1, odd and ≡1 (mod 5) — gcd(qmod, 10^k)
+    // = 1, so ScaleData's power-of-10 replica offsets cannot resonate
+    // (the r19 sf100sub probe measured 50·s putting a query in EVERY
+    // replica: 1,000 queries / 2B dots where the budget says ~12/25M)
+    assert(Similarity.queryModFor(32) === 1601L)
+    Seq(2, 32, 3200, 3528).foreach { s =>
+      val m = Similarity.queryModFor(s)
+      assert(m === 50L * s + 1, s"stride $s modulus")
+      assert(m % 2 === 1 && m % 5 === 1, s"stride $s modulus $m not coprime to 10")
+    }
+  }
+
+  test("ANN query stride is pinned per shipped tier: 1 through sf10") {
+    // the ANN probe stages do corpus-linear work per query, so the
+    // budget caps |q|·n at 1B probed pairs: stride 1 (the historic
+    // vec_id % 50 set) at every shipped tier through sf10, widening
+    // only beyond (sf100sub: 80 → ~500 queries × 2M = 1B)
+    assert(Similarity.annQueryStrideFor(200L) === 1)
+    assert(Similarity.annQueryStrideFor(20000L) === 1)    // sf1
+    assert(Similarity.annQueryStrideFor(200000L) === 1)   // sf10
+    assert(Similarity.annQueryStrideFor(316227L) === 1)   // last stride-1 n
+    assert(Similarity.annQueryStrideFor(316228L) === 2)   // first stride-2 n
+    assert(Similarity.annQueryStrideFor(2000000L) === 80) // sf100sub
+  }
+
   test("ANN returns true scores and beats random-sampling recall") {
     val exact = Similarity.cosineTopK(spark, SF).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
