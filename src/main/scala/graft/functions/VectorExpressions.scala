@@ -113,8 +113,10 @@ object HyperplaneSig {
   // Hard cap on requested signature width: the plane matrix is
   // nBits×dim doubles per (dim, nBits) cache entry, and anything past
   // a few thousand bits signals a unit mix-up at the call site, not a
-  // real banding scheme.
-  val MaxBits = 4096
+  // real banding scheme. 8192 admits the (24-bit × 225-band) LSH rung
+  // (113 words = 7232 bits; ~3.7 MB of planes at dim 64 — still a
+  // per-JVM constant, not a per-row cost).
+  val MaxBits = 8192
 
   private def mix(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L

@@ -1153,10 +1153,12 @@ object Dedup {
   // [[simhashPairs]], resolved by climbing the ladder as n grows.
   // ---------------------------------------------------------------------
   private[graft] val lshPlantStride = 20L
-  // 2^40: far above any realistic id space (the sf1 scale-up bench
-  // replicates ids at 1e8 offsets and tripped the collision guard at
-  // the old 1e6), while vec_id + offset stays well inside Long
-  private[graft] val lshPlantOffset = 1L << 40
+  // 2^50: above any tier's id space — the guard below has now tripped
+  // TWICE as corpora grew (sf1's 1e8 offsets at the old 1e6; r19's
+  // sf100sub 1e12 offsets at the old 2^40), each time failing loudly
+  // instead of corrupting the derived corpus, which is exactly its
+  // job — while vec_id + offset stays well inside Long
+  private[graft] val lshPlantOffset = 1L << 50
 
   /** Derived dedup corpus: every vec_id % 20 == 0 vector re-emitted as
     * vec_id + 1e6 with coordinate (vec_id % 64) zeroed — cosine to its
@@ -1211,7 +1213,8 @@ object Dedup {
   private[graft] def lshBandGeometry(n: Long): (Int, Int) =
     if (n <= lshWideCorpusN) (8, 16)
     else if (n <= lshUltraCorpusN) (16, 64)
-    else (20, 120)
+    else if (n <= lshMegaCorpusN) (20, 120)
+    else (24, 225)
 
   private[graft] val lshWideCorpusN = 50000L
 
@@ -1231,6 +1234,20 @@ object Dedup {
     * ceiling; the next rung (24-bit × 225 for ~10⁷⁺ vectors) needs a
     * wider kernel, same plan shape. */
   private[graft] val lshUltraCorpusN = 1000000L
+
+  /** Fourth rung (r19, same probe that found the third): at 2.2·10⁶
+    * vectors the (20, 120) rung's ~2.3·10⁸ random-collision
+    * candidates make the exact-verify shuffle (two 64-float
+    * embeddings per candidate row) a ~10² GB spill — measured ENOSPC
+    * on the 12 GB/shared-disk harness. (24-bit × 225) holds the same
+    * 0.40% boundary miss at the 0.9 threshold (miss(c) =
+    * (1 − p(c)²⁴)²²⁵) and cuts collisions another 8.7× to
+    * b·n²/2²⁵ ≈ 3·10⁷ at n = 2.2·10⁶ — a ~20 GB verify, fleet- and
+    * harness-feasible. Two bands per word (top 16 bits unused), 113
+    * words = 7232-bit signature under vec_sig's raised 8192 cap. The
+    * rung after this (28-bit × ~420 for 10⁷⁺ vectors) crosses that
+    * cap — the documented wider-kernel step. */
+  private[graft] val lshMegaCorpusN = 2000000L
 
   def embeddingLsh(spark: SparkSession, dir: String): DataFrame =
     embeddingLshWith(spark, dir, forceGeometry = None)

@@ -285,10 +285,17 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     spark.catalog.clearCache()
     assert(narrow === ultra)
+    // the 24-bit mega rung: two bands per word, 7232-bit signature
+    val mega = Dedup.embeddingLshWith(spark, SF, Some((24, 225)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    spark.catalog.clearCache()
+    assert(narrow === mega)
     assert(Dedup.lshBandGeometry(50000L) === ((8, 16)))
     assert(Dedup.lshBandGeometry(50001L) === ((16, 64)))
     assert(Dedup.lshBandGeometry(1000000L) === ((16, 64)))
     assert(Dedup.lshBandGeometry(1000001L) === ((20, 120)))
+    assert(Dedup.lshBandGeometry(2000000L) === ((20, 120)))
+    assert(Dedup.lshBandGeometry(2000001L) === ((24, 225)))
   }
 
   /** Textbook two-row DP — independent of both engines' levenshtein. */
