@@ -109,8 +109,16 @@ object QualityHarness {
     // catalog entry ivfPqTopK serves from the at-rest index when one
     // exists, which would turn this gate into served-vs-served: a
     // tautology that passes straight through a serving-path regression.
+    // The stride (and the emitted query_mod column) must match the
+    // served side BY CONSTRUCTION — ivfPqServed derives its stride from
+    // the corpus size, so a stride-1 inline call would fail the gate at
+    // any gate corpus past ~316k rows for query-set reasons, not a
+    // serving regression. Metadata-only count, same derivation.
+    val gateStride = Similarity.annQueryStrideFor(
+      Tables.load(spark, sfDir, "embeddings").count())
     val inline = Similarity.ivfPqTopKOver(
-      Tables.loadBalanced(spark, sfDir, "embeddings")).collect().toSeq
+      Tables.loadBalanced(spark, sfDir, "embeddings"),
+      queryStride = gateStride, emitMod = true).collect().toSeq
     spark.catalog.clearCache()
     val served = Similarity.ivfPqServed(spark, sfDir).collect().toSeq
     spark.catalog.clearCache()
@@ -223,8 +231,13 @@ object QualityHarness {
     }
     // inline ivfpq collected ONCE: feeds its recall row AND the
     // served-identity row below (same de-tautologized inline side as
-    // the driver-SF gate — train-per-call, never the served marker)
-    val inline = Similarity.ivfPqTopKOver(corpus).collect()
+    // the driver-SF gate — train-per-call, never the served marker).
+    // Stride + query_mod column matched to the served side by the same
+    // metadata-derived arithmetic (see the driver-SF gate's note).
+    val corpusStride = Similarity.annQueryStrideFor(
+      Tables.load(spark, corpusDir, "embeddings").count())
+    val inline = Similarity.ivfPqTopKOver(corpus,
+      queryStride = corpusStride, emitMod = true).collect()
     spark.catalog.clearCache()
     val ivfpqGate = Gate(s"sim_ann_ivfpq@$tag", "corpus_recall_vs_exact_at_10",
       // measured 0.95 at sf1 vs plain IVF's 0.97 coarse ceiling;

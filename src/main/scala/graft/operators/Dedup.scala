@@ -1245,8 +1245,13 @@ object Dedup {
     * b·n²/2²⁵ ≈ 3·10⁷ at n = 2.2·10⁶ — a ~20 GB verify, fleet- and
     * harness-feasible. Two bands per word (top 16 bits unused), 113
     * words = 7232-bit signature under vec_sig's raised 8192 cap. The
-    * rung after this (28-bit × ~420 for 10⁷⁺ vectors) crosses that
-    * cap — the documented wider-kernel step. */
+    * rung after this (28-bit × 420 for 10⁷⁺ vectors) crosses that
+    * cap — the wider-kernel step is DESIGNED (not yet shipped: rungs
+    * ship with a measured run) in RUNBOOK.md "The LSH band ladder
+    * past 8192 signature bits": one widened signature stream
+    * (MaxBits 16384, bit-identical prefix), cross-word band
+    * extraction, b = 420 for 0.41% boundary miss, ~7.8·10⁷ random
+    * collisions at n = 10⁷. */
   private[graft] val lshMegaCorpusN = 2000000L
 
   def embeddingLsh(spark: SparkSession, dir: String): DataFrame =

@@ -62,7 +62,31 @@ object Similarity {
     * historic vec_id % 50 == 0 query set, so s = 1 (all gate scales up
     * to sf1) reproduces the historic result exactly. */
   private[graft] def queryStrideFor(n: Long): Int =
-    math.max(1L, (n * n) / (50L * queryBudgetDots)).toInt
+    budgetStrideFor(n, queryBudgetDots)
+
+  /** Shared overflow-guarded stride arithmetic. n² is computed with
+    * `Math.multiplyExact` and the stride checked against Int before
+    * narrowing: past the Long horizon (n ≳ 3.0e9 vectors) a plain
+    * `n * n` wraps NEGATIVE, max(1, negative) = stride 1, and the
+    * whole budget silently evaporates into an unbounded probe set —
+    * the same silent-break shape as the r19 qmod resonance. These
+    * budgets exist to fail LOUDLY at unexpected scale (the
+    * lshPlantOffset guard's discipline): a corpus past the guard needs
+    * the stride arithmetic widened to Long qmods, not a wrapped one. */
+  private def budgetStrideFor(n: Long, pairBudget: Long): Int = {
+    val n2 =
+      try Math.multiplyExact(n, n)
+      catch {
+        case _: ArithmeticException => throw new IllegalStateException(
+          s"query-stride budget: corpus size $n overflows n*n in Long; " +
+            "widen the stride/qmod arithmetic before running at this scale")
+      }
+    val s = math.max(1L, n2 / (50L * pairBudget))
+    if (s > Int.MaxValue) throw new IllegalStateException(
+      s"query-stride budget: stride $s for corpus size $n exceeds Int range; " +
+        "widen the stride/qmod arithmetic before running at this scale")
+    s.toInt
+  }
 
   /** The query modulus for a stride: 50 (the historic set) at s = 1;
     * 50·s + 1 for any widened stride. The +1 makes the widened modulus
@@ -99,7 +123,7 @@ object Similarity {
   private[graft] val annQueryBudgetPairs = 1000L * 1000 * 1000
 
   private[graft] def annQueryStrideFor(n: Long): Int =
-    math.max(1L, (n * n) / (50L * annQueryBudgetPairs)).toInt
+    budgetStrideFor(n, annQueryBudgetPairs)
 
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
     // metadata-only parquet count (no data scan), as in
@@ -110,7 +134,8 @@ object Similarity {
   }
 
   /** Corpus-parameterized form (vec_id, embedding); queries are the
-    * vec_id % (50·queryStride) == 0 rows. Shared by the catalog query
+    * vec_id % queryModFor(queryStride) == 0 rows (50 at stride 1, the
+    * coprime 50·s+1 for any widened stride). Shared by the catalog query
     * (corpus-size-aware stride, self-describing `query_mod` column) and
     * the planted-cluster recall fixture in SimilaritySpec /
     * QualityHarness (stride 1 = the full historic query set). */
@@ -186,11 +211,15 @@ object Similarity {
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val n = Tables.load(spark, dir, "embeddings").count()
     annLshOver(Tables.loadBalanced(spark, dir, "embeddings"),
-      queryStride = annQueryStrideFor(n))
+      queryStride = annQueryStrideFor(n), emitMod = true)
   }
 
+  /** `emitMod` mirrors [[cosineTopKOver]]: the CATALOG surface always
+    * emits a self-describing `query_mod` column, so a widened-stride
+    * ANN artifact (sf100sub: qmod 4001) is schema-distinguishable from
+    * a historic %50 run; spec/QUALITY fixtures keep the bare shape. */
   private[graft] def annLshOver(input: DataFrame,
-      queryStride: Int = 1): DataFrame = {
+      queryStride: Int = 1, emitMod: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(input.sparkSession)
     val e = input.withColumn("norm", expr("vec_norm(embedding)"))
       .withColumn("__planes", org.apache.spark.sql.functions.typedlit(planes))
@@ -215,9 +244,11 @@ object Similarity {
       .withColumn("score", round(col("dot") / (col("q_norm") * col("norm")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
+    val ranked = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 10)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("score"))
+    (if (emitMod) ranked.withColumn("query_mod", lit(queryModFor(queryStride)))
+     else ranked)
       .orderBy("query_id", "rank")
   }
 
@@ -260,7 +291,7 @@ object Similarity {
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val n = Tables.load(spark, dir, "embeddings").count()
     ivfTopKOver(Tables.loadBalanced(spark, dir, "embeddings"),
-      queryStride = annQueryStrideFor(n))
+      queryStride = annQueryStrideFor(n), emitMod = true)
   }
 
   /** Train the coarse quantizer and build the inverted file:
@@ -287,7 +318,7 @@ object Similarity {
   }
 
   private[graft] def ivfTopKOver(corpus: DataFrame,
-      queryStride: Int = 1): DataFrame = {
+      queryStride: Int = 1, emitMod: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val e = corpus.withColumn("norm", expr("vec_norm(embedding)"))
       .select("vec_id", "embedding", "norm")
@@ -310,13 +341,15 @@ object Similarity {
     // Scan only the probed lists; exact re-rank.
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))
-    lists.join(broadcast(probes), Seq("cluster"))
+    val ranked = lists.join(broadcast(probes), Seq("cluster"))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("score",
         round(expr("vec_dot(q_emb, embedding)") / (col("q_norm") * col("norm")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 10)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("score"))
+    (if (emitMod) ranked.withColumn("query_mod", lit(queryModFor(queryStride)))
+     else ranked)
       .orderBy("query_id", "rank")
   }
 
@@ -432,13 +465,16 @@ object Similarity {
   def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
     val stride = annQueryStrideFor(Tables.load(spark, dir, "embeddings").count())
     servedIndexIfFresh(dir) match {
-      case Some(indexDir) => ivfPqServe(spark, dir, indexDir, stride)
-      case None => ivfPqTopKOver(Tables.loadBalanced(spark, dir, "embeddings"), stride)
+      case Some(indexDir) =>
+        ivfPqServe(spark, dir, indexDir, stride, emitMod = true)
+      case None =>
+        ivfPqTopKOver(Tables.loadBalanced(spark, dir, "embeddings"), stride,
+          emitMod = true)
     }
   }
 
   private[graft] def ivfPqTopKOver(corpus: DataFrame,
-      queryStride: Int = 1): DataFrame = {
+      queryStride: Int = 1, emitMod: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val e = corpus.withColumn("norm", expr("vec_norm(embedding)"))
       .select("vec_id", "embedding", "norm")
@@ -456,8 +492,16 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"))
       .persist()
-    adcTopK(q, codebook, centroids, postings)
+    withQueryMod(adcTopK(q, codebook, centroids, postings), queryStride, emitMod)
   }
+
+  /** Append the self-describing `query_mod` column on the catalog
+    * surface (see [[annLshOver]]'s emitMod note); adcTopK's final
+    * orderBy("query_id", "rank") survives the projection. */
+  private def withQueryMod(ranked: DataFrame, queryStride: Int,
+      emitMod: Boolean): DataFrame =
+    if (emitMod) ranked.withColumn("query_mod", lit(queryModFor(queryStride)))
+    else ranked
 
   /** The IVF-PQ scan path quantizes finer than the standalone
     * `vec_pq_assign` layout: 8 blocks of 8 dims over a 64-entry
@@ -617,7 +661,8 @@ object Similarity {
 
   /** Serve top-k from a built index: corpus side = artifacts only. */
   private[graft] def ivfPqServe(spark: SparkSession, dir: String,
-      indexDir: String, queryStride: Int = 1): DataFrame = {
+      indexDir: String, queryStride: Int = 1,
+      emitMod: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val centroids = spark.read.parquet(s"$indexDir/centroids")
     val codebook = spark.read.parquet(s"$indexDir/codebook")
@@ -627,7 +672,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         expr("vec_norm(embedding)").as("q_norm"))
       .persist()
-    adcTopK(q, codebook, centroids, postings)
+    withQueryMod(adcTopK(q, codebook, centroids, postings), queryStride, emitMod)
   }
 
   /** Catalog entry: serve from the at-rest index, building it only if
@@ -823,7 +868,7 @@ object Similarity {
         }
       } finally { lock.foreach(_.release()); localLock.foreach(_.close()) }
     }
-    ivfPqServe(spark, dir, indexDir, stride)
+    ivfPqServe(spark, dir, indexDir, stride, emitMod = true)
   }
 
   /** Ascending-index dot-product fold over one 16-dim sub-block, both

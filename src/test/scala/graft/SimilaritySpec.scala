@@ -75,6 +75,39 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(Similarity.annQueryStrideFor(2000000L) === 80) // sf100sub
   }
 
+  test("stride budgets fail loudly past their arithmetic horizon, never wrap") {
+    // n² overflows Long at n ≳ 3.04e9: a plain n*n wraps negative and
+    // max(1, negative) silently resets the stride to 1 — an unbounded
+    // probe budget. The guard must throw instead.
+    intercept[IllegalStateException] {
+      Similarity.annQueryStrideFor(4L * 1000 * 1000 * 1000)
+    }
+    // n² still fits Long at n = 3e9, but the exact yardstick's stride
+    // (n² / 1.25e9 = 7.2e9) exceeds Int — .toInt would truncate it.
+    intercept[IllegalStateException] {
+      Similarity.queryStrideFor(3L * 1000 * 1000 * 1000)
+    }
+    // just under the Long horizon, the ANN stride still fits Int
+    // (9e18 / 5e10 = 1.8e8)
+    assert(Similarity.annQueryStrideFor(3L * 1000 * 1000 * 1000) === 180000000)
+  }
+
+  test("catalog ANN entries emit a self-describing query_mod column") {
+    // the CATALOG surface is scale-invariant and self-describing: a
+    // widened-stride artifact (sf100sub: qmod 4001) must be schema-
+    // distinguishable from a historic %50 run. Spec/QUALITY fixtures
+    // (the bare *Over forms) keep the 4-column shape.
+    Seq(Similarity.annLsh(spark, SF), Similarity.ivfTopK(spark, SF),
+        Similarity.ivfPqTopK(spark, SF)).foreach { df =>
+      assert(df.columns.last === "query_mod")
+      assert(df.select("query_mod").head().getLong(0) === 50L)
+    }
+    assert(Similarity.annLshOver(
+      graft.Tables.loadBalanced(spark, SF, "embeddings")).columns
+      .sameElements(Array("query_id", "neighbor_id", "rank", "score")))
+    spark.catalog.clearCache()
+  }
+
   test("ANN returns true scores and beats random-sampling recall") {
     val exact = Similarity.cosineTopK(spark, SF).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
