@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -1191,7 +1192,12 @@ object Dedup {
   }
 
   /** Corpus-size band geometry (see the header comment's banding
-    * math): 8-bit bands are optimal small-corpus granularity but their
+    * math), keyed since r20 to the DISTINCT-vector count — the only
+    * rows the banding sees after the exact-duplicate collapse in
+    * [[embeddingLshOver]], which is what makes the random-collision
+    * arithmetic below the real total (duplicate families never enter
+    * candidate enumeration). 8-bit bands are optimal small-corpus
+    * granularity but their
     * random-collision term b·n²/2^(r+1) goes quadratic — the r16 sf10
     * bench measured it literally filling the disk with shuffle spill
     * at n ≈ 2·10⁵ (1e9+ in-bucket candidate rows through a distinct).
@@ -1251,24 +1257,70 @@ object Dedup {
     * past 8192 signature bits": one widened signature stream
     * (MaxBits 16384, bit-identical prefix), cross-word band
     * extraction, b = 420 for 0.41% boundary miss, ~7.8·10⁷ random
-    * collisions at n = 10⁷. */
+    * collisions at n = 10⁷. Since the r20 exact-duplicate collapse,
+    * n here means DISTINCT vectors — the r20 sf100sub tier (2M rows,
+    * 182k distinct) runs the (16,64) rung, and this rung engages only
+    * past 2M distinct vectors. */
   private[graft] val lshMegaCorpusN = 2000000L
 
   def embeddingLsh(spark: SparkSession, dir: String): DataFrame =
     embeddingLshWith(spark, dir, forceGeometry = None)
 
   private[graft] def embeddingLshWith(spark: SparkSession, dir: String,
+      forceGeometry: Option[(Int, Int)]): DataFrame =
+    embeddingLshOver(lshCorpus(spark, dir), forceGeometry)
+
+  /** Corpus-parameterized banded LSH with EXACT-DUPLICATE COLLAPSE
+    * (r20). The r19/r20 sf100sub probes kept killing this query — r19
+    * ENOSPC at (20,120), r20 heap-OOM at (24,225) behind ~39 GB of
+    * candidate shuffle — and the autopsy found the dominant term was
+    * never the random collisions the ladder rungs were sized against:
+    * the scaled corpora carry ~10 EXACT duplicates per distinct vector
+    * (ScaleData replicas; sf100sub: 2M rows, 182k distinct), and
+    * byte-identical vectors have byte-identical signatures, so every
+    * duplicate pair collides in EVERY band — candidate rows from dup
+    * families alone are pairs×bands ≈ 1e7×225 ≈ 2.25e9 at the fourth
+    * rung, and CLIMBING the ladder (more bands) makes that term WORSE,
+    * not better. The production shape (and the web-scale dedup
+    * standard) is to collapse exact duplicates FIRST:
+    *
+    *   1. rep_id = min vec_id over identical embeddings (one linear
+    *      shuffle on the embedding bytes);
+    *   2. band + verify over the DISTINCT representatives only — the
+    *      banding geometry keys off the distinct count, so sf100sub
+    *      de-escalates from the (24,225) rung back to (16,64), and the
+    *      candidate term becomes independent of the duplication factor;
+    *   3. expand rep pairs back to member pairs (broadcast-sized rep
+    *      pairs joined to the membership table, plus within-group
+    *      pairs generated from each group's sorted id list) — the
+    *      duplicate mass reappears only HERE, sized by the true output.
+    *
+    * Output-IDENTICAL to banding the full corpus, provably: members
+    * share their rep's signature bit-for-bit, so (a, b) collides in
+    * some band iff (rep(a), rep(b)) does, and the emitted cosine is
+    * computed from the same bytes either way (within-group pairs get
+    * round(dot(rep,rep)/norm², 6) — the identical double the direct
+    * pair evaluation produced). DedupSpec pins the equivalence against
+    * a brute-force oracle on a dup-rich corpus. Measured at sf100sub:
+    * the (24,225) full-corpus attempt died (OOM, 39 GB spill); the
+    * collapsed form completes in minutes with zero candidate blow-up. */
+  private[graft] def embeddingLshOver(corpus: DataFrame,
       forceGeometry: Option[(Int, Int)]): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val corpus = lshCorpus(spark, dir)
-    // geometry pick needs only the corpus SIZE — count the bare base
-    // table (a metadata-only job off parquet row-group footers) and add
-    // the derived planted fraction, instead of counting the union+
-    // filter+guard plan, which would evaluate the raise_error
-    // projection over every row as a real data scan
-    val nBase = Tables.load(spark, dir, "embeddings").count()
-    val (bandBits, nBands) = forceGeometry.getOrElse(
-      lshBandGeometry(nBase + nBase / lshPlantStride))
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    // 1. exact collapse: one shuffle by embedding bytes; persisted —
+    // feeds the rep frame, the distinct-count geometry pick, the
+    // within-group expansion, and both cross-expansion joins (callers
+    // release via clearCache)
+    val wRep = Window.partitionBy(col("embedding"))
+    val members = corpus
+      .withColumn("rep_id", min(col("vec_id")).over(wRep))
+      .persist()
+    val reps = members.filter(col("vec_id") === col("rep_id"))
+      .select(col("rep_id").as("vec_id"), col("embedding"))
+    // the geometry is sized by the DISTINCT corpus — the only rows the
+    // banding ever sees; the count also materializes the members cache
+    val nReps = reps.count()
+    val (bandBits, nBands) = forceGeometry.getOrElse(lshBandGeometry(nReps))
     // bands pack perWord-to-a-word; when bandBits does not divide 64
     // (the 20-bit rung: 3 bands/word, top 4 bits unused) the signature
     // width is the WORD count × 64, not bandBits·nBands — vec_sig
@@ -1276,10 +1328,10 @@ object Dedup {
     val perWord = 64 / bandBits
     val sigBits = 64 * ((nBands + perWord - 1) / perWord)
     val mask = (1L << bandBits) - 1
-    // persisted: feeds band explosion + both verification joins; the
-    // sigBits-dot signature pass is the expensive part (callers
-    // release via clearCache)
-    val c = corpus
+    // persisted: feeds band explosion + both verification joins + the
+    // within-group cosine; the sigBits-dot signature pass only runs
+    // over the distinct reps
+    val c = reps
       .withColumn("norm", expr("vec_norm(embedding)"))
       .withColumn("sig", expr(s"vec_sig(embedding, $sigBits)"))
       .persist()
@@ -1296,7 +1348,7 @@ object Dedup {
           && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_i"), col("b.vec_id").as("vec_j"))
       .distinct()
-    cand
+    val repPairs = cand
       .join(c.select(col("vec_id").as("vec_i"), col("embedding").as("emb_a"),
         col("norm").as("norm_a")), "vec_i")
       .join(c.select(col("vec_id").as("vec_j"), col("embedding").as("emb_b"),
@@ -1304,8 +1356,38 @@ object Dedup {
       .withColumn("dot", expr("vec_dot(emb_a, emb_b)"))
       .withColumn("cosine", round(col("dot") / (col("norm_a") * col("norm_b")), 6))
       .filter(col("cosine") >= 0.9)
-      .select("vec_i", "vec_j", "cosine")
-      .orderBy("vec_i", "vec_j")
+      .select(col("vec_i").as("rep_i"), col("vec_j").as("rep_j"), col("cosine"))
+
+    // 2. expansion. Within-group pairs carry the cosine the direct
+    // evaluation would have produced: dot(a, a') for byte-identical
+    // a, a' IS dot(rep, rep), and norm_a = norm_b = norm_rep — same
+    // doubles, same round-6 result (≈ 1.0; the >= 0.9 filter is kept
+    // for shape-faithfulness, it can never fire here).
+    val selfCos = c.select(col("vec_id").as("rep_id"),
+      round(expr("vec_dot(embedding, embedding)") / (col("norm") * col("norm")), 6)
+        .as("cosine"))
+    val groups = members.groupBy(col("rep_id"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val within = groups.join(selfCos, "rep_id")
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |    y -> named_struct('vec_i', x, 'vec_j', y))))""".stripMargin))
+        .as("p"), col("cosine"))
+      .filter(col("cosine") >= 0.9)
+      .select(col("p.vec_i").as("vec_i"), col("p.vec_j").as("vec_j"), col("cosine"))
+    // cross-group pairs: every member combination inherits the rep
+    // pair's cosine (identical bytes). repPairs is output-bounded and
+    // broadcast-sized; the membership table streams past it twice —
+    // no full-corpus shuffle in the expansion.
+    val mem = members.select(col("rep_id"), col("vec_id"))
+    val cross = repPairs
+      .join(mem.select(col("rep_id").as("rep_i"), col("vec_id").as("va")), "rep_i")
+      .join(mem.select(col("rep_id").as("rep_j"), col("vec_id").as("vb")), "rep_j")
+      .select(least(col("va"), col("vb")).as("vec_i"),
+        greatest(col("va"), col("vb")).as("vec_j"), col("cosine"))
+    within.unionByName(cross).orderBy("vec_i", "vec_j")
   }
 
   /** Exact all-pairs oracle over the SAME derived corpus (planted rows

@@ -298,6 +298,49 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(Dedup.lshBandGeometry(2000001L) === ((24, 225)))
   }
 
+  test("LSH exact-duplicate collapse is output-identical to brute force on a dup-rich corpus") {
+    // the r20 sf100sub autopsy: scaled corpora carry ~10 EXACT
+    // duplicates per distinct vector, and duplicate pairs collide in
+    // EVERY band — the collapse (band reps only, expand member pairs)
+    // must reproduce the full-corpus result exactly. Fixture: 40
+    // well-separated random unit-ish vectors, each duplicated 2–5×
+    // with distinct ids, plus a 0.99-near copy of every 4th base —
+    // every qualifying pair is ≥ 0.97, where banding miss ≈ 1e-9, so
+    // brute force IS the expected output.
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260816L)
+    val bases = Seq.tabulate(40)(_ => Array.fill(64)(rnd.nextFloat() * 2f - 1f))
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Float])]
+    var id = 0L
+    bases.zipWithIndex.foreach { case (v, bi) =>
+      (0 until 2 + bi % 4).foreach { _ =>          // 2–5 exact copies
+        rows += ((id, v.toSeq)); id += 1
+      }
+      if (bi % 4 == 0) {                           // a near-dup: one coord nudged
+        val near = v.clone(); near(bi % 64) = near(bi % 64) * 0.7f
+        rows += ((id, near.toSeq)); id += 1
+      }
+    }
+    val corpus = rows.toSeq.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val got = Dedup.embeddingLshOver(corpus, forceGeometry = Some((16, 64)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    spark.catalog.clearCache()
+    // brute-force reference via the same native expressions
+    graft.functions.GraftFunctions.register(spark)
+    val e = corpus.withColumn("norm", expr("vec_norm(embedding)"))
+    val expected = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine", org.apache.spark.sql.functions.round(
+        expr("vec_dot(a.embedding, b.embedding)") / (col("a.norm") * col("b.norm")), 6))
+      .filter(col("cosine") >= 0.9)
+      .select(col("a.vec_id"), col("b.vec_id"), col("cosine"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expected.nonEmpty && expected.exists(_._3 < 1.0),
+      "fixture must exercise both within-group (cos 1.0) and cross-group pairs")
+    assert(got === expected)
+    spark.catalog.clearCache()
+  }
+
   /** Textbook two-row DP — independent of both engines' levenshtein. */
   private def levRef(a: String, b: String): Int = {
     var prev = Array.tabulate(b.length + 1)(identity)
