@@ -79,16 +79,32 @@ class BenchBudgetsSpec extends AnyFunSuite {
     assert(java.nio.file.Files.exists(path), "bench_budgets.json must be committed")
     val b = BenchBudgets.parse(java.nio.file.Files.readString(path))
     assert(b.toleranceX > 1.0 && b.absSlackS > 0.0)
-    assert(b.epochs.keySet === Set("sf0.1", "sf1", "sf10"))
+    assert(b.epochs.keySet === Set("sf0.1", "sf1", "sf10", "sf100sub"))
+    // the sf100sub tier pins EXACTLY the sub-quadratic dedup/ANN family
+    // (r20, commit bba010e): assert membership, not just a count, so a
+    // silently dropped query trips this spec rather than skating past a
+    // size threshold
+    val subQuadFamily = Set(
+      "dedup_embedding_cosine_sampled", "dedup_embedding_lsh",
+      "dedup_incremental_bucketed", "dedup_minhash_lsh", "dedup_paragraph",
+      "dedup_simhash_wide", "sim_ann_ivf", "sim_ann_ivfpq",
+      "sim_ann_ivfpq_served", "sim_ann_lsh", "sim_cosine_topk")
     b.epochs.foreach { case (key, e) =>
       assert(e.cpus.nonEmpty, s"$key epoch must pin its cpus config")
       assert(e.sentinels.nonEmpty && e.sentinels.values.forall(_ > 0),
         s"$key epoch needs positive sentinel floors")
-      // every tier pins the FULL catalog since r18 (sf10 pinned only the
-      // 18-query scaling subset through r17, leaving 78 queries free to
-      // regress at the 100x tier without tripping a ceiling)
-      assert(e.queries.size >= 90 && e.queries.values.forall(_ >= 0),
-        s"$key epoch must cover the full catalog (got ${e.queries.size})")
+      assert(e.queries.values.forall(_ >= 0), s"$key epoch has negative budgets")
+      if (key == "sf100sub") {
+        assert(e.queries.keySet === subQuadFamily,
+          s"sf100sub epoch must pin exactly the sub-quadratic family " +
+            s"(got ${e.queries.keySet.toSeq.sorted})")
+      } else {
+        // every full tier pins the FULL catalog since r18 (sf10 pinned only
+        // the 18-query scaling subset through r17, leaving 78 queries free
+        // to regress at the 100x tier without tripping a ceiling)
+        assert(e.queries.size >= 90,
+          s"$key epoch must cover the full catalog (got ${e.queries.size})")
+      }
     }
   }
 
