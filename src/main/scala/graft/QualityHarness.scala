@@ -214,7 +214,19 @@ object QualityHarness {
     def topSets(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
       rows.groupBy(_.getLong(0))
         .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-    val exact = topSets(Similarity.cosineTopKOver(corpus).collect())
+    // ONE stride for every side of every recall comparison below —
+    // exact yardstick, lsh/ivf gates, and the inline ivfpq — derived
+    // once from the corpus size. Past ~316k embeddings the stride
+    // widens (queryMod 50·s+1, coprime to 50), so an exact side left
+    // at its stride-1 default would share almost no queries with the
+    // widened approximate sides and recall would collapse to ~0 for
+    // query-set reasons, not index reasons (r20 ADVICE). At sf1 the
+    // stride is 1 and every reading is bit-identical to the historic
+    // gates.
+    val corpusStride = Similarity.annQueryStrideFor(
+      Tables.load(spark, corpusDir, "embeddings").count())
+    val exact = topSets(
+      Similarity.cosineTopKOver(corpus, queryStride = corpusStride).collect())
     spark.catalog.clearCache()
     def recallVsExact(rows: Array[org.apache.spark.sql.Row]): Double = {
       val found = topSets(rows)
@@ -234,8 +246,6 @@ object QualityHarness {
     // the driver-SF gate — train-per-call, never the served marker).
     // Stride + query_mod column matched to the served side by the same
     // metadata-derived arithmetic (see the driver-SF gate's note).
-    val corpusStride = Similarity.annQueryStrideFor(
-      Tables.load(spark, corpusDir, "embeddings").count())
     val inline = Similarity.ivfPqTopKOver(corpus,
       queryStride = corpusStride, emitMod = true).collect()
     spark.catalog.clearCache()
@@ -255,8 +265,10 @@ object QualityHarness {
     Seq(
       // corpus floors from the r15 sf1 readings (0.915 / 0.97) minus
       // margin for clone-structure variation across corpora
-      gate("sim_ann_lsh", Similarity.annLshOver(corpus), 0.85),
-      gate("sim_ann_ivf", Similarity.ivfTopKOver(corpus), 0.9),
+      gate("sim_ann_lsh",
+        Similarity.annLshOver(corpus, queryStride = corpusStride), 0.85),
+      gate("sim_ann_ivf",
+        Similarity.ivfTopKOver(corpus, queryStride = corpusStride), 0.9),
       ivfpqGate, servedGate)
   }
 

@@ -3,6 +3,7 @@
 # Mirrors verify.sh's JVM flags plus the sf10-tier GCLocker mitigation
 # (BASELINE.md r19: JNI read-ahead + G1 spurious OOM on long spills).
 set -e
+set -o pipefail
 SF=${1:?sfDir}
 REPORT=${2:?reportPath}
 QUERIES=${3:-}
@@ -21,6 +22,9 @@ export SPARK_SCALA_VERSION="${SPARK_SCALA_VERSION:-2.13}"
 [ -n "$QUERIES" ] && export SPARK_GRAFT_BENCH_QUERIES="$QUERIES"
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} SPARK_GRAFT_BENCH_REPS=$REPS \
 SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_REPORT_PATH="$REPORT" \
+# pipefail + grep scoped so a crashed Bench JVM (OOM, classpath error)
+# fails the script, while a grep that filters every line does not
 java $OPENS -Xmx12g -XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=32 \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -cp "$CP" graft.Bench 2>&1 | grep -vE '^2[0-9/]' || true
+  -cp "$CP" graft.Bench 2>&1 | { grep -vE '^2[0-9/]' || true; }
+[ -f "$REPORT" ] || { echo "[bench.sh] FAILED: no report at $REPORT" >&2; exit 1; }
