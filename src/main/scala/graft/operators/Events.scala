@@ -212,36 +212,50 @@ object Events {
   // events_funnel — ordered-sequence funnel (view → click → purchase):
   // per user, the earliest view, the earliest click AT-OR-AFTER that
   // view, and the earliest purchase at-or-after that click; stage =
-  // how deep the user got. The dependent-minimum chain is three
-  // user-keyed aggregates with a join between steps — every join and
-  // aggregate shuffles on user_id alone, so AQE reuses one exchange
-  // layout end to end; nothing ever materializes a per-user event
-  // array (the collect_list formulation dies on power users at 100 TB).
+  // how deep the user got.
   // At-or-after (>=) keeps same-second steps countable — the funnel is
   // about ordering, and equal seconds can't prove disorder.
+  //
+  // r21 rewrite (guide §2.4 — remove shuffles): the dependent-minimum
+  // chain used to be three user-keyed aggregates with a join between
+  // steps plus a distinct-users frame and three left joins back — a
+  // persisted 4-branch scan and five exchange consumers. The chain is
+  // expressible in ONE pass: sort each user's events by sec; a click
+  // qualifies iff SOME view exists at-or-before it (that view's sec is
+  // ≤ the click's, so sec ≥ t_view is implied and exact), and a
+  // purchase qualifies iff some QUALIFIED click exists at-or-before it
+  // (≥ t_click ⇔ ≥ the minimum qualified click ⇔ such a click is in
+  // the at-or-before range). RANGE frames make same-second steps
+  // countable regardless of intra-second row order. Both running
+  // minima share one window spec — one exchange on user_id, one
+  // in-partition sort, then a co-partitioned final aggregate covering
+  // every user (the old distinct-users branch for stage-0 rows comes
+  // free). Constant per-row state — nothing materializes a per-user
+  // event array (the collect_list formulation dies on power users at
+  // 100 TB), and a hot user costs one partition's sort, the same bound
+  // events_sessionize already carries. Value-identical to the join
+  // chain (EventsSpec + the unchanged oracle + the streaming twin's
+  // ≡-batch spec all pin it).
   // ---------------------------------------------------------------------
   def funnel(spark: SparkSession, dir: String): DataFrame = {
-    // persisted: four branches (user base + three step minimums) read
-    // this narrow projection — without reuse the events table scans
-    // four times in one query (SparkEntry cache convention: entry
-    // points clear the session cache per query)
     val ev = Tables.loadEvents(spark, dir)
       .select(col("user_id"), col("event_type"), col("sec"))
-      .persist()
-    val users = ev.select("user_id").distinct()
-    val views = ev.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min(col("sec")).as("t_view"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .join(views, Seq("user_id"))
-      .filter(col("sec") >= col("t_view"))
-      .groupBy("user_id").agg(min(col("sec")).as("t_click"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .join(clicks, Seq("user_id"))
-      .filter(col("sec") >= col("t_click"))
-      .groupBy("user_id").agg(min(col("sec")).as("t_purchase"))
-    users.join(views, Seq("user_id"), "left")
-      .join(clicks, Seq("user_id"), "left")
-      .join(purchases, Seq("user_id"), "left")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = ev
+      // earliest view at-or-before this row (same-sec views included)
+      .withColumn("view_upto", min(when(col("event_type") === "view", col("sec"))).over(w))
+      .withColumn("qual_click",
+        when(col("event_type") === "click" && col("view_upto").isNotNull, col("sec")))
+      // earliest QUALIFIED click at-or-before this row — same spec, so
+      // both window functions share one sort
+      .withColumn("click_upto", min(col("qual_click")).over(w))
+    staged.groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("sec"))).as("t_view"),
+        min(col("qual_click")).as("t_click"),
+        min(when(col("event_type") === "purchase" && col("click_upto").isNotNull,
+          col("sec"))).as("t_purchase"))
       .withColumn("stage",
         when(col("t_purchase").isNotNull, 3)
           .when(col("t_click").isNotNull, 2)

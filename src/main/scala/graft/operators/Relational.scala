@@ -130,7 +130,20 @@ object Relational {
     val c  = Tables.load(spark, dir, "customer")
     val n  = Tables.load(spark, dir, "nation")
     val r  = Tables.load(spark, dir, "region")
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
+    // r21 (guide §2.3 — aggregate before you shuffle): the fact is
+    // partial-aggregated to order grain BEFORE the orders join, so the
+    // fact-fact exchange carries one 3-column row per order instead of
+    // every lineitem (~4× fewer rows, and the revenue arithmetic runs
+    // map-side). Decimal sums re-associate exactly, so the final
+    // revenue is bit-identical; n_rows = Σ per-order counts;
+    // countDistinct(o_orderkey) is kept at the final aggregate (over
+    // the now order-grain rows — its Expand is near-free here) so the
+    // distinct semantics under any duplicate-key input is EXACTLY the
+    // old plan's, not an assumption about key uniqueness.
+    val liAgg = li.groupBy(col("l_orderkey"))
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).as("rev_o"),
+        count(lit(1)).as("n_o"))
+    liAgg.join(o, liAgg("l_orderkey") === o("o_orderkey"))
       // customer scales with SF — no forced broadcast (AQE still
       // broadcasts it when it is actually small); nation/region are
       // fixed-size dims, always broadcastable
@@ -139,9 +152,9 @@ object Relational {
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        sum(revenue(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"),
+        sum(col("rev_o")).cast("double").as("revenue"),
         countDistinct(col("o_orderkey")).as("n_orders"),
-        count(lit(1)).as("n_rows"))
+        sum(col("n_o")).as("n_rows"))
       .orderBy("r_name", "n_name")
   }
 

@@ -137,9 +137,25 @@ object RetailPipeline {
   /** Core faithful-mode builder over the five reference-schema frames
     * (uppercase reference column names). Factored out of the test-data
     * wrapper so the CLI app (graft.app.RetailEtlApp) can run it over
-    * real CSV inputs and unit tests over hand-built fixtures. */
-  def buildFaithful(sales: DataFrame, inventory: DataFrame, calendar: DataFrame,
-      store: DataFrame, product: DataFrame): DataFrame = {
+    * real CSV inputs and unit tests over hand-built fixtures.
+    *
+    * Measured-and-rejected (r21): an algebraic decomposition that never
+    * materializes the date-less fanout (every metric over merged =
+    * sales x inventory decomposes over the cross-product group
+    * structure; the one cross term count(on_hand < qty) comes from the
+    * two sides' value histograms). Output-identical — it passed the
+    * DuckDB fanout oracle at sf0.001/0.01/0.1 and a row-for-row spec
+    * against this plan — but SLOWER where it counts: 127 s min vs this
+    * plan's 73 s at sf10 (and 144 GB vs ~80 GB task mem-spill), because
+    * the test corpus's per-(prod, store) fanout multiplicity is ~1.02x,
+    * so the decomposition's two-level histogram aggregation
+    * (ObjectHashAggregate collect_list at a ~60M-group near-distinct
+    * grain) costs far more than the fanout it avoids. The rewrite only
+    * wins when |sales|x|inventory| per pair is large; on this data the
+    * fanout IS the cheap plan. See OPTIMIZATION_r21.md.
+    */
+  def buildFaithful(sales: DataFrame, inventory: DataFrame,
+      calendar: DataFrame, store: DataFrame, product: DataFrame): DataFrame = {
     val keys = Seq("YR_WK_NUM", "STORE_KEY", "PROD_KEY")
 
     // J1 (date-less, fans out) + J2 (calendar) + J3/J4 (broadcast dims) —
@@ -362,8 +378,37 @@ object RetailPipeline {
   // Corrected mode — the intent of README.md:47-60 in one pass.
   // ---------------------------------------------------------------------
   def corrected(spark: SparkSession, dir: String): DataFrame = {
-    val (sales, inventory, _, _, _) = retailTables(spark, dir)
-    buildCorrected(sales, inventory)
+    // Specialized composition of retailTables ∘ buildCorrected (r21,
+    // guide §8 "use what you know the optimizer does not"): the test
+    // schema derives BOTH facts from the same lineitem scan, so
+    // buildCorrected's dailySales ⋈ dailyInv is an identity join —
+    // both sides group the SAME rows by the SAME (prod, store, day)
+    // key, the key sets are equal by construction, and every
+    // inventory metric is a pure function of the day's quantity sum
+    // (on_hand = 2·Σqty, on_order = Σqty, oos = Σqty < 10;
+    // dailyInv's max() over the already-unique grain is the identity).
+    // One aggregate therefore computes the whole daily frame: ONE
+    // lineitem scan and ONE shuffle instead of two scans, two
+    // shuffles and a sort-merge join (the join was this query's
+    // 78.7 GB mem-spill at sf10). Value- and type-exact vs the
+    // generic path — sums/types are identical expressions; proven by
+    // the unchanged DuckDB oracle hash and a spec pinning
+    // corrected() ≡ buildCorrected(retailTables). The generic
+    // buildCorrected below stays the real-two-table path for the app.
+    val li = Tables.loadBalanced(spark, dir, "lineitem")
+    val daily = li
+      .groupBy(col("l_partkey").as("prod_key"), col("l_suppkey").as("store_key"),
+        to_date(col("l_shipdate")).as("cal_dt"))
+      .agg(
+        sum(col("l_quantity")).as("day_qty"),
+        sum(dec2(col("l_extendedprice"))).as("day_amt"),
+        sum(dec2(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(6, 4)) - col("l_discount").cast(DecimalType(6, 4))))
+          .as("day_cost"))
+      .withColumn("on_hand", col("day_qty") * 2)
+      .withColumn("on_order", col("day_qty"))
+      .withColumn("oos_flg", when(col("day_qty") < 10, lit(1)).otherwise(lit(0)))
+    weeklyFromDaily(daily, None)
   }
 
   /** Core corrected-mode builder (see [[buildFaithful]] for why it is
@@ -404,7 +449,15 @@ object RetailPipeline {
     // AQE still converts to a hash join when a side is actually small.
     val daily = dailySales.join(dailyInv,
       Seq("prod_key", "store_key", "cal_dt"))
+    weeklyFromDaily(daily, calendarOpt)
+  }
 
+  /** Weekly rollup over the joined daily frame (prod_key, store_key,
+    * cal_dt, day_qty, day_amt, day_cost, on_hand, on_order, oos_flg) —
+    * shared by the generic two-table path above and the fused
+    * single-scan daily frame in [[corrected]]. */
+  private def weeklyFromDaily(daily: DataFrame,
+      calendarOpt: Option[DataFrame]): DataFrame = {
     // Week assignment: broadcast-join the (tiny) calendar dim if given,
     // else pure arithmetic — either way no extra shuffle before the
     // weekly aggregate.

@@ -42,4 +42,22 @@ class RetailPipelineSpec extends AnyFunSuite with SparkSuite {
     assert(plan.contains("HashAggregate"))
     assert(!plan.contains("Window"), s"corrected mode must not need a window:\n$plan")
   }
+
+  test("fused corrected ≡ generic buildCorrected over the derived tables (r21)") {
+    // the catalog entry fuses retailTables ∘ buildCorrected into one
+    // aggregate (the dailySales ⋈ dailyInv identity-join elimination);
+    // this pins value-exact row equality against the generic two-table
+    // path it replaced — sort both, compare full rows
+    val (sales, inventory, _, _, _) = RetailPipeline.retailTables(spark, SF)
+    val generic = RetailPipeline.buildCorrected(sales, inventory).collect().toSeq
+    val fused = RetailPipeline.corrected(spark, SF).collect().toSeq
+    assert(fused.size === generic.size)
+    assert(fused === generic, "fused corrected diverged from the generic path")
+  }
+
+  test("fused corrected plan has no sort-merge join (single-scan daily frame)") {
+    val plan = RetailPipeline.corrected(spark, SF).queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"fused corrected must not join the daily frames:\n$plan")
+  }
 }
