@@ -263,29 +263,60 @@ object Similarity {
   private val K = 16
   private val NProbe = 4
 
-  /** Element-wise mean of the member vectors per cluster, computed via
-    * posexplode → (cluster, dim) partial sums → sorted re-assembly. */
-  private def recenter(assigned: DataFrame): DataFrame =
-    assigned
-      .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("cluster"), col("pos"))
-      .agg(avg(col("v")).as("m"))
-      .groupBy(col("cluster"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+  /** Element-wise mean of the member vectors per cluster.
+    *
+    * r21 (guide §1.2 — per-task work): one hash aggregate with 64
+    * per-dimension avg columns replaces posexplode → (cluster, dim)
+    * partial sums → collect/sort re-assembly. Same arithmetic, but no
+    * 64× row materialization, no second aggregate, no array re-sort —
+    * at 1M vectors each Lloyd pass aggregated 64M exploded rows; now
+    * it folds 64 codegen'd avg() updates per corpus row. (Both forms
+    * merge double partials in shuffle-fetch order, so they share the
+    * same ULP-level nondeterminism class; the ANN family is
+    * recall-gated, not value-pinned, for exactly that reason.)
+    * Assumes fixed-width embeddings (the corpus contract, 64 dims):
+    * element_at past a short row would yield null where the explode
+    * form dropped the position. */
+  private def recenter(assigned: DataFrame): DataFrame = {
+    val avgs = (0 until planeDim)
+      .map(i => avg(element_at(col("embedding"), i + 1)).as(s"m$i"))
+    assigned.groupBy(col("cluster"))
+      .agg(avgs.head, avgs.tail: _*)
       .select(col("cluster"),
-        expr("transform(pm, x -> cast(x.m AS float))").as("centroid"))
+        array((0 until planeDim).map(i => col(s"m$i").cast("float")): _*)
+          .as("centroid"))
+  }
 
-  /** Nearest-centroid assignment (broadcast K×dim table, argmax by
-    * dot/|c| — corpus norms cancel within a row). */
+  /** Nearest-centroid assignment (argmax by dot/|c| — corpus norms
+    * cancel within a row).
+    *
+    * r21 (guide §2.4 — remove shuffles): the K centroids ride along as
+    * ONE broadcast array-of-structs row (ascending cluster id) and the
+    * argmax runs IN-ROW over that array — zero shuffle, where the old
+    * broadcast-join + row_number window shuffled and sorted corpus×K
+    * rows per call (and ivfIndex calls assign three times: two Lloyd
+    * iterations plus the final inverted file — at the 2M-vector third
+    * decade that was 3×32M window rows per IVF query). Tie-break
+    * reproduces the window's (score DESC, cluster ASC) exactly: the
+    * array is cluster-ascending and only a STRICTLY better score
+    * replaces the accumulator; NaN scores (a zero-norm centroid) rank
+    * greatest, as in the window's descending sort. */
   private def assign(e: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("score").desc, col("cluster"))
-    e.join(broadcast(centroids))
-      .withColumn("score",
-        expr("vec_dot(embedding, centroid)") / expr("vec_norm(centroid)"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .drop("score", "rk", "centroid")
+    val cents = centroids.groupBy()
+      .agg(array_sort(collect_list(struct(col("cluster"), col("centroid"))))
+        .as("cents"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("cluster", expr(
+        """aggregate(
+          |  transform(cents, x -> named_struct(
+          |    'c', x.cluster,
+          |    's', vec_dot(embedding, x.centroid) / vec_norm(x.centroid))),
+          |  named_struct('c', -1, 's', cast('-Infinity' as double)),
+          |  (acc, x) -> CASE
+          |    WHEN (isnan(x.s) AND NOT isnan(acc.s))
+          |      OR (NOT isnan(x.s) AND NOT isnan(acc.s) AND x.s > acc.s) THEN x
+          |    ELSE acc END).c""".stripMargin))
+      .drop("cents")
   }
 
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -402,6 +433,18 @@ object Similarity {
     val subDim = planeDim / blocks
     val sx = s"slice(embedding, 1 + block * $subDim, $subDim)"
     val sc = s"slice(c_emb, 1 + block * $subDim, $subDim)"
+    // Measured-and-rejected (r21): an in-row per-block argmin over a
+    // broadcast codebook ARRAY (zero shuffle, the assign() rewrite's
+    // shape). Output-identical — the vec_pq_assign oracle hash-matched
+    // — but 2.3× SLOWER (2.6 s → 5.9 s at sf1): the nested
+    // transform/aggregate lambdas are interpreted per element, while
+    // this exploded form keeps every vec_dot inside whole-stage
+    // codegen and the argmin in a partial-aggregating min_by. The
+    // shuffle it pays carries (vec_id, block, code, d) — narrow — so
+    // codegen throughput wins over shuffle avoidance here (guide §4:
+    // keep the hot path codegen'd). assign() differs: its lambda runs
+    // K=16 dot products per CORPUS ROW once, not blocks×K slices, and
+    // its removed window shuffled the WIDE embedding column.
     val scored = e.select("vec_id", "embedding").crossJoin(broadcast(codebook))
       .withColumn("block", explode(expr(s"sequence(0, ${blocks - 1})")))
       .withColumn("d",
